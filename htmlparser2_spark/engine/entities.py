@@ -1,0 +1,198 @@
+"""WHATWG character-reference decoding for the HTML/XML tokenizer.
+
+Reimplements, from the public WHATWG HTML spec and Python's stdlib
+``html.entities.html5`` table, the decoding semantics that the reference
+engine (fb55/htmlparser2) gets from its external ``entities`` dependency.
+Three decoding modes (see /root/reference/src/Tokenizer.ts:825-863):
+
+* ``STRICT``    — XML: named refs limited to the five predefined XML
+  entities, and every reference (named or numeric) must end with ``;``.
+* ``LEGACY``    — HTML text content: named refs without ``;`` decode iff
+  they are in the spec's legacy set (the ~106 semicolon-less table keys),
+  using longest-prefix matching (``&timesbar`` -> ``×bar``).
+* ``ATTRIBUTE`` — like LEGACY, but a semicolon-less named match is NOT
+  decoded when the next character is ``=`` or alphanumeric
+  (``&image=3`` stays literal; behavior pinned by
+  /root/reference/src/Parser.events.spec.ts:264-267).
+
+Numeric references: decimal/hex, ``;`` optional outside STRICT; zero
+digits back out entirely (``&#x;`` stays literal); code points are
+remapped per the spec (NUL and out-of-range -> U+FFFD, C1 range via the
+windows-1252 table).
+
+This module is pure Python (no Spark imports) so it can run inside
+Arrow-batched UDF workers with zero per-row setup cost.
+"""
+
+from __future__ import annotations
+
+from html.entities import html5 as _HTML5
+
+__all__ = ["STRICT", "LEGACY", "ATTRIBUTE", "decode_at", "decode_text"]
+
+STRICT = 0
+LEGACY = 1
+ATTRIBUTE = 2
+
+# The five predefined XML entities; STRICT mode additionally requires the
+# terminating semicolon, so only the ';'-keys are reachable.
+_XML_ENTITIES = {
+    "amp;": "&",
+    "apos;": "'",
+    "gt;": ">",
+    "lt;": "<",
+    "quot;": '"',
+}
+
+# windows-1252 remapping of the C1 control range, per the WHATWG
+# "numeric character reference end state" table. Code points absent from
+# this map (0x81, 0x8D, 0x8F, 0x90, 0x9D) pass through unchanged.
+_C1_REMAP = {
+    0x00: 0xFFFD,
+    0x80: 0x20AC,
+    0x82: 0x201A,
+    0x83: 0x0192,
+    0x84: 0x201E,
+    0x85: 0x2026,
+    0x86: 0x2020,
+    0x87: 0x2021,
+    0x88: 0x02C6,
+    0x89: 0x2030,
+    0x8A: 0x0160,
+    0x8B: 0x2039,
+    0x8C: 0x0152,
+    0x8E: 0x017D,
+    0x91: 0x2018,
+    0x92: 0x2019,
+    0x93: 0x201C,
+    0x94: 0x201D,
+    0x95: 0x2022,
+    0x96: 0x2013,
+    0x97: 0x2014,
+    0x98: 0x02DC,
+    0x99: 0x2122,
+    0x9A: 0x0161,
+    0x9B: 0x203A,
+    0x9C: 0x0153,
+    0x9E: 0x017E,
+    0x9F: 0x0178,
+}
+
+
+def _build_trie(table: dict[str, str]) -> dict:
+    """Build a nested-dict trie over entity names (';' included in keys).
+
+    A node is ``{char: child, ...}`` with the sentinel key ``None``
+    holding the replacement string for names that terminate there.
+    """
+    root: dict = {}
+    for name, value in table.items():
+        node = root
+        for ch in name:
+            node = node.setdefault(ch, {})
+        node[None] = value
+    return root
+
+
+_HTML_TRIE = _build_trie(_HTML5)
+_XML_TRIE = _build_trie(_XML_ENTITIES)
+
+
+def _replace_codepoint(cp: int) -> int:
+    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+        return 0xFFFD
+    return _C1_REMAP.get(cp, cp)
+
+
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+_DEC_DIGITS = set("0123456789")
+
+
+def decode_at(s: str, amp: int, mode: int):
+    """Try to decode a character reference starting at ``s[amp] == '&'``.
+
+    Returns ``(codepoints, consumed)`` where ``consumed`` counts from the
+    ``&`` inclusive, or ``None`` when no reference matches (the ``&`` and
+    everything after it remain literal text; the caller rescans from
+    ``amp + 1``).
+    """
+    n = len(s)
+    i = amp + 1
+    if i >= n:
+        return None
+    c = s[i]
+
+    if c == "#":
+        # Numeric reference.
+        i += 1
+        hexmode = False
+        if i < n and (s[i] == "x" or s[i] == "X"):
+            hexmode = True
+            i += 1
+        digits_start = i
+        allowed = _HEX_DIGITS if hexmode else _DEC_DIGITS
+        while i < n and s[i] in allowed:
+            i += 1
+        if i == digits_start:
+            # No digits: back out fully ("&#x;", "&#anchor").
+            return None
+        has_semi = i < n and s[i] == ";"
+        if mode == STRICT and not has_semi:
+            return None
+        value = int(s[digits_start:i], 16 if hexmode else 10)
+        if has_semi:
+            i += 1
+        return ([_replace_codepoint(value)], i - amp)
+
+    # Named reference: walk the trie, remembering the last terminal node.
+    node = _XML_TRIE if mode == STRICT else _HTML_TRIE
+    best_value: str | None = None
+    best_end = i
+    best_semi = False
+    j = i
+    while j < n:
+        node = node.get(s[j])
+        if node is None:
+            break
+        j += 1
+        value = node.get(None)
+        if value is not None:
+            best_value = value
+            best_end = j
+            best_semi = s[j - 1] == ";"
+    if best_value is None:
+        return None
+    if not best_semi:
+        if mode == STRICT:
+            return None
+        if mode == ATTRIBUTE:
+            # A semicolon-less named match followed by '=' or an
+            # alphanumeric character stays literal (legacy URL params).
+            if best_end < n:
+                nxt = s[best_end]
+                if nxt == "=" or (
+                    "0" <= nxt <= "9" or "a" <= nxt <= "z" or "A" <= nxt <= "Z"
+                ):
+                    return None
+    return ([ord(ch) for ch in best_value], best_end - amp)
+
+
+def decode_text(s: str, mode: int = LEGACY) -> str:
+    """Decode all character references in ``s`` (helper for tests/feeds)."""
+    out = []
+    pos = 0
+    while True:
+        amp = s.find("&", pos)
+        if amp == -1:
+            out.append(s[pos:])
+            break
+        res = decode_at(s, amp, mode)
+        if res is None:
+            out.append(s[pos : amp + 1])
+            pos = amp + 1
+        else:
+            cps, consumed = res
+            out.append(s[pos:amp])
+            out.append("".join(map(chr, cps)))
+            pos = amp + consumed
+    return "".join(out)

@@ -1,0 +1,558 @@
+"""Scan-based HTML/XML tokenizer, semantically equivalent to the reference.
+
+Reproduces the observable callback stream of the reference tokenizer
+(/root/reference/src/Tokenizer.ts — a 27-state per-character machine) with
+a different execution strategy designed for CPython inside Arrow-batched
+Spark UDFs: each state consumes the longest possible run using
+``str.find`` / precompiled regex scans (C speed), so the Python-level loop
+iterates per *token*, not per character. Positions are Unicode code-point
+offsets into the document string (the reference uses UTF-16 code units;
+identical for BMP input — see SURVEY.md §7 "hard parts").
+
+Callback surface mirrors Tokenizer.ts:113-130 (positional events carrying
+index pairs, entity events carrying code points). Whole-document parsing
+only: the reference's chunk/pause/resume machinery maps to Spark's own
+batching (SURVEY.md §2.3), so each call to :meth:`Tokenizer.run` processes
+one complete document.
+
+Every helper consumes input from a given position and returns
+``(cursor, section_start)``; the main loop ends when ``cursor >= len`` and
+the epilogue emits ``buf[section_start:]`` as trailing text when non-empty
+(helpers that drop their pending construct — e.g. a tag open at EOF,
+Tokenizer.ts:1106-1121 — return ``section_start == len`` to suppress it).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .entities import ATTRIBUTE, LEGACY, STRICT, decode_at
+
+__all__ = ["Tokenizer", "QUOTE_NONE", "QUOTE_UNQUOTED", "QUOTE_SINGLE", "QUOTE_DOUBLE"]
+
+# Quote types for on_attrib_end (reference: Tokenizer.ts:103-108).
+QUOTE_NONE = 0
+QUOTE_UNQUOTED = 1
+QUOTE_SINGLE = 2
+QUOTE_DOUBLE = 3
+
+_WS = " \t\n\f\r"
+
+# Length-preserving ASCII lowercasing (str.lower can change string length
+# for some Unicode code points, which would corrupt position bookkeeping).
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+# Text-only ("special") HTML tags, keyed by first character (reference:
+# Tokenizer.ts:138-176). `plaintext` switches the rest of the document to
+# text; `title`/`textarea` are RCDATA (entities decode inside); the rest
+# are raw text.
+_SPECIAL_BY_FIRST = {
+    "i": ("iframe",),
+    "n": ("noembed", "noframes"),
+    "p": ("plaintext",),
+    "s": ("script", "style"),
+    "t": ("title", "textarea"),
+    "x": ("xmp",),
+}
+_RCDATA = frozenset(("title", "textarea"))
+
+_RE_TEXT_STOP = re.compile(r"[<&]")
+_RE_NON_WS = re.compile(r"[^ \t\n\f\r]")
+_RE_TAG_SECTION_END = re.compile(r"[ \t\n\f\r/>]")
+_RE_ATTR_NAME_END = re.compile(r"[ \t\n\f\r/>=]")
+_RE_NQ_VALUE_END = re.compile(r"[ \t\n\f\r>&]")
+_RE_NQ_VALUE_END_NODECODE = re.compile(r"[ \t\n\f\r>]")
+_RE_COMMENT_END = re.compile(r"--!?>")
+_RE_TRAILING_BANG_DASHES = re.compile(r"--+!$")
+_RE_TRAILING_DASHES = re.compile(r"--+$")
+
+
+def _is_end_of_tag_section(c: str) -> bool:
+    return c == "/" or c == ">" or c in _WS
+
+
+class Tokenizer:
+    """One-shot tokenizer over a complete document string.
+
+    ``cbs`` is any object providing the callback methods mirroring the
+    reference ``Callbacks`` interface: ``on_text(start, end)``,
+    ``on_text_entity(cp, end)``, ``on_open_tag_name(start, end)``,
+    ``on_open_tag_end(end)``, ``on_self_closing_tag(end)``,
+    ``on_close_tag(start, end)``, ``on_attrib_name(start, end)``,
+    ``on_attrib_data(start, end)``, ``on_attrib_entity(cp)``,
+    ``on_attrib_end(quote, end)``, ``on_comment(start, end, offset)``,
+    ``on_cdata(start, end, offset)``, ``on_declaration(start, end)``,
+    ``on_processing_instruction(start, end)``, ``on_end()`` and
+    ``is_in_foreign_context()``.
+    """
+
+    __slots__ = ("xml_mode", "decode_entities", "recognize_self_closing", "cbs")
+
+    def __init__(
+        self,
+        cbs,
+        *,
+        xml_mode: bool = False,
+        decode_entities: bool = True,
+        recognize_self_closing: bool | None = None,
+    ) -> None:
+        self.cbs = cbs
+        self.xml_mode = xml_mode
+        self.decode_entities = decode_entities
+        self.recognize_self_closing = (
+            xml_mode if recognize_self_closing is None else recognize_self_closing
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, buf: str) -> None:
+        cbs = self.cbs
+        xml = self.xml_mode
+        decode = self.decode_entities
+        n = len(buf)
+        lbuf = buf.translate(_ASCII_LOWER)
+        text_mode = STRICT if xml else LEGACY
+
+        i = 0  # cursor
+        sec = 0  # section start of the current text run
+        while i < n:
+            # ---------------- Text ----------------
+            if decode:
+                m = _RE_TEXT_STOP.search(buf, i)
+                if m is None:
+                    i = n
+                    break
+                j = m.start()
+                if buf[j] == "&":
+                    i, sec = self._entity(buf, j, text_mode, sec, False)
+                    continue
+            else:
+                j = buf.find("<", i)
+                if j == -1:
+                    i = n
+                    break
+            # '<' found at j.
+            if j > sec:
+                cbs.on_text(sec, j)
+            sec = j
+            i = j + 1
+            if i >= n:
+                break  # trailing '<' emitted by the epilogue
+
+            c = buf[i]
+            # ------------- BeforeTagName dispatch -------------
+            if c == "!":
+                i, sec = self._markup_declaration(buf, lbuf, i + 1)
+            elif c == "?":
+                if xml:
+                    i, sec = self._processing_instruction(buf, i + 1)
+                else:
+                    i, sec = self._bogus_comment(buf, i, i)
+            elif c == "/":
+                i, sec = self._closing_tag(buf, lbuf, i + 1)
+            elif self._is_tag_start(c):
+                i, sec = self._open_tag(buf, lbuf, i)
+            # else: '<' stays literal text (sec still at '<'); rescan from i.
+
+        # ------------- EOF epilogue (plain trailing text) -------------
+        if sec < n:
+            cbs.on_text(sec, n)
+        cbs.on_end()
+
+    # ------------------------------------------------------------------
+    def _is_tag_start(self, c: str) -> bool:
+        if self.xml_mode:
+            return not _is_end_of_tag_section(c)
+        return "a" <= c <= "z" or "A" <= c <= "Z"
+
+    def _entity(self, buf: str, amp: int, mode: int, sec: int, in_attr: bool):
+        """Handle '&' at ``amp``; returns (cursor, section_start)."""
+        res = decode_at(buf, amp, mode)
+        if res is None:
+            # No reference: '&' stays literal, rescan after it.
+            return amp + 1, sec
+        cps, consumed = res
+        cbs = self.cbs
+        end = amp + consumed
+        if in_attr:
+            if sec < amp:
+                cbs.on_attrib_data(sec, amp)
+            for cp in cps:
+                cbs.on_attrib_entity(cp)
+        else:
+            if sec < amp:
+                cbs.on_text(sec, amp)
+            for cp in cps:
+                cbs.on_text_entity(cp, end)
+        return end, end
+
+    # ------------------------------------------------------------------
+    # Open tag + attributes. Entered with ``i`` at the first tag-name char.
+    def _open_tag(self, buf: str, lbuf: str, i: int):
+        cbs = self.cbs
+        n = len(buf)
+        name_start = i
+
+        special = None  # matched text-only tag name, if any
+        if not self.xml_mode and not cbs.is_in_foreign_context():
+            cands = _SPECIAL_BY_FIRST.get(lbuf[i])
+            if cands:
+                for cand in cands:
+                    end = i + len(cand)
+                    if lbuf[i:end] == cand and end < n:
+                        if _is_end_of_tag_section(buf[end]):
+                            special = cand
+                        break
+                    if end >= n and cand.startswith(lbuf[i:n]):
+                        # EOF while the tail is still a (possibly complete)
+                        # prefix of the special-start sequence: the partial
+                        # name is emitted as trailing text (reference
+                        # trailing-data rule for SpecialStartSequence).
+                        return n, name_start
+
+        m = _RE_TAG_SECTION_END.search(buf, i)
+        if m is None:
+            return n, n  # EOF inside tag name: tag dropped
+        j = m.start()
+        cbs.on_open_tag_name(name_start, j)
+
+        # --------- attribute loop (BeforeAttributeName etc.) ---------
+        i = j
+        while True:
+            m = _RE_NON_WS.search(buf, i)
+            if m is None:
+                return n, n  # EOF between attributes: tag dropped
+            i = m.start()
+            c = buf[i]
+            if c == ">":
+                cbs.on_open_tag_end(i)
+                return self._enter_tag_body(buf, lbuf, i + 1, special)
+            if c == "/":
+                # InSelfClosingTag: whitespace may separate '/' and '>'.
+                m2 = _RE_NON_WS.search(buf, i + 1)
+                if m2 is None:
+                    return n, n  # EOF: tag dropped
+                k = m2.start()
+                if buf[k] == ">":
+                    cbs.on_self_closing_tag(k)
+                    if self.recognize_self_closing:
+                        return k + 1, k + 1
+                    return self._enter_tag_body(buf, lbuf, k + 1, special)
+                i = k  # anything else: treat as a new attribute
+                continue
+            # --- attribute name ---
+            m = _RE_ATTR_NAME_END.search(buf, i)
+            if m is None:
+                return n, n  # EOF in attribute name: tag dropped
+            j = m.start()
+            cbs.on_attrib_name(i, j)
+            name_end = j
+            m = _RE_NON_WS.search(buf, j)
+            if m is None:
+                return n, n  # EOF after attribute name: tag dropped
+            i = m.start()
+            if buf[i] != "=":
+                # Valueless attribute; current char starts the next one.
+                cbs.on_attrib_end(QUOTE_NONE, name_end)
+                continue
+            m = _RE_NON_WS.search(buf, i + 1)
+            if m is None:
+                return n, n  # EOF before attribute value: tag dropped
+            i = m.start()
+            c = buf[i]
+            if c == '"' or c == "'":
+                qtype = QUOTE_DOUBLE if c == '"' else QUOTE_SINGLE
+                sec = pos = i + 1
+                while True:
+                    j = buf.find(c, pos)
+                    if self.decode_entities:
+                        a = buf.find("&", pos, j if j != -1 else n)
+                        if a != -1:
+                            pos, sec = self._entity(buf, a, ATTRIBUTE, sec, True)
+                            continue
+                    if j == -1:
+                        return n, n  # EOF in quoted value: tag dropped
+                    cbs.on_attrib_data(sec, j)
+                    cbs.on_attrib_end(qtype, j + 1)
+                    i = j + 1
+                    break
+                continue
+            # Unquoted value (possibly empty, e.g. `x=>`).
+            sec = pos = i
+            stop = (
+                _RE_NQ_VALUE_END
+                if self.decode_entities
+                else _RE_NQ_VALUE_END_NODECODE
+            )
+            while True:
+                m = stop.search(buf, pos)
+                if m is None:
+                    return n, n  # EOF in unquoted value: tag dropped
+                j = m.start()
+                if buf[j] == "&":
+                    pos, sec = self._entity(buf, j, ATTRIBUTE, sec, True)
+                    continue
+                cbs.on_attrib_data(sec, j)
+                cbs.on_attrib_end(QUOTE_UNQUOTED, j)
+                i = j
+                break
+            continue
+
+    # ------------------------------------------------------------------
+    def _enter_tag_body(self, buf: str, lbuf: str, i: int, special):
+        """After '>' of an open tag: normal text, raw text, or plaintext."""
+        if special is None:
+            return i, i
+        if special == "plaintext":
+            n = len(buf)
+            if i < n:
+                self.cbs.on_text(i, n)
+            return n, n
+        return self._special_tag(buf, lbuf, i, special)
+
+    def _special_tag(self, buf: str, lbuf: str, i: int, name: str):
+        """Scan raw-text/RCDATA content for the case-insensitive end tag."""
+        cbs = self.cbs
+        n = len(buf)
+        needle = "</" + name
+        ln = len(needle)
+        rcdata = name in _RCDATA and self.decode_entities
+        sec = pos = i
+        while True:
+            j = lbuf.find(needle, pos)
+            if rcdata:
+                a = buf.find("&", pos, j if j != -1 else n)
+                if a != -1:
+                    pos, sec = self._entity(buf, a, LEGACY, sec, False)
+                    continue
+            if j == -1 or j + ln >= n:
+                # EOF: all remaining content — including a trailing
+                # partial/unterminated end tag — is text.
+                if sec < n:
+                    cbs.on_text(sec, n)
+                return n, n
+            k = j + ln  # just past the matched "</name"
+            if not _is_end_of_tag_section(buf[k]):
+                pos = k
+                continue
+            # Matched closing tag: flush text, then InClosingTagName with
+            # the section starting just past "</".
+            if sec < j:
+                cbs.on_text(sec, j)
+            cbs.on_close_tag(j + 2, k)
+            if buf[k] == ">":
+                return k + 1, k + 1
+            g = buf.find(">", k)  # AfterClosingTagName: skip junk to '>'
+            if g == -1:
+                return n, n
+            return g + 1, g + 1
+
+    # ------------------------------------------------------------------
+    def _closing_tag(self, buf: str, lbuf: str, i: int):
+        """Entered just past '</'."""
+        cbs = self.cbs
+        n = len(buf)
+        if i >= n:
+            return n, i - 2  # '</' at EOF: trailing text from '<'
+        c = buf[i]
+        if c in _WS:
+            if self.xml_mode:
+                m = _RE_NON_WS.search(buf, i)
+                if m is None:
+                    return n, i - 2  # trailing text from '<'
+                i = m.start()
+                c = buf[i]
+            else:
+                # '</ ' in HTML: bogus comment from the whitespace char.
+                return self._bogus_comment(buf, i, i)
+        if c == ">":
+            if self.xml_mode:
+                # '</>' ignored; the section (from '<') stays in the text.
+                return i + 1, i - 2
+            return i + 1, i + 1
+        if self._is_tag_start(c):
+            m = _RE_TAG_SECTION_END.search(buf, i)
+            if m is None:
+                return n, n  # EOF in closing tag name: dropped
+            j = m.start()
+            cbs.on_close_tag(i, j)
+            if buf[j] == ">":
+                return j + 1, j + 1
+            g = buf.find(">", j)
+            if g == -1:
+                return n, n
+            return g + 1, g + 1
+        return self._bogus_comment(buf, i, i)
+
+    # ------------------------------------------------------------------
+    def _bogus_comment(self, buf: str, i: int, sec: int):
+        """InSpecialComment: everything up to '>' is a comment."""
+        n = len(buf)
+        j = buf.find(">", i)
+        if j == -1:
+            if self.xml_mode:
+                if sec < n:
+                    self.cbs.on_text(sec, n)
+            else:
+                self.cbs.on_comment(sec, n, 0)
+            return n, n
+        self.cbs.on_comment(sec, j, 0)
+        return j + 1, j + 1
+
+    # ------------------------------------------------------------------
+    def _markup_declaration(self, buf: str, lbuf: str, i: int):
+        """Entered just past '<!'; the section starts at ``i``."""
+        cbs = self.cbs
+        n = len(buf)
+        xml = self.xml_mode
+        sec = i
+        if i >= n:
+            # '<!' at EOF: empty bogus comment (HTML) / nothing (XML).
+            if not xml:
+                cbs.on_comment(sec, n, 0)
+            return n, n
+        c = buf[i]
+        if c == "[":
+            # CDATA sequence must match 'CDATA[' exactly (case-sensitive,
+            # Tokenizer.ts:354-372).
+            rest = buf[i + 1 : i + 7]
+            if rest == "CDATA[":
+                return self._comment_like(buf, i + 7, is_cdata=True)
+            if len(rest) < 6 and "CDATA[".startswith(rest):
+                # EOF inside the sequence.
+                if xml:
+                    cbs.on_text(sec, n)
+                else:
+                    cbs.on_comment(sec, n, 0)
+                return n, n
+            # Mismatch: reconsume at the first offending character.
+            k = i + 1
+            t = 0
+            while t < 6 and buf[k] == "CDATA["[t]:
+                k += 1
+                t += 1
+            if xml:
+                return self._declaration(buf, k, sec)
+            return self._bogus_comment(buf, k, sec)
+        if xml:
+            if c == "-":
+                return self._before_comment(buf, i + 1, sec)
+            # Anything else: declaration; this char is consumed unchecked.
+            return self._declaration(buf, i + 1, sec)
+        # ---- HTML mode ----
+        if lbuf[i] == "d":
+            # DeclarationSequence: case-insensitive 'doctype'.
+            k = i + 1
+            t = 1
+            while k < n and t < 7 and lbuf[k] == "doctype"[t]:
+                k += 1
+                t += 1
+            if t == 7:
+                return self._declaration(buf, k, sec)
+            if k >= n:
+                cbs.on_comment(sec, n, 0)  # partial 'doctype' at EOF
+                return n, n
+            if buf[k] == ">":
+                cbs.on_comment(sec, k, 0)
+                return k + 1, k + 1
+            return self._bogus_comment(buf, k + 1, sec)
+        if c == ">":
+            cbs.on_comment(sec, i, 0)
+            return i + 1, i + 1
+        if c == "-":
+            return self._before_comment(buf, i + 1, sec)
+        return self._bogus_comment(buf, i + 1, sec)
+
+    def _before_comment(self, buf: str, i: int, sec: int):
+        """After '<!-': a second '-' opens a real comment."""
+        cbs = self.cbs
+        n = len(buf)
+        if i >= n:
+            if not self.xml_mode:
+                cbs.on_comment(sec, n, 0)
+            elif sec < n:
+                cbs.on_text(sec, n)
+            return n, n
+        c = buf[i]
+        if c == "-":
+            return self._comment_like(buf, i + 1, is_cdata=False)
+        if self.xml_mode:
+            return self._declaration(buf, i + 1, sec)
+        if c == ">":
+            cbs.on_comment(sec, i, 0)
+            return i + 1, i + 1
+        return self._bogus_comment(buf, i + 1, sec)
+
+    def _declaration(self, buf: str, i: int, sec: int):
+        """InDeclaration: scan to '>'."""
+        n = len(buf)
+        j = buf.find(">", i)
+        if j == -1:
+            if self.xml_mode and sec < n:
+                self.cbs.on_text(sec, n)
+            # HTML: a complete doctype left open at EOF emits nothing.
+            return n, n
+        self.cbs.on_declaration(sec, j)
+        return j + 1, j + 1
+
+    # ------------------------------------------------------------------
+    def _comment_like(self, buf: str, sec: int, *, is_cdata: bool):
+        """InCommentLike: comments ('-->' with quirks) and CDATA (']]>')."""
+        cbs = self.cbs
+        n = len(buf)
+        xml = self.xml_mode
+        if is_cdata:
+            j = buf.find("]]>", sec)
+            if j != -1:
+                end = j + 2
+                cbs.on_cdata(sec, end, 2)
+                return end + 1, end + 1
+            if xml:
+                if sec < n:
+                    cbs.on_cdata(sec, n, 0)
+            else:
+                # Unclosed CDATA in HTML is a bogus comment from the '['.
+                cbs.on_comment(sec - 7, n, 0)
+            return n, n
+        # ---- comment ----
+        if not xml and sec < n:
+            # Abruptly closed empty HTML comments: <!--> and <!--->.
+            if buf[sec] == ">":
+                cbs.on_comment(sec, sec, 0)
+                return sec + 1, sec + 1
+            if buf.startswith("->", sec):
+                cbs.on_comment(sec, sec + 1, 1)
+                return sec + 2, sec + 2
+        m = _RE_COMMENT_END.search(buf, sec)
+        if m is not None:
+            end = m.end() - 1  # index of '>'
+            cbs.on_comment(sec, end, end - m.start())  # 2 for -->, 3 for --!>
+            return end + 1, end + 1
+        # EOF: trim a partially-matched end sequence (HTML only).
+        if xml:
+            cbs.on_comment(sec, n, 0)
+        else:
+            tail = buf[sec:]
+            if _RE_TRAILING_BANG_DASHES.search(tail):
+                k = 3
+            elif _RE_TRAILING_DASHES.search(tail):
+                k = 2
+            elif tail.endswith("-"):
+                k = 1
+            else:
+                k = 0
+            cbs.on_comment(sec, n, k)
+        return n, n
+
+    # ------------------------------------------------------------------
+    def _processing_instruction(self, buf: str, i: int):
+        """XML '<?...?>'; requires '?' immediately before '>'."""
+        n = len(buf)
+        j = buf.find("?>", i)
+        if j == -1:
+            if i < n:
+                self.cbs.on_text(i, n)
+            return n, n
+        self.cbs.on_processing_instruction(i, j)
+        return j + 2, j + 2
