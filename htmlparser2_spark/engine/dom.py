@@ -1,0 +1,204 @@
+"""DOM construction as flat adjacency arrays (DomHandler equivalent).
+
+The reference delegates tree building to the external ``domhandler``
+package (/root/reference/src/index.ts:6-18, 32-36). Spark has no recursive
+types, so our DOM contract is an *adjacency representation* (SURVEY.md
+§1.3): one dict per node with ``node_id``/``parent_id``/``idx_in_parent``
+ordering the depth-first structure; explodable into a relational ``nodes``
+table for DomUtils-style queries.
+
+Node types follow domelementtype: ``tag``/``script``/``style`` for
+elements, ``text``, ``comment``, ``cdata``, ``directive``. The document
+root is the implicit parent ``-1``.
+"""
+
+from __future__ import annotations
+
+from .parser import NO_VALUE, Parser, ParserOptions
+
+__all__ = ["DomArrayHandler", "parse_document", "text_content", "clean_text", "serialize"]
+
+
+class DomArrayHandler:
+    """Folds parser events into a flat node list (depth-first order)."""
+
+    def __init__(self, with_indices: bool = True) -> None:
+        self.nodes: list[dict] = []
+        self._stack: list[int] = []  # node_ids of open elements
+        self._child_counts: dict[int, int] = {-1: 0}
+        self._last_text: int | None = None  # node_id of an open text node
+        self._in_cdata = False
+        self._with_indices = with_indices
+        self.parser: Parser | None = None
+
+    def attach(self, parser: Parser) -> None:
+        self.parser = parser
+
+    # ------------------------------------------------------------------
+    def _add(self, node_type: str, name: str | None, data: str | None,
+             attrs=None, quotes=None) -> int:
+        parent = self._stack[-1] if self._stack else -1
+        idx = self._child_counts.get(parent, 0)
+        self._child_counts[parent] = idx + 1
+        node_id = len(self.nodes)
+        node = {
+            "node_id": node_id,
+            "parent_id": parent,
+            "idx_in_parent": idx,
+            "type": node_type,
+            "name": name,
+            "attrs": attrs,
+            "attr_quotes": quotes,
+            "data": data,
+            "start_index": self.parser.start_index if self._with_indices else None,
+            "end_index": self.parser.end_index if self._with_indices else None,
+        }
+        self.nodes.append(node)
+        return node_id
+
+    # ------------- handler callbacks -------------
+    def on_open_tag(self, name: str, attrs: dict, is_implied: bool) -> None:
+        node_type = (
+            "script" if name == "script" else "style" if name == "style" else "tag"
+        )
+        quotes = {
+            k: ("none" if q is NO_VALUE else "unquoted" if q is None else q)
+            for k, q in (self.parser._attrib_quotes or {}).items()
+        }
+        node_id = self._add(node_type, name, None, dict(attrs), quotes)
+        self._stack.append(node_id)
+        self._last_text = None
+
+    def on_close_tag(self, name: str, is_implied: bool) -> None:
+        if self._stack:
+            node_id = self._stack.pop()
+            if self._with_indices:
+                self.nodes[node_id]["end_index"] = self.parser.end_index
+        self._last_text = None
+
+    def on_text(self, data: str) -> None:
+        if self._last_text is not None:
+            node = self.nodes[self._last_text]
+            node["data"] += data
+            if self._with_indices:
+                node["end_index"] = self.parser.end_index
+            return
+        self._last_text = self._add("text", None, data)
+
+    def on_comment(self, data: str) -> None:
+        self._add("comment", None, data)
+
+    def on_comment_end(self) -> None:
+        self._last_text = None
+
+    def on_cdata_start(self) -> None:
+        cdata_id = self._add("cdata", None, None)
+        self._stack.append(cdata_id)
+        self._last_text = None
+        self._in_cdata = True
+
+    def on_cdata_end(self) -> None:
+        if self._in_cdata and self._stack:
+            self._stack.pop()
+        self._in_cdata = False
+        self._last_text = None
+
+    def on_processing_instruction(self, name: str, data: str) -> None:
+        self._add("directive", name, data)
+
+    def on_end(self) -> None:
+        pass
+
+
+def parse_document(html: str, **options) -> list[dict]:
+    """Parse a complete document into its adjacency node list."""
+    handler = DomArrayHandler()
+    parser = Parser(handler, ParserOptions(**options))
+    handler.attach(parser)
+    parser.parse(html)
+    return handler.nodes
+
+
+def text_content(nodes: list[dict]) -> str:
+    """DomUtils ``textContent`` semantics: concatenation of every text
+    node's data in document order (raw-text script/style bodies included —
+    they are text nodes in the DOM; reference README.md:184)."""
+    return "".join(n["data"] for n in nodes if n["type"] == "text")
+
+
+def clean_text(nodes: list[dict]) -> str:
+    """Main-content flavored extraction: text nodes outside
+    script/style/template subtrees, whitespace-normalized per block.
+    (Engine-defined contract, pinned by our own fixtures.)"""
+    skip: set[int] = set()
+    out: list[str] = []
+    for n in nodes:
+        # DFS order guarantees parent_id < node_id, so one pass suffices.
+        if n["type"] in ("script", "style") or n["parent_id"] in skip:
+            skip.add(n["node_id"])
+            continue
+        if n["type"] == "text":
+            piece = " ".join(n["data"].split())
+            if piece:
+                out.append(piece)
+    return " ".join(out)
+
+
+_VOID = frozenset(
+    "area base basefont br col command embed frame hr img input isindex "
+    "keygen link meta param source track wbr".split()
+)
+
+
+def serialize(nodes: list[dict], *, xml_mode: bool = False) -> str:
+    """Render the adjacency DOM back to markup (getOuterHTML-equivalent).
+
+    Engine-defined formatting contract: double-quoted attributes with
+    ``&``/``"`` escaped, void elements unclosed in HTML mode, self-closing
+    empty elements in XML mode.
+    """
+    children: dict[int, list[dict]] = {}
+    for n in nodes:
+        children.setdefault(n["parent_id"], []).append(n)
+
+    def esc_text(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def esc_attr(s: str) -> str:
+        return s.replace("&", "&amp;").replace('"', "&quot;")
+
+    def render(n: dict) -> str:
+        t = n["type"]
+        if t == "text":
+            parent = nodes[n["parent_id"]] if n["parent_id"] >= 0 else None
+            if parent is not None and parent["type"] in ("script", "style"):
+                return n["data"]
+            return esc_text(n["data"])
+        if t == "comment":
+            return f"<!--{n['data']}-->"
+        if t == "cdata":
+            inner = "".join(render(c) for c in children.get(n["node_id"], []))
+            return f"<![CDATA[{inner}]]>"
+        if t == "directive":
+            return f"<{n['data']}>"
+        # element
+        attrs = n["attrs"] or {}
+        parts = [n["name"]]
+        for k, v in attrs.items():
+            quote = (n["attr_quotes"] or {}).get(k)
+            if quote == "none" and v == "":
+                parts.append(k)
+            else:
+                parts.append(f'{k}="{esc_attr(v)}"')
+        open_tag = " ".join(parts)
+        kids = children.get(n["node_id"], [])
+        if not kids:
+            if xml_mode:
+                return f"<{open_tag}/>"
+            if n["name"] in _VOID:
+                return f"<{open_tag}>"
+            return f"<{open_tag}></{n['name']}>"
+        inner = "".join(render(c) for c in kids)
+        return f"<{open_tag}>{inner}</{n['name']}>"
+
+    return "".join(render(n) for n in children.get(-1, []))

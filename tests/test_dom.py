@@ -1,0 +1,119 @@
+"""DOM adjacency-array construction, text extraction, and serialization.
+
+The DOM contract mirrors domhandler's tree semantics
+(/root/reference/src/index.ts:32-36; snapshot shapes in
+src/__snapshots__/index.spec.ts.snap) re-expressed as flat adjacency
+arrays (SURVEY.md §1.3) for Spark explodability.
+"""
+
+from __future__ import annotations
+
+from htmlparser2_spark.engine.dom import (
+    clean_text,
+    parse_document,
+    serialize,
+    text_content,
+)
+
+
+def by_name(nodes, name):
+    return [n for n in nodes if n["name"] == name]
+
+
+def test_basic_tree_shape():
+    nodes = parse_document(
+        "<!DOCTYPE html><html><title>The Title</title><body>Hello world</body></html>"
+    )
+    assert nodes[0]["type"] == "directive"
+    assert nodes[0]["name"] == "!doctype"
+    html = by_name(nodes, "html")[0]
+    assert html["parent_id"] == -1
+    title = by_name(nodes, "title")[0]
+    body = by_name(nodes, "body")[0]
+    assert title["parent_id"] == html["node_id"]
+    assert body["parent_id"] == html["node_id"]
+    assert title["idx_in_parent"] == 0 and body["idx_in_parent"] == 1
+    texts = [n for n in nodes if n["type"] == "text"]
+    assert [t["data"] for t in texts] == ["The Title", "Hello world"]
+    assert text_content(nodes) == "The TitleHello world"
+
+
+def test_attributes_and_quotes():
+    nodes = parse_document('<a href="x" id=\'y\' name=z disabled>t</a>')
+    a = by_name(nodes, "a")[0]
+    assert a["attrs"] == {"href": "x", "id": "y", "name": "z", "disabled": ""}
+    assert a["attr_quotes"] == {
+        "href": '"',
+        "id": "'",
+        "name": "unquoted",
+        "disabled": "none",
+    }
+
+
+def test_script_style_types_and_text_content():
+    nodes = parse_document("<script>var a=1;</script><style>p{}</style><p>x</p>")
+    assert by_name(nodes, "script")[0]["type"] == "script"
+    assert by_name(nodes, "style")[0]["type"] == "style"
+    # textContent includes raw-text bodies (DomUtils semantics).
+    assert text_content(nodes) == "var a=1;p{}x"
+    # clean_text drops script/style subtrees and squeezes whitespace.
+    assert clean_text(nodes) == "x"
+
+
+def test_clean_text_whitespace_and_nesting():
+    nodes = parse_document(
+        "<div>\n  <p>Hello   <b>world</b></p>\n <script>skip()</script> <p>again</p></div>"
+    )
+    assert clean_text(nodes) == "Hello world again"
+
+
+def test_cdata_nodes():
+    nodes = parse_document("<x><![CDATA[a<b]]></x>", xml_mode=True)
+    cdata = [n for n in nodes if n["type"] == "cdata"][0]
+    inner = [n for n in nodes if n["parent_id"] == cdata["node_id"]]
+    assert inner[0]["type"] == "text" and inner[0]["data"] == "a<b"
+    assert text_content(nodes) == "a<b"
+
+
+def test_adjacent_text_merged():
+    # Entities split text at the tokenizer level; the DOM merges them.
+    nodes = parse_document("<p>a&amp;b</p>")
+    texts = [n for n in nodes if n["type"] == "text"]
+    assert len(texts) == 1
+    assert texts[0]["data"] == "a&b"
+
+
+def test_start_end_indices():
+    doc = "<p>hi</p>"
+    nodes = parse_document(doc)
+    p = by_name(nodes, "p")[0]
+    assert p["start_index"] == 0
+    assert p["end_index"] == 8
+    text = [n for n in nodes if n["type"] == "text"][0]
+    assert doc[text["start_index"] : text["end_index"] + 1] == "hi"
+
+
+def test_implied_structure():
+    nodes = parse_document("<ul><li>a<li>b</ul>")
+    lis = by_name(nodes, "li")
+    assert len(lis) == 2
+    ul = by_name(nodes, "ul")[0]
+    assert all(li["parent_id"] == ul["node_id"] for li in lis)
+
+
+def test_serialize_roundtrip_shapes():
+    nodes = parse_document('<div class="a"><p>x &amp; y</p><br><!--c--></div>')
+    out = serialize(nodes)
+    assert out == '<div class="a"><p>x &amp; y</p><br><!--c--></div>'
+    # Round-trip: reparsing the serialization yields the same text content.
+    assert text_content(parse_document(out)) == text_content(nodes)
+
+
+def test_serialize_xml_self_closing():
+    nodes = parse_document("<a><b/></a>", xml_mode=True)
+    assert serialize(nodes, xml_mode=True) == "<a><b/></a>"
+
+
+def test_serialize_preserves_raw_script():
+    nodes = parse_document("<script>if (a<b) x();</script>")
+    assert serialize(nodes) == "<script>if (a<b) x();</script>"

@@ -1,0 +1,60 @@
+"""Entity-decoder micro-fixtures (FIXTURES.md §6, pinned by reference
+snapshots — see SURVEY.md §2.4 for the file:line evidence)."""
+
+from __future__ import annotations
+
+import pytest
+
+from htmlparser2_spark.engine.entities import (
+    ATTRIBUTE,
+    LEGACY,
+    STRICT,
+    decode_at,
+    decode_text,
+)
+
+
+@pytest.mark.parametrize(
+    ("text", "mode", "expected"),
+    [
+        # Legacy longest-prefix matching (Parser.events.spec.ts:128,283).
+        ("&timesbar;", LEGACY, "⨱"),
+        ("&timesbar", LEGACY, "\xd7bar"),
+        ("&AMPel", LEGACY, "&el"),
+        ("&ampeer;s", LEGACY, "&eer;s"),
+        ("&lter", LEGACY, "<er"),
+        ("&sum", LEGACY, "&sum"),  # 'sum' has no legacy (semicolon-less) form
+        ("M&M", LEGACY, "M&M"),
+        # Attribute lookahead (Parser.events.spec.ts:264-267).
+        ("?&image_uri=1&&image;=2&image=3", ATTRIBUTE, "?&image_uri=1&ℑ=2&image=3"),
+        ("&lt;val", ATTRIBUTE, "<val"),
+        ("&para2", ATTRIBUTE, "&para2"),  # alnum after semicolon-less match
+        ("&para.", ATTRIBUTE, "\xb6."),
+        # Strict / XML (Tokenizer.spec.ts:174-179).
+        ("&amp;&gt;&amp&lt;&uuml;", STRICT, "&>&amp<&uuml;"),
+        ("&#x61;&#x62", STRICT, "a&#x62"),
+        # Numerics (Parser.events.spec.ts:125-126; Parser.spec.ts #125).
+        ("&#x61;&#x62&#99;&#100&#x66g&#x;&#x68", LEGACY, "abcdfg&#x;h"),
+        ("id=770&#anchor", LEGACY, "id=770&#anchor"),
+        ("&#53&#53", LEGACY, "55"),
+        # Multi-code-point + C1/invalid remapping.
+        ("&NotGreaterFullEqual;", LEGACY, "≧̸"),
+        ("&#x80;", LEGACY, "€"),
+        ("&#0;", LEGACY, "�"),
+        ("&#xD800;", LEGACY, "�"),
+        ("&#x110000;", LEGACY, "�"),
+        ("&#x81;", LEGACY, "\x81"),  # passthrough, not remapped
+    ],
+)
+def test_decode_text(text, mode, expected):
+    assert decode_text(text, mode) == expected
+
+
+def test_decode_at_consumed_counts():
+    assert decode_at("&amp;x", 0, LEGACY) == ([38], 5)
+    assert decode_at("&amp x", 0, LEGACY) == ([38], 4)
+    assert decode_at("&#x41;", 0, LEGACY) == ([65], 6)
+    assert decode_at("&#x41", 0, LEGACY) == ([65], 5)
+    assert decode_at("&bogus;", 0, LEGACY) is None
+    assert decode_at("&", 0, LEGACY) is None
+    assert decode_at("&NotGreaterFullEqual;", 0, LEGACY) == ([0x2267, 0x338], 21)
