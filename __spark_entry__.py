@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship end-to-end extraction over sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+(SURVEY.md §2) with DuckDB-checkable oracles. The pages input table is
+synthesized deterministically from ``documents.parquet`` with SQL shared
+between Spark and DuckDB (htmlparser2_spark/sources/pages.py), so the
+oracle can reproduce both the input and the expected parse output.
 """
 
 from __future__ import annotations
@@ -12,27 +13,312 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from htmlparser2_spark.functions.udfs import (
+    doc_stats_udf,
+    dom_nodes_udf,
+    extract_text_udf,
+)
+from htmlparser2_spark.sources.pages import build_pages, oracle_pages_cte
+
+_PAGES_CTE = oracle_pages_cte()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full HTML parse + byte-identical text check + per-lang
+    rollup over the sf0.001 pages table."""
+    pages = build_pages(spark, "/root/testdata/sf0.001")
+    extracted = pages.withColumn("extracted", extract_text_udf()(F.col("html")))
+    return (
+        extracted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("extracted") == F.col("text")).cast("long")).alias("n_match"),
+            F.sum(F.length("extracted")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------------------------------
+# queries: name -> (spark, sf_dir) -> DataFrame
+# ----------------------------------------------------------------------
+
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    return pages.select(
+        "url", extract_text_udf()(F.col("html")).alias("text_out")
+    )
+
+
+def _q_extract_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    ext = extract_text_udf()(F.col("html"))
+    return pages.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((ext == F.col("text")).cast("long")).alias("n_match"),
+    )
+
+
+def _nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    return pages.select(
+        "url", F.explode(dom_nodes_udf()(F.col("html"))).alias("node")
+    ).select("url", "node.*")
+
+
+def _q_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes_df(spark, sf_dir)
+    titles = nodes.filter(F.col("name") == "title").select(
+        "url", F.col("node_id").alias("title_id")
+    )
+    texts = nodes.filter(F.col("type") == "text").select(
+        "url", "parent_id", F.col("data").alias("title")
+    )
+    return titles.join(
+        texts,
+        (titles.url == texts.url) & (titles.title_id == texts.parent_id),
+    ).select(titles.url.alias("url"), "title")
+
+
+def _q_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes_df(spark, sf_dir)
+    return (
+        nodes.filter(F.col("type").isin("tag", "script", "style"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes_df(spark, sf_dir)
+    return nodes.filter(F.col("name") == "a").select(
+        "url", F.col("attrs")["href"].alias("href")
+    )
+
+
+def _q_p_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes_df(spark, sf_dir)
+    return nodes.filter(F.col("name") == "p").select(
+        "url", F.col("attrs")["class"].alias("p_class")
+    )
+
+
+def _q_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes_df(spark, sf_dir)
+    return nodes.filter(F.col("type") == "comment").select(
+        "url", F.col("data").alias("comment_data")
+    )
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    stats = pages.select("url", "text", doc_stats_udf()(F.col("html")).alias("s"))
+    return stats.select(
+        "url",
+        F.col("s.n_tags").alias("n_tags"),
+        F.col("s.n_text_chars").alias("text_len"),
+    )
+
+
+def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    ext = extract_text_udf()(F.col("html")).alias("extracted")
+    return (
+        pages.select("lang", ext)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("extracted")), 4).alias("avg_len"),
+        )
+    )
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    return (
+        pages.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("html")).alias("html_bytes"),
+        )
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Deterministic duplicate injection: every 10th doc reappears with a
+    # shifted id, so exact dedup has real work to do.
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    union = docs.unionByName(dupes)
+    return (
+        union.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x == F.lit("the"))).alias("n_the"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "in"))
+    )
+    avg_tok_len = (F.length("text") - (n_tokens - 1)) / n_tokens
+    return docs.select(
+        "doc_id",
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from htmlparser2_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return brute_force_topk(queries_df, corpus, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_extract_text": _q_extract_text,
+        "q_extract_match": _q_extract_match,
+        "q_title": _q_title,
+        "q_tag_histogram": _q_tag_histogram,
+        "q_links": _q_links,
+        "q_p_class": _q_p_class,
+        "q_comments": _q_comments,
+        "q_doc_stats": _q_doc_stats,
+        "q_lang_profile": _q_lang_profile,
+        "q_host_stats": _q_host_stats,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_token_stats": _q_token_stats,
+        "q_quality": _q_quality,
+        "q_fingerprint": _q_fingerprint,
+        "q_ann_topk": _q_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL over the pre-registered parquet views).
+# ----------------------------------------------------------------------
+
+_TAG_COUNTS = [
+    # (name, variant, per-doc count)
+    ("html", 0, 1), ("head", 0, 1), ("title", 0, 1), ("script", 0, 1),
+    ("style", 0, 1), ("body", 0, 1), ("h1", 0, 1), ("p", 0, 1), ("a", 0, 1),
+    ("html", 1, 1), ("body", 1, 1), ("ul", 1, 1), ("li", 1, 2), ("p", 1, 1),
+    ("br", 1, 1), ("img", 1, 1),
+    ("html", 2, 1), ("body", 2, 1), ("table", 2, 1), ("tr", 2, 2),
+    ("td", 2, 2), ("textarea", 2, 1), ("div", 2, 1),
+]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tag_values = ", ".join(f"('{n}', {v}, {k})" for n, v, k in _TAG_COUNTS)
+    return {
+        "q_extract_text": f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages",
+        "q_extract_match": (
+            f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_match FROM pages"
+        ),
+        "q_title": (
+            f"WITH {_PAGES_CTE} SELECT url, 'Doc ' || CAST(doc_id AS STRING) AS title "
+            "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_tag_histogram": (
+            f"WITH {_PAGES_CTE}, tag_counts(name, variant, k) AS (VALUES {tag_values}) "
+            "SELECT c.name AS name, CAST(SUM(c.k) AS BIGINT) AS cnt "
+            "FROM pages p JOIN tag_counts c ON p.doc_id % 3 = c.variant "
+            "GROUP BY c.name"
+        ),
+        "q_links": (
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "'https://example.com/doc/' || CAST(doc_id AS STRING) AS href "
+            "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_p_class": (
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'c' || CAST(doc_id % 7 AS STRING) END AS p_class "
+            "FROM pages WHERE doc_id % 3 IN (0, 1)"
+        ),
+        "q_comments": (
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE WHEN doc_id % 3 = 0 THEN ' src:' || "
+            "(SELECT source FROM documents d WHERE d.doc_id = pages.doc_id) || ' ' "
+            "ELSE '?bogus ' || CAST(doc_id AS STRING) END AS comment_data "
+            "FROM pages WHERE doc_id % 3 IN (0, 2)"
+        ),
+        "q_doc_stats": (
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 9 WHEN 1 THEN 8 ELSE 9 END AS INTEGER) AS n_tags, "
+            "CAST(length(text) AS INTEGER) AS text_len FROM pages"
+        ),
+        "q_lang_profile": (
+            f"WITH {_PAGES_CTE} SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "round(avg(length(text)), 4) AS avg_len FROM pages GROUP BY lang"
+        ),
+        "q_host_stats": (
+            f"WITH {_PAGES_CTE} SELECT regexp_extract(url, 'https://([^.]+)\\.', 1) AS host, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(octet_length(encode(page_str))) AS BIGINT) AS html_bytes "
+            "FROM pages GROUP BY 1"
+        ),
+        "q_dedup_exact": (
+            "WITH uni AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0) "
+            "SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_id FROM uni "
+            "GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "q_token_stats": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
+            "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS INTEGER) AS n_the "
+            "FROM documents"
+        ),
+        "q_quality": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents) "
+            "SELECT doc_id, "
+            "round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) "
+            "/ len(toks), 4) AS stopword_ratio, "
+            "round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 4) "
+            "AS avg_token_len FROM t"
+        ),
+        "q_fingerprint": (
+            "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+        ),
+        "q_ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10), "
+            "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, c.embedding) AS sim FROM q CROSS JOIN c) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(sim, 4) AS sim FROM ("
+            "SELECT query_id, neighbor_id, sim, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM sims) WHERE rank <= 5"
+        ),
+    }

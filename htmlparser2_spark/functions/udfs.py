@@ -1,0 +1,368 @@
+"""Vectorized (Arrow-batched) Spark UDFs wrapping the parse engine.
+
+All heavy work happens inside pandas UDFs over Arrow record batches — no
+per-row Python dispatch from Spark's side (BASELINE.json input_hint).
+Equivalents of the reference's API surface (/root/reference/src/index.ts):
+
+* ``extract_text_udf``  — parseDocument + DomUtils textContent, fused into
+  a text-only handler (no DOM materialization) for the hot path
+* ``clean_text_udf``    — boilerplate-stripping variant
+* ``dom_nodes_udf``     — parseDocument as an adjacency node array
+* ``parser_events_udf`` — the Handler event stream (testHelper shape)
+* ``feed_udf``          — parseFeed
+* ``doc_stats_udf``     — per-document node/text/event counters
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..engine.dom import DomArrayHandler, clean_text, text_content
+from ..engine.feed import get_feed
+from ..engine.parser import Parser, ParserOptions
+
+__all__ = [
+    "extract_text_udf",
+    "clean_text_udf",
+    "dom_nodes_udf",
+    "parser_events_udf",
+    "feed_udf",
+    "doc_stats_udf",
+    "NODE_SCHEMA",
+    "EVENT_SCHEMA",
+    "FEED_SCHEMA",
+    "STATS_SCHEMA",
+]
+
+
+def _to_str(value) -> str:
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return bytes(value).decode("utf-8", "replace")
+    return value or ""
+
+
+class _TextHandler:
+    """Text-only handler: textContent without building a DOM."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+
+    def on_text(self, data: str) -> None:
+        self.parts.append(data)
+
+
+class _CountingHandler:
+    """Counts events / nodes / text chars in one pass."""
+
+    __slots__ = ("n_events", "n_tags", "n_text_chars", "max_depth", "_depth")
+
+    def __init__(self) -> None:
+        self.n_events = 0
+        self.n_tags = 0
+        self.n_text_chars = 0
+        self.max_depth = 0
+        self._depth = 0
+
+    def on_open_tag(self, name, attrs, implied) -> None:
+        self.n_events += 1
+        self.n_tags += 1
+        self._depth += 1
+        if self._depth > self.max_depth:
+            self.max_depth = self._depth
+
+    def on_close_tag(self, name, implied) -> None:
+        self.n_events += 1
+        if self._depth > 0:
+            self._depth -= 1
+
+    def on_text(self, data: str) -> None:
+        self.n_events += 1
+        self.n_text_chars += len(data)
+
+    def on_comment(self, data: str) -> None:
+        self.n_events += 1
+
+    def on_processing_instruction(self, name, data) -> None:
+        self.n_events += 1
+
+
+def _make_parser(handler, options: dict) -> Parser:
+    return Parser(handler, ParserOptions(**options))
+
+
+# ------------------------------------------------------------------
+# The pandas UDF factories take engine options and return a column fn.
+# A fresh Parser is reused across the batch (reset per document), so
+# per-row setup cost is one object reset, not object construction.
+
+
+def extract_text_udf(**options):
+    @F.pandas_udf(StringType())
+    def _extract(html: pd.Series) -> pd.Series:
+        handler = _TextHandler()
+        parser = _make_parser(handler, options)
+
+        def one(value) -> str:
+            handler.parts.clear()
+            parser.parse(_to_str(value))
+            return "".join(handler.parts)
+
+        return html.map(one)
+
+    return _extract
+
+
+def clean_text_udf(**options):
+    @F.pandas_udf(StringType())
+    def _clean(html: pd.Series) -> pd.Series:
+        def one(value) -> str:
+            handler = DomArrayHandler(with_indices=False)
+            parser = _make_parser(handler, options)
+            handler.attach(parser)
+            parser.parse(_to_str(value))
+            return clean_text(handler.nodes)
+
+        return html.map(one)
+
+    return _clean
+
+
+NODE_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("node_id", IntegerType()),
+            StructField("parent_id", IntegerType()),
+            StructField("idx_in_parent", IntegerType()),
+            StructField("type", StringType()),
+            StructField("name", StringType()),
+            StructField("attrs", MapType(StringType(), StringType())),
+            StructField("attr_quotes", MapType(StringType(), StringType())),
+            StructField("data", StringType()),
+            StructField("start_index", IntegerType()),
+            StructField("end_index", IntegerType()),
+        ]
+    )
+)
+
+
+def dom_nodes_udf(**options):
+    @F.pandas_udf(NODE_SCHEMA)
+    def _nodes(html: pd.Series) -> pd.Series:
+        def one(value):
+            handler = DomArrayHandler()
+            parser = _make_parser(handler, options)
+            handler.attach(parser)
+            parser.parse(_to_str(value))
+            return handler.nodes
+
+        return html.map(one)
+
+    return _nodes
+
+
+EVENT_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("seq", IntegerType()),
+            StructField("event", StringType()),
+            StructField("name", StringType()),
+            StructField("data", StringType()),
+            StructField("attrs", MapType(StringType(), StringType())),
+            StructField("is_implied", BooleanType()),
+            StructField("start_index", IntegerType()),
+            StructField("end_index", IntegerType()),
+        ]
+    )
+)
+
+
+class _EventArrayHandler:
+    """Parser events as flat records (testHelper-equivalent shape)."""
+
+    def __init__(self) -> None:
+        self.events: list[dict] = []
+        self.parser: Parser | None = None
+
+    def _push(self, event, name=None, data=None, attrs=None, implied=None):
+        p = self.parser
+        self.events.append(
+            {
+                "seq": len(self.events),
+                "event": event,
+                "name": name,
+                "data": data,
+                "attrs": attrs,
+                "is_implied": implied,
+                "start_index": p.start_index,
+                "end_index": p.end_index,
+            }
+        )
+
+    def on_open_tag(self, name, attrs, implied):
+        self._push("opentag", name=name, attrs=dict(attrs), implied=implied)
+
+    def on_close_tag(self, name, implied):
+        self._push("closetag", name=name, implied=implied)
+
+    def on_text(self, data):
+        self._push("text", data=data)
+
+    def on_comment(self, data):
+        self._push("comment", data=data)
+
+    def on_cdata_start(self):
+        self._push("cdatastart")
+
+    def on_cdata_end(self):
+        self._push("cdataend")
+
+    def on_processing_instruction(self, name, data):
+        self._push("processinginstruction", name=name, data=data)
+
+
+def parser_events_udf(**options):
+    @F.pandas_udf(EVENT_SCHEMA)
+    def _events(html: pd.Series) -> pd.Series:
+        def one(value):
+            handler = _EventArrayHandler()
+            parser = _make_parser(handler, options)
+            handler.parser = parser
+            parser.parse(_to_str(value))
+            return handler.events
+
+        return html.map(one)
+
+    return _events
+
+
+_MEDIA_SCHEMA = StructType(
+    [
+        StructField("medium", StringType()),
+        StructField("isDefault", BooleanType()),
+        StructField("url", StringType()),
+        StructField("type", StringType()),
+        StructField("expression", StringType()),
+        StructField("lang", StringType()),
+        StructField("fileSize", LongType()),
+        StructField("bitrate", LongType()),
+        StructField("framerate", LongType()),
+        StructField("samplingrate", LongType()),
+        StructField("channels", LongType()),
+        StructField("duration", LongType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+    ]
+)
+
+FEED_SCHEMA = StructType(
+    [
+        StructField("type", StringType()),
+        StructField("id", StringType()),
+        StructField("title", StringType()),
+        StructField("link", StringType()),
+        StructField("description", StringType()),
+        StructField("updated", TimestampType()),
+        StructField("author", StringType()),
+        StructField(
+            "items",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("id", StringType()),
+                        StructField("title", StringType()),
+                        StructField("link", StringType()),
+                        StructField("description", StringType()),
+                        StructField("pubDate", TimestampType()),
+                        StructField("media", ArrayType(_MEDIA_SCHEMA)),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def feed_udf():
+    @F.pandas_udf(FEED_SCHEMA)
+    def _feed(xml: pd.Series) -> pd.DataFrame:
+        rows = []
+        for value in xml:
+            handler = DomArrayHandler(with_indices=False)
+            parser = _make_parser(handler, {"xml_mode": True})
+            handler.attach(parser)
+            parser.parse(_to_str(value))
+            feed = get_feed(handler.nodes)
+            if feed is None:
+                rows.append({f.name: None for f in FEED_SCHEMA.fields})
+                continue
+            items = [
+                {
+                    "id": it.get("id"),
+                    "title": it.get("title"),
+                    "link": it.get("link"),
+                    "description": it.get("description"),
+                    "pubDate": it.get("pubDate"),
+                    "media": it.get("media") or [],
+                }
+                for it in feed.get("items", [])
+            ]
+            rows.append(
+                {
+                    "type": feed.get("type"),
+                    "id": feed.get("id"),
+                    "title": feed.get("title"),
+                    "link": feed.get("link"),
+                    "description": feed.get("description"),
+                    "updated": feed.get("updated"),
+                    "author": feed.get("author"),
+                    "items": items,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _feed
+
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("n_events", IntegerType()),
+        StructField("n_tags", IntegerType()),
+        StructField("n_text_chars", IntegerType()),
+        StructField("max_depth", IntegerType()),
+    ]
+)
+
+
+def doc_stats_udf(**options):
+    @F.pandas_udf(STATS_SCHEMA)
+    def _stats(html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for value in html:
+            handler = _CountingHandler()
+            parser = _make_parser(handler, options)
+            parser.parse(_to_str(value))
+            rows.append(
+                {
+                    "n_events": handler.n_events,
+                    "n_tags": handler.n_tags,
+                    "n_text_chars": handler.n_text_chars,
+                    "max_depth": handler.max_depth,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _stats

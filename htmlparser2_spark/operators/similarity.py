@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query side across the corpus, JVM-side dot products via
+  ``zip_with``/``aggregate`` (no Python in the hot path), per-query top-k
+  with a window. At cluster scale the corpus stays partitioned; only the
+  query set is broadcast, so no shuffle of the big side occurs until the
+  final per-query top-k (bounded at ``|Q| * k`` rows by a partial top-k).
+* :func:`hyperplane_lsh_buckets` — random-hyperplane (SimHash) bucketing:
+  the scale path. Sign patterns of ``n_bits`` fixed hyperplanes become a
+  bucket key; candidate pairs only form within buckets, turning the
+  quadratic cross join into a per-bucket join.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["brute_force_topk", "hyperplane_lsh_buckets", "lsh_topk"]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
+
+    Returns (query_id, neighbor_id, rank, sim) with sim rounded to 4
+    decimals (ranking uses the unrounded value).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sims = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a random-hyperplane sign bucket (JVM-side)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    v = _as_double(F.col(vec_col))
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket join replaces the full cross join; recall depends on
+    ``n_bits`` (fewer bits -> bigger buckets -> higher recall/cost).
+    """
+    qb = hyperplane_lsh_buckets(
+        queries, dim=dim, n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col
+    ).withColumnsRenamed({id_col: "query_id", vec_col: "qv"})
+    cb = hyperplane_lsh_buckets(
+        corpus, dim=dim, n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col
+    ).withColumnsRenamed({id_col: "neighbor_id", vec_col: "cv"})
+    sims = cb.join(F.broadcast(qb), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        _cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), F.round("sim", 4).alias("sim"))
+    )

@@ -1,0 +1,93 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark at sf0.01 and compare to ``oracle_sql()``
+via DuckDB — row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from htmlparser2_spark.session import get_spark
+
+    s = get_spark("oracle-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 4)
+    if isinstance(value, bytes):
+        return value.hex()
+    return value
+
+
+def _rows(rows):
+    return sorted(
+        tuple(_norm(v) for v in row) for row in rows
+    )
+
+
+def _compare(name, spark, ddb):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    ora = ddb.sql(sql)
+    oracle_cols = [c.lower() for c in ora.columns]
+    assert spark_cols == oracle_cols, f"{name}: columns {spark_cols} != {oracle_cols}"
+    srows = _rows([tuple(r) for r in sdf.collect()])
+    orows = _rows(ora.fetchall())
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)} rows"
+    mismatches = [
+        (a, b) for a, b in zip(srows, orows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def all_query_names():
+    import __spark_entry__ as entry_mod
+
+    return [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(name, spark, ddb):
+    _compare(name, spark, ddb)
+
+
+@pytest.mark.spark
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # Byte-identical invariant: every document matches its golden text.
+    assert all(r["n_docs"] == r["n_match"] for r in rows)
