@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., plus throughput extras}
+
+The pages corpus is synthesized deterministically from documents.parquet
+and replicated BENCH_REPLICATE times (distinct doc_ids/urls) so the parse
+stage has enough bytes to measure; throughput is reported as docs/sec and
+MB/sec of html bytes (comparable to BASELINE.md's reference envelope).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))
+WORK_DIR = os.environ.get("BENCH_WORK_DIR", "/tmp/htmlparser2_spark_bench")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.functions.udfs import dom_nodes_udf, doc_stats_udf
+    from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
+    from htmlparser2_spark.operators.similarity import brute_force_topk
+    from htmlparser2_spark.plans.extract_job import parse_pages, partition_metrics
+    from htmlparser2_spark.session import get_spark
+    from htmlparser2_spark.sources.pages import build_pages
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # Scan-level parallelism: size parquet splits so the pages scan yields
+    # >= 2x CPUS partitions without a repartition shuffle.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+
+    # ---- materialize a replicated pages corpus once (setup, untimed) ----
+    pages_path = os.path.join(WORK_DIR, f"pages_x{REPLICATE}")
+    if os.path.exists(pages_path):
+        shutil.rmtree(pages_path)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs_base = docs.count()
+    replicated = None
+    for r in range(REPLICATE):
+        shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n_docs_base))
+        replicated = shifted if replicated is None else replicated.unionByName(shifted)
+    replicated.createOrReplaceTempView("documents_repl")
+    from htmlparser2_spark.sources.pages import page_exprs
+
+    e = page_exprs("spark")
+    spark.sql(
+        f"SELECT {e['url']} AS url, {e['warc_ts']} AS warc_ts, "
+        f"{e['html']} AS html, {e['text']} AS text, lang FROM documents_repl"
+    ).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+    total_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0]
+
+    # Warm the Python workers (imports + Arrow serde) before timing:
+    # steady-state throughput is the metric, not interpreter startup.
+    from htmlparser2_spark.plans.extract_job import parse_pages as _pp
+
+    _pp(pages.limit(2048)).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # q1: full extraction pipeline (repartition + mapInPandas parse +
+    # byte-identical check + lineage rollup)
+    def q_extract() -> None:
+        parsed = parse_pages(pages, n_partitions=CPUS)
+        row = parsed.agg(
+            F.count(F.lit(1)).alias("docs"), F.sum("golden_match").alias("m")
+        ).collect()[0]
+        assert row["docs"] == n_docs and row["m"] == n_docs, (
+            f"extraction mismatch: {row}"
+        )
+
+    # q2: DOM build + tag histogram (explode path)
+    def q_dom() -> None:
+        nodes = pages.select(
+            F.explode(dom_nodes_udf()(F.col("html"))).alias("node")
+        )
+        nodes.groupBy("node.name").count().collect()
+
+    # q3: event counting stats
+    def q_stats() -> None:
+        pages.select(doc_stats_udf()(F.col("html")).alias("s")).agg(
+            F.sum("s.n_events")
+        ).collect()
+
+    # q4: minhash LSH dedup candidates over the replicated corpus
+    # (replicas are true duplicates -> real candidate pairs)
+    def q_minhash() -> None:
+        # Deterministic ~10% sample: keeps duplicate clusters (4 copies)
+        # without the quadratic pair blowup of the full x40 replication.
+        sample = spark.read.parquet(pages_path).filter(
+            F.pmod(F.xxhash64("url"), F.lit(10)) < 1
+        )
+        minhash_lsh_pairs(
+            sample.select(F.xxhash64("url").alias("doc_id"), F.col("text")),
+            n_perm=32,
+            bands=8,
+        ).count()
+
+    # q5: brute-force ANN top-k
+    def q_ann() -> None:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        brute_force_topk(
+            emb.filter(F.col("vec_id") < 50), emb.filter(F.col("vec_id") >= 50), k=10
+        ).count()
+
+    timed("q_extract", q_extract)
+    timed("q_dom_histogram", q_dom)
+    timed("q_doc_stats", q_stats)
+    timed("q_minhash_lsh", q_minhash)
+    timed("q_ann_topk", q_ann)
+
+    extract_sec = timings["q_extract"]
+    result = {
+        "metric": "html extraction + dedup + ann benchmark suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "docs": n_docs,
+        "html_mb": round(total_bytes / 1e6, 1),
+        "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+        "extract_mb_per_sec": round(total_bytes / 1e6 / extract_sec, 2),
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -233,6 +233,20 @@ class Parser:
             decode_entities=o.decode_entities,
             recognize_self_closing=o.recognize_self_closing,
         )
+        # Handler callbacks are static per parse; resolve them once
+        # instead of getattr-per-event (hot path).
+        g = lambda name: getattr(handler, name, None)  # noqa: E731
+        self._cb_text = g("on_text")
+        self._cb_open_tag_name = g("on_open_tag_name")
+        self._cb_open_tag = g("on_open_tag")
+        self._cb_close_tag = g("on_close_tag")
+        self._cb_attribute = g("on_attribute")
+        self._cb_comment = g("on_comment")
+        self._cb_comment_end = g("on_comment_end")
+        self._cb_cdata_start = g("on_cdata_start")
+        self._cb_cdata_end = g("on_cdata_end")
+        self._cb_pi = g("on_processing_instruction")
+        self._cb_end = g("on_end")
         self._reset_state()
 
     def _reset_state(self) -> None:
@@ -261,14 +275,14 @@ class Parser:
 
     def on_text(self, start: int, end: int) -> None:
         self.end_index = end - 1
-        cb = getattr(self.cbs, "on_text", None)
+        cb = self._cb_text
         if cb:
             cb(self.buffer[start:end])
         self.start_index = end
 
     def on_text_entity(self, cp: int, end: int) -> None:
         self.end_index = end - 1
-        cb = getattr(self.cbs, "on_text", None)
+        cb = self._cb_text
         if cb:
             cb(chr(cp))
         self.start_index = end
@@ -325,7 +339,7 @@ class Parser:
                     self._foreign.append(_CTX_MATHML)
                 elif name in _HTML_INTEGRATION_ELEMENTS:
                     self._foreign.append(_CTX_NONE)
-        cb = getattr(self.cbs, "on_open_tag_name", None)
+        cb = self._cb_open_tag_name
         if cb:
             cb(name)
         self._attribs = {}
@@ -334,13 +348,13 @@ class Parser:
     def _end_open_tag(self, is_implied: bool) -> None:
         self.start_index = self._open_tag_start
         if self._attribs is not None:
-            cb = getattr(self.cbs, "on_open_tag", None)
+            cb = self._cb_open_tag
             if cb:
                 cb(self._tagname, self._attribs, is_implied)
             self._attribs = None
             self._attrib_quotes = None
         if self._is_void(self._tagname):
-            cb = getattr(self.cbs, "on_close_tag", None)
+            cb = self._cb_close_tag
             if cb:
                 cb(self._tagname, True)
         self._tagname = ""
@@ -356,6 +370,11 @@ class Parser:
 
         if not self._is_void(name):
             stack = self._stack
+            if stack and stack[-1] == name:
+                # Common case: closing the innermost element.
+                self._pop_element(False)
+                self.start_index = end + 1
+                return
             try:
                 pos = len(stack) - 1 - stack[::-1].index(name)
             except ValueError:
@@ -371,15 +390,12 @@ class Parser:
         elif self.html_mode and name == "br":
             # Unmatched </br>: synthesize a <br/> (can't use
             # _emit_open_tag — br is void and would self-close twice).
-            cb = getattr(self.cbs, "on_open_tag_name", None)
-            if cb:
-                cb("br")
-            cb = getattr(self.cbs, "on_open_tag", None)
-            if cb:
-                cb("br", {}, True)
-            cb = getattr(self.cbs, "on_close_tag", None)
-            if cb:
-                cb("br", False)
+            if self._cb_open_tag_name:
+                self._cb_open_tag_name("br")
+            if self._cb_open_tag:
+                self._cb_open_tag("br", {}, True)
+            if self._cb_close_tag:
+                self._cb_close_tag("br", False)
         self.start_index = end + 1
 
     def on_self_closing_tag(self, end: int) -> None:
@@ -398,7 +414,7 @@ class Parser:
             or element in _HTML_INTEGRATION_ELEMENTS
         ):
             self._foreign.pop()
-        cb = getattr(self.cbs, "on_close_tag", None)
+        cb = self._cb_close_tag
         if cb:
             cb(element, implied)
 
@@ -434,7 +450,7 @@ class Parser:
             if quote == QUOTE_NONE
             else None
         )
-        cb = getattr(self.cbs, "on_attribute", None)
+        cb = self._cb_attribute
         if cb:
             cb(self._attribname, value, quote_str)
         if self._attribs is not None and self._attribname not in self._attribs:
@@ -454,7 +470,7 @@ class Parser:
     def on_declaration(self, start: int, end: int) -> None:
         self.end_index = end
         value = self.buffer[start:end]
-        cb = getattr(self.cbs, "on_processing_instruction", None)
+        cb = self._cb_pi
         if cb:
             if self.html_mode:
                 # Only DOCTYPE reaches here in HTML mode.
@@ -467,56 +483,47 @@ class Parser:
     def on_processing_instruction(self, start: int, end: int) -> None:
         self.end_index = end
         value = self.buffer[start:end]
-        cb = getattr(self.cbs, "on_processing_instruction", None)
+        cb = self._cb_pi
         if cb:
             cb(f"?{self._instruction_name(value)}", f"?{value}")
         self.start_index = end + 1
 
     def on_comment(self, start: int, end: int, offset: int) -> None:
         self.end_index = end
-        cb = getattr(self.cbs, "on_comment", None)
-        if cb:
-            cb(self.buffer[start : end - offset])
-        cb = getattr(self.cbs, "on_comment_end", None)
-        if cb:
-            cb()
+        if self._cb_comment:
+            self._cb_comment(self.buffer[start : end - offset])
+        if self._cb_comment_end:
+            self._cb_comment_end()
         self.start_index = end + 1
 
     def on_cdata(self, start: int, end: int, offset: int) -> None:
         self.end_index = end
         value = self.buffer[start : end - offset]
         if not self.html_mode or self.options.recognize_cdata:
-            cb = getattr(self.cbs, "on_cdata_start", None)
-            if cb:
-                cb()
-            cb = getattr(self.cbs, "on_text", None)
-            if cb:
-                cb(value)
-            cb = getattr(self.cbs, "on_cdata_end", None)
-            if cb:
-                cb()
+            if self._cb_cdata_start:
+                self._cb_cdata_start()
+            if self._cb_text:
+                self._cb_text(value)
+            if self._cb_cdata_end:
+                self._cb_cdata_end()
         elif self.is_in_foreign_context():
-            cb = getattr(self.cbs, "on_text", None)
-            if cb:
-                cb(value)
+            if self._cb_text:
+                self._cb_text(value)
         else:
-            cb = getattr(self.cbs, "on_comment", None)
-            if cb:
-                cb(f"[CDATA[{value}]]")
-            cb = getattr(self.cbs, "on_comment_end", None)
-            if cb:
-                cb()
+            if self._cb_comment:
+                self._cb_comment(f"[CDATA[{value}]]")
+            if self._cb_comment_end:
+                self._cb_comment_end()
         self.start_index = end + 1
 
     def on_end(self) -> None:
-        cb = getattr(self.cbs, "on_close_tag", None)
+        cb = self._cb_close_tag
         if cb:
             self.end_index = self.start_index
             for name in reversed(self._stack):
                 cb(name, True)
-        cb = getattr(self.cbs, "on_end", None)
-        if cb:
-            cb()
+        if self._cb_end:
+            self._cb_end()
 
 
 def parse(data: str, handler, **options) -> None:

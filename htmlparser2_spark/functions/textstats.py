@@ -1,0 +1,115 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All JVM-side Catalyst expressions (no Python in the hot path): language
+ID by stopword-marker voting, quality scoring (length / stopword /
+token-shape ratios), token counting (whitespace and a BPE-ish regex),
+and document fingerprinting. Each returns a Column usable in select/agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "n_tokens",
+    "bpe_ish_tokens",
+    "stopword_ratio",
+    "avg_token_len",
+    "quality_score",
+    "langid_guess",
+    "fingerprint",
+    "rolling_fingerprints",
+]
+
+# Tiny public marker sets — a deterministic n-gram/stopword heuristic
+# (a real fastText model would slot in via pandas UDF; the pipeline
+# shape and the Spark surface stay the same).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "with"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "les", "des", "est"),
+    "es": ("el", "los", "que", "por"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(text, r"\s+")
+
+
+def n_tokens(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Sub-word-ish tokenization: splits on whitespace AND before
+    punctuation/digit boundaries (a cheap, deterministic stand-in for a
+    BPE vocab; regexp runs in the JVM)."""
+    spaced = F.regexp_replace(text, r"([\p{Punct}\d])", r" $1")
+    return F.filter(F.split(spaced, r"\s+"), lambda t: t != F.lit(""))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / F.size(toks)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + reasonable token lengths. Deterministic, order-free."""
+    col = F.col(text) if isinstance(text, str) else text
+    length_ok = (F.length(col) >= 50) & (F.length(col) <= 100_000)
+    sw = stopword_ratio(col)
+    atl = avg_token_len(col)
+    return F.round(
+        length_ok.cast("double") * 0.4
+        + F.when((sw > 0.01) & (sw < 0.6), 0.3).otherwise(0.0)
+        + F.when((atl >= 2.0) & (atl <= 12.0), 0.3).otherwise(0.0),
+        4,
+    )
+
+
+def langid_guess(text: Column | str) -> Column:
+    """Most-probable language by marker-token votes (ties -> code order)."""
+    toks = tokens(text)
+    best: Column | None = None
+    best_score: Column | None = None
+    for code, markers in _LANG_MARKERS.items():
+        score = F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        if best is None:
+            best, best_score = F.lit(code), score
+        else:
+            take = score > best_score
+            best = F.when(take, F.lit(code)).otherwise(best)
+            best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of case-folded text."""
+    return F.md5(F.lower(text))
+
+
+def rolling_fingerprints(text: Column | str, *, window: int = 8) -> Column:
+    """Array of rolling window fingerprints (word-window xxhash64) — the
+    content-defined-chunking building block for fuzzy matching."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, window))
+        ),
+    )

