@@ -194,6 +194,68 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.lit("extra prefix words here "), F.col("text")))
+    )
+    return docs.unionByName(near)
+
+
+def _q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from htmlparser2_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_near_dup_input(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (no SQL oracle: permuted-hash
+    signatures are not expressible in DuckDB; rows-only check)."""
+    from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_near_dup_input(spark, sf_dir), n_perm=32, bands=8)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64 bit arithmetic has no
+    DuckDB equivalent)."""
+    from htmlparser2_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash64(docs)
+
+
+def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational textContent over the exploded nodes table must equal
+    the golden text column (DomUtils surface, SURVEY.md §2.6)."""
+    from htmlparser2_spark.operators.domquery import (
+        explode_nodes,
+        text_content_per_doc,
+    )
+
+    pages = build_pages(spark, sf_dir)
+    nodes = explode_nodes(pages)
+    rebuilt = text_content_per_doc(nodes).withColumnRenamed("text", "rebuilt")
+    joined = pages.select("url", F.col("text").alias("golden")).join(rebuilt, "url")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("golden") == F.col("rebuilt")).cast("long")).alias("n_match"),
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution (rows-only: marker-vote CASE
+    cascade kept Spark-side)."""
+    from htmlparser2_spark.functions.textstats import langid_guess
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(langid_guess("text").alias("guess")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htmlparser2_spark.operators.similarity import brute_force_topk
 
@@ -220,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": _q_quality,
         "q_fingerprint": _q_fingerprint,
         "q_ann_topk": _q_ann_topk,
+        "q_near_dup_jaccard": _q_near_dup_jaccard,
+        "q_minhash_lsh": _q_minhash_lsh,
+        "q_simhash": _q_simhash,
+        "q_dom_text_roundtrip": _q_dom_text_roundtrip,
+        "q_langid": _q_langid,
     }
 
 
@@ -310,6 +377,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_fingerprint": (
             "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents"
+        ),
+        "q_near_dup_jaccard": (
+            "WITH uni AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, 'extra prefix words here ' || text "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM uni)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, jaccard FROM ("
+            "SELECT id_a, id_b, round(CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) WHERE jaccard >= 0.5"
+        ),
+        "q_dom_text_roundtrip": (
+            f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_match FROM pages"
         ),
         "q_ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "

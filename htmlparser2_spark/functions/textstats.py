@@ -86,8 +86,14 @@ def langid_guess(text: Column | str) -> Column:
     toks = tokens(text)
     best: Column | None = None
     best_score: Column | None = None
+
+    def _marker_hits(markers):
+        # Single-param lambda (a 2-param lambda would be treated as
+        # (element, index) by F.filter); closure via factory.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
     for code, markers in _LANG_MARKERS.items():
-        score = F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        score = _marker_hits(markers)
         if best is None:
             best, best_score = F.lit(code), score
         else:

@@ -54,7 +54,11 @@ def word_shingles(df: DataFrame, *, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs of word n-grams, distinct per document."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # Guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty array instead.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(

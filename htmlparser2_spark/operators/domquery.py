@@ -1,0 +1,134 @@
+"""DomUtils-equivalent queries over the exploded ``nodes`` table.
+
+The reference re-exports domutils tree queries (getElementById,
+getElementsByTagName, findAll, textContent, getOuterHTML —
+/root/reference/src/index.ts:86, README.md:166-218). On Spark, the DOM
+adjacency arrays explode into a relational ``nodes`` table
+``(url, node_id, parent_id, idx_in_parent, type, name, attrs,
+attr_quotes, data, start_index, end_index)`` and every DomUtils query
+becomes a DataFrame expression — filterable, joinable, and pushdown-
+friendly at 100TB (name/type predicates reach the parquet scan when the
+nodes table is materialized).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import dom_nodes_udf
+
+__all__ = [
+    "explode_nodes",
+    "get_elements_by_tag_name",
+    "get_element_by_id",
+    "find_all",
+    "text_content_per_doc",
+    "outer_html",
+    "remove_elements",
+]
+
+
+def explode_nodes(pages: DataFrame, html_col: str = "html", key_col: str = "url",
+                  **parser_options) -> DataFrame:
+    """pages -> relational nodes table (one row per DOM node)."""
+    return pages.select(
+        key_col, F.explode(dom_nodes_udf(**parser_options)(F.col(html_col))).alias("node")
+    ).select(key_col, "node.*")
+
+
+def get_elements_by_tag_name(nodes: DataFrame, name: str, *, limit: int | None = None) -> DataFrame:
+    out = nodes.filter(F.col("name") == name)
+    return out.limit(limit) if limit else out
+
+
+def get_element_by_id(nodes: DataFrame, element_id: str) -> DataFrame:
+    """First element with the id per document (ids should be unique; ties
+    break on document order like domutils' depth-first search)."""
+    hits = nodes.filter(F.col("attrs")["id"] == element_id)
+    w = Window.partitionBy("url").orderBy("node_id")
+    return hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
+def find_all(nodes: DataFrame, predicate) -> DataFrame:
+    """findAll with an arbitrary Column predicate over node fields."""
+    return nodes.filter(predicate(nodes))
+
+
+def text_content_per_doc(nodes: DataFrame) -> DataFrame:
+    """textContent per url from the relational table: document-order
+    concatenation of text-node data (matches engine.dom.text_content)."""
+    return (
+        nodes.filter(F.col("type") == "text")
+        .groupBy("url")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("node_id", "data"))
+                    ),
+                    lambda s: s["data"],
+                ),
+            ).alias("text")
+        )
+    )
+
+
+def outer_html(pages: DataFrame, html_col: str = "html", **parser_options) -> DataFrame:
+    """getOuterHTML-equivalent: parse + re-serialize each document."""
+    from pyspark.sql.types import StringType
+
+    from ..engine.dom import DomArrayHandler, serialize
+    from ..engine.parser import Parser, ParserOptions
+
+    xml_mode = parser_options.get("xml_mode", False)
+
+    @F.pandas_udf(StringType())
+    def _render(html: pd.Series) -> pd.Series:
+        def one(value):
+            handler = DomArrayHandler(with_indices=False)
+            parser = Parser(handler, ParserOptions(**parser_options))
+            handler.attach(parser)
+            raw = bytes(value).decode("utf-8", "replace") if isinstance(
+                value, (bytes, bytearray)
+            ) else (value or "")
+            parser.parse(raw)
+            return serialize(handler.nodes, xml_mode=xml_mode)
+
+        return html.map(one)
+
+    return pages.withColumn("outer_html", _render(F.col(html_col)))
+
+
+def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
+    """removeElement-equivalent: drop matching elements AND their
+    subtrees. Subtree membership is resolved iteratively (bounded by tree
+    depth) with a self-join per level — the relational analogue of the
+    pointer surgery domutils does in memory."""
+    # Renamed projection avoids ambiguous self-join resolution.
+    doomed = nodes.filter(predicate(nodes)).select(
+        F.col("url").alias("rm_url"), F.col("node_id").alias("rm_id")
+    )
+    links = nodes.select(
+        F.col("url").alias("rm_url"),
+        F.col("parent_id").alias("rm_parent"),
+        F.col("node_id").alias("rm_child"),
+    )
+    # Iterate: children of removed nodes become removed (max ~20 levels
+    # covers real-world DOM depth; loop ends early when stable).
+    for _ in range(20):
+        child_hits = links.join(
+            doomed, (links.rm_url == doomed.rm_url) & (links.rm_parent == doomed.rm_id)
+        ).select(links.rm_url.alias("rm_url"), F.col("rm_child").alias("rm_id"))
+        new_doomed = doomed.unionByName(child_hits).distinct()
+        if new_doomed.count() == doomed.count():
+            doomed = new_doomed
+            break
+        doomed = new_doomed
+    return nodes.join(
+        doomed,
+        (nodes.url == doomed.rm_url) & (nodes.node_id == doomed.rm_id),
+        "left_anti",
+    )

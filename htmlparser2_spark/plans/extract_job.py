@@ -85,31 +85,41 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             count_handler.on_text(data)
 
     parser = Parser(_Both())
+    parts = text_handler.parts
+    reset_counts = count_handler.__init__
+    parse = parser.parse
     for batch in batches:
-        out = {
-            "url": batch["url"],
-            "lang": batch["lang"],
-            "extracted": [],
-            "golden_match": [],
-            "n_tags": [],
-            "n_events": [],
-            "html_bytes": [],
-        }
-        for html, golden in zip(batch["html"], batch["text"]):
-            text_handler.parts.clear()
-            count_handler.__init__()
-            doc = bytes(html).decode("utf-8", "replace")
-            parser.parse(doc)
-            extracted = "".join(text_handler.parts)
-            out["extracted"].append(extracted)
-            out["golden_match"].append(1 if extracted == golden else 0)
-            out["n_tags"].append(count_handler.n_tags)
-            out["n_events"].append(count_handler.n_events)
-            out["html_bytes"].append(len(html))
-        frame = pd.DataFrame(out)
-        frame["pid"] = pid
-        frame["wall_ms"] = int((time.perf_counter() - t0) * 1000)
-        yield frame
+        # Series.__iter__ is slow; pull plain python lists once per batch.
+        htmls = batch["html"].tolist()
+        goldens = batch["text"].tolist()
+        extracted_col = []
+        match_col = []
+        tags_col = []
+        events_col = []
+        bytes_col = []
+        for html, golden in zip(htmls, goldens):
+            parts.clear()
+            reset_counts()
+            parse(html.decode("utf-8", "replace"))
+            extracted = "".join(parts)
+            extracted_col.append(extracted)
+            match_col.append(1 if extracted == golden else 0)
+            tags_col.append(count_handler.n_tags)
+            events_col.append(count_handler.n_events)
+            bytes_col.append(len(html))
+        yield pd.DataFrame(
+            {
+                "url": batch["url"],
+                "lang": batch["lang"],
+                "extracted": extracted_col,
+                "golden_match": match_col,
+                "n_tags": tags_col,
+                "n_events": events_col,
+                "html_bytes": bytes_col,
+                "pid": pid,
+                "wall_ms": int((time.perf_counter() - t0) * 1000),
+            }
+        )
 
 
 def parse_pages(

@@ -17,15 +17,6 @@ TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark():
-    from htmlparser2_spark.session import get_spark
-
-    s = get_spark("oracle-tests", master="local[8]", shuffle_partitions=8)
-    yield s
-    s.stop()
-
-
-@pytest.fixture(scope="session")
 def ddb():
     con = duckdb.connect()
     for t in TABLES:

@@ -1,0 +1,251 @@
+"""Spark-level tests: UDFs, dedup/similarity operators, extraction
+pipeline (lineage + checkpoint resume), streaming, multimodal, textstats."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------- UDFs ----------------------------
+
+def test_extract_text_udf_matches_engine(spark):
+    from htmlparser2_spark.functions.udfs import extract_text_udf
+
+    df = spark.createDataFrame(
+        [("u1", b"<p>Hello <b>world</b> &amp; more</p>")], "url string, html binary"
+    )
+    out = df.select(extract_text_udf()(F.col("html")).alias("t")).collect()
+    assert out[0]["t"] == "Hello world & more"
+
+
+def test_dom_nodes_udf_schema(spark):
+    from htmlparser2_spark.functions.udfs import dom_nodes_udf
+
+    df = spark.createDataFrame(
+        [(b'<div id="a"><p>x</p><!--c--></div>',)], "html binary"
+    )
+    nodes = df.select(F.explode(dom_nodes_udf()(F.col("html"))).alias("n")).select("n.*")
+    rows = {r["node_id"]: r for r in nodes.collect()}
+    assert rows[0]["name"] == "div" and rows[0]["attrs"] == {"id": "a"}
+    assert rows[1]["name"] == "p" and rows[1]["parent_id"] == 0
+    assert rows[2]["data"] == "x" and rows[2]["type"] == "text"
+    assert rows[3]["type"] == "comment" and rows[3]["data"] == "c"
+
+
+def test_parser_events_udf(spark):
+    from htmlparser2_spark.functions.udfs import parser_events_udf
+
+    df = spark.createDataFrame([(b"<ul><li>a<li>b</ul>",)], "html binary")
+    evs = df.select(F.explode(parser_events_udf()(F.col("html"))).alias("e")).select(
+        "e.*"
+    )
+    names = [(r["event"], r["name"], r["is_implied"]) for r in evs.collect()]
+    assert ("closetag", "li", True) in names  # implied close of first <li>
+
+
+def test_feed_udf(spark):
+    from htmlparser2_spark.functions.udfs import feed_udf
+
+    xml = open(
+        "/root/reference/src/__fixtures__/Documents/Atom_Example.xml", "rb"
+    ).read()
+    df = spark.createDataFrame([(xml,)], "xml binary")
+    row = df.select(feed_udf()(F.col("xml")).alias("f")).collect()[0]["f"]
+    assert row["type"] == "atom"
+    assert row["title"] == "Example Feed"
+    assert row["items"][0]["title"] == "Atom-Powered Robots Run Amok"
+    assert row["updated"].year == 2003
+
+
+# ---------------------------- dedup ----------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    near = (
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.lit("extra prefix words here "), F.col("text")))
+    )
+    return docs.unionByName(clones).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, dup_docs):
+    from htmlparser2_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(dup_docs).collect()
+    assert len(groups) == 20
+    assert all(g["n_copies"] == 2 and g["keep_id"] < 20 for g in groups)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, dup_docs):
+    from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(dup_docs).collect()
+    }
+    exact_found = sum((i, i + 10_000) in pairs for i in range(20))
+    near_found = sum((i, i + 20_000) in pairs for i in range(20, 30))
+    assert exact_found == 20  # identical docs always share all bands
+    assert near_found >= 7  # prefix-noised docs: high jaccard, most found
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    from htmlparser2_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+    }
+    assert all(pairs[(i, i + 10_000)] == 1.0 for i in range(20))
+    for i in range(20, 30):
+        assert 0.5 <= pairs[(i, i + 20_000)] < 1.0
+
+
+def test_simhash_close_for_near_dups(spark, dup_docs):
+    from htmlparser2_spark.operators.dedup import simhash64
+
+    sh = {r["id"]: r["simhash"] for r in simhash64(dup_docs).collect()}
+    for i in range(20):
+        assert sh[i] == sh[i + 10_000]  # identical text -> identical simhash
+    # Near-dups (4-token prefix noise): small hamming distance for most
+    # pairs. Unweighted simhash on short docs has occasional outliers
+    # where many per-bit sums sit near zero, so assert on the population.
+    hammings = sorted(
+        bin(sh[i] ^ sh[i + 20_000]).count("1") for i in range(20, 30)
+    )
+    assert hammings[7] <= 16  # at least 8 of 10 within radius 16
+    assert hammings[0] <= 8
+
+
+def test_embedding_dup_pairs_selfdup(spark):
+    from htmlparser2_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    pairs = embedding_dup_pairs(
+        emb.unionByName(dup), threshold=0.999, n_bits=6
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert sum((i, i + 1000) in found for i in range(50)) == 50
+
+
+# ---------------------------- similarity ----------------------------
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    from htmlparser2_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, c, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(q, c, dim=64, k=3, n_bits=2).collect()
+    }
+    # With 2 bits (4 buckets), recall should be substantial but the
+    # result must be a subset of per-bucket candidates.
+    assert len(approx & exact) >= len(exact) // 3
+    assert all(rank for rank in range(1, 4))
+
+
+# ---------------------------- pipeline ----------------------------
+
+def test_run_extract_checkpoint_resume(spark, tmp_path):
+    from htmlparser2_spark.plans.extract_job import run_extract
+    from htmlparser2_spark.sources.pages import build_pages
+
+    out = str(tmp_path / "extract")
+    pages = build_pages(spark, SF)
+    summary = run_extract(spark, pages, out, n_buckets=8, resume=True)
+    assert summary["docs"] == 500 and summary["matches"] == 500
+    assert summary["buckets_skipped"] == []
+    # Second run resumes: all buckets done -> input fully filtered out.
+    summary2 = run_extract(spark, pages, out, n_buckets=8, resume=True)
+    assert summary2["buckets_skipped"] == list(range(8))
+    assert summary2["docs"] == 500  # no duplicated output rows
+
+
+def test_partition_metrics(spark):
+    from htmlparser2_spark.plans.extract_job import parse_pages, partition_metrics
+    from htmlparser2_spark.sources.pages import build_pages
+
+    parsed = parse_pages(build_pages(spark, SF), n_partitions=8)
+    metrics = partition_metrics(parsed).collect()
+    assert sum(m["docs"] for m in metrics) == 500
+    assert all(m["wall_ms"] >= 0 and m["events"] > 0 for m in metrics)
+    assert sum(m["golden_matches"] for m in metrics) == 500
+
+
+# ---------------------------- textstats ----------------------------
+
+def test_textstats_columns(spark):
+    from htmlparser2_spark.functions import textstats as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat of the mat in a box"),
+            (2, "der hund und die katze nicht hier und der ball"),
+            (3, "xyz qqq zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.langid_guess("text").alias("lang"),
+            T.n_tokens("text").alias("nt"),
+            T.stopword_ratio("text").alias("sw"),
+            T.fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de"
+    assert rows[3]["lang"] == "und"
+    assert rows[1]["nt"] == 12
+    assert rows[1]["sw"] > 0.3
+    assert len(rows[1]["fp"]) == 32
+
+
+def test_bpe_ish_tokens(spark):
+    from htmlparser2_spark.functions import textstats as T
+
+    df = spark.createDataFrame([("hello, world42!",)], "text string")
+    toks = df.select(T.bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
+    assert toks == ["hello", ",", "world", "4", "2", "!"]
+
+
+# ---------------------------- multimodal ----------------------------
+
+def test_image_features_plumbing(spark):
+    from htmlparser2_spark.functions.multimodal import (
+        attach_media_metadata,
+        image_features,
+    )
+
+    media = spark.range(10).select(
+        F.col("id").alias("media_id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+    )
+    with_md = attach_media_metadata(media)
+    assert with_md.filter(F.col("byte_len") > 0).count() == 10
+    feats = image_features(with_md).collect()
+    assert all(1 <= r["width"] <= 4096 and len(r["embedding"]) == 16 for r in feats)
+    # Determinism: same payload -> same features.
+    again = image_features(with_md).collect()
+    assert sorted(r["embedding"][0] for r in feats) == sorted(
+        r["embedding"][0] for r in again
+    )
