@@ -265,6 +265,117 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, corpus, k=5)
 
 
+def _q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked feed parsing: RSS documents synthesized per source
+    (SQL shared with DuckDB), parsed with the feed UDF, fields compared
+    against direct construction."""
+    from htmlparser2_spark.functions.udfs import feed_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    item = F.concat(
+        F.lit("<item><title>T"), F.col("doc_id").cast("string"),
+        F.lit("</title><guid>g"), F.col("doc_id").cast("string"),
+        F.lit("</guid></item>"),
+    )
+    per_source = (
+        docs.select("source", "doc_id", F.struct("doc_id").alias("k"), item.alias("item"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "item"))),
+                    lambda s: s["item"],
+                ),
+                "",
+            ).alias("items_xml"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+    xml = F.concat(
+        F.lit("<rss><channel><title>Channel "), F.col("source"),
+        F.lit("</title><link>https://"), F.col("source"),
+        F.lit(".example/</link><description>feed</description>"),
+        F.col("items_xml"), F.lit("</channel></rss>"),
+    )
+    feeds = per_source.select("source", feed_udf()(xml).alias("f"))
+    return feeds.select(
+        "source",
+        F.col("f.type").alias("feed_type"),
+        F.col("f.title").alias("feed_title"),
+        F.col("f.link").alias("feed_link"),
+        F.size("f.items").alias("n_items"),
+        F.col("f.items")[0]["id"].alias("first_guid"),
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _q_user_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event"))
+    )
+
+
+def _q_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    return (
+        pages.groupBy(host.alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("host"))
+        .limit(5)
+    )
+
+
+def _q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate over the TPC-H-ish tables (broadcast-friendly
+    dimension join: orders side is pre-aggregated before joining)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderpriority"), 
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(revenue, 2).alias("revenue"),
+        )
+    )
+
+
+def _q_extraction_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op regression diffing (exceptAll): rows whose extraction
+    changed between two simulated runs."""
+    pages = build_pages(spark, sf_dir, with_doc_id=True)
+    run_a = pages.select("url", "text")
+    run_b = pages.select(
+        "url",
+        F.when(F.col("doc_id") % 20 == 5, F.upper("text")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    return run_a.exceptAll(run_b).select("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_extract_text": _q_extract_text,
@@ -287,6 +398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_feed_extract": _q_feed_extract,
+        "q_events_hourly": _q_events_hourly,
+        "q_user_first_event": _q_user_first_event,
+        "q_top_hosts": _q_top_hosts,
+        "q_priority_revenue": _q_priority_revenue,
+        "q_extraction_diff": _q_extraction_diff,
     }
 
 
@@ -398,6 +515,43 @@ def oracle_sql() -> dict[str, str]:
         "q_dom_text_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
+        ),
+        "q_feed_extract": (
+            "WITH per_source AS (SELECT source, count(*) AS n, min(doc_id) AS min_id "
+            "FROM documents GROUP BY source) "
+            "SELECT source, 'rss' AS feed_type, 'Channel ' || source AS feed_title, "
+            "'https://' || source || '.example/' AS feed_link, "
+            "CAST(n AS INTEGER) AS n_items, 'g' || CAST(min_id AS STRING) AS first_guid "
+            "FROM per_source"
+        ),
+        "q_events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "q_user_first_event": (
+            "SELECT user_id, event_type AS first_event FROM ("
+            "SELECT user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "q_top_hosts": (
+            f"WITH {_PAGES_CTE} SELECT host, n_docs FROM ("
+            "SELECT regexp_extract(url, 'https://([^.]+)\\.', 1) AS host, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM pages GROUP BY 1) "
+            "ORDER BY n_docs DESC, host ASC LIMIT 5"
+        ),
+        "q_priority_revenue": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "q_extraction_diff": (
+            f"WITH {_PAGES_CTE}, run_a AS (SELECT url, text FROM pages), "
+            "run_b AS (SELECT url, CASE WHEN doc_id % 20 = 5 THEN upper(text) "
+            "ELSE text END AS text FROM pages) "
+            "SELECT url FROM (SELECT * FROM run_a EXCEPT ALL SELECT * FROM run_b)"
         ),
         "q_ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
