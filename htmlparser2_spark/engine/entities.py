@@ -107,6 +107,34 @@ def _replace_codepoint(cp: int) -> int:
 _HEX_DIGITS = set("0123456789abcdefABCDEF")
 _DEC_DIGITS = set("0123456789")
 
+# Fast path for the handful of references that dominate real HTML.
+# Maps the exact text following '&' to (codepoints, consumed-from-&).
+# Only safe entries: fully-terminated (';') references whose decode is
+# mode-independent apart from STRICT's name restriction.
+_COMMON = {
+    "amp;": ([38], 5),
+    "lt;": ([60], 4),
+    "gt;": ([62], 4),
+    "quot;": ([34], 6),
+    "apos;": ([39], 6),
+}
+_COMMON_XML = _COMMON
+_COMMON_HTML = {
+    **_COMMON,
+    "nbsp;": ([0xA0], 6),
+    "copy;": ([0xA9], 6),
+    "mdash;": ([0x2014], 7),
+    "ndash;": ([0x2013], 7),
+    "rsquo;": ([0x2019], 7),
+    "lsquo;": ([0x2018], 7),
+    "rdquo;": ([0x201D], 7),
+    "ldquo;": ([0x201C], 7),
+    "hellip;": ([0x2026], 8),
+    "#39;": ([39], 5),
+    "#034;": ([34], 6),
+    "#038;": ([38], 6),
+}
+
 
 def decode_at(s: str, amp: int, mode: int):
     """Try to decode a character reference starting at ``s[amp] == '&'``.
@@ -121,6 +149,16 @@ def decode_at(s: str, amp: int, mode: int):
     if i >= n:
         return None
     c = s[i]
+
+    # Dominant references resolve with one dict probe (longest common
+    # entry is 8 chars; a probe hit is always the longest match since
+    # every entry ends in ';').
+    table = _COMMON_XML if mode == STRICT else _COMMON_HTML
+    semi = s.find(";", i, i + 8)
+    if semi != -1:
+        hit = table.get(s[i : semi + 1])
+        if hit is not None:
+            return hit
 
     if c == "#":
         # Numeric reference.

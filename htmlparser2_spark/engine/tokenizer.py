@@ -217,6 +217,11 @@ class Tokenizer:
         j = m.start()
         cbs.on_open_tag_name(name_start, j)
 
+        # Fast path: attribute-less tag (`<p>` — the dominant shape).
+        if buf[j] == ">":
+            cbs.on_open_tag_end(j)
+            return self._enter_tag_body(buf, lbuf, j + 1, special)
+
         # --------- attribute loop (BeforeAttributeName etc.) ---------
         i = j
         while True:
