@@ -247,6 +247,29 @@ def main() -> None:
     (OUT / "tokenizer.json").write_text(json.dumps(goldens, indent=1))
     print(f"tokenizer: {len(goldens)} cases; unmatched: {[u[0] for u in unmatched]}")
 
+    # ---- WritableStream whole-document corpus ----
+    spec = (REF / "WritableStream.spec.ts").read_text()
+    snaps = parse_snapshot(REF / "__snapshots__" / "WritableStream.spec.ts.snap")
+    cases = []
+    for m in re.finditer(
+        r'it\("([^"]+)", \(\) => testStream\("([^"]+)"(, \{ xmlMode: true \})?\)\)',
+        spec,
+    ):
+        name, fname, xml = m.group(1), m.group(2), bool(m.group(3))
+        cases.append(
+            {
+                "name": name,
+                "file": fname,
+                "options": {"xmlMode": True} if xml else {},
+                "events": snaps[f"WritableStream > {name}"],
+            }
+        )
+    (OUT / "document_events.json").write_text(json.dumps(cases, indent=1))
+    print(
+        f"document_events: {len(cases)} documents, "
+        f"{sum(len(c['events']) for c in cases)} events"
+    )
+
 
 if __name__ == "__main__":
     main()
