@@ -117,3 +117,40 @@ def test_serialize_xml_self_closing():
 def test_serialize_preserves_raw_script():
     nodes = parse_document("<script>if (a<b) x();</script>")
     assert serialize(nodes) == "<script>if (a<b) x();</script>"
+
+
+# --- ported from /root/reference/src/index.spec.ts (+ .snap:19-55) ---
+
+def test_parse_document_nested_unclosed():
+    # "<a foo><b><c><?foo>Yay!" -> a > b > c > [comment "?foo", text]
+    nodes = parse_document("<a foo><b><c><?foo>Yay!")
+    a = by_name(nodes, "a")[0]
+    b = by_name(nodes, "b")[0]
+    c = by_name(nodes, "c")[0]
+    assert a["attrs"] == {"foo": ""}
+    assert a["parent_id"] == -1
+    assert b["parent_id"] == a["node_id"]
+    assert c["parent_id"] == b["node_id"]
+    kids = [n for n in nodes if n["parent_id"] == c["node_id"]]
+    assert [k["type"] for k in kids] == ["comment", "text"]
+    assert kids[0]["data"] == "?foo"
+    assert kids[1]["data"] == "Yay!"
+
+
+def test_parse_document_foreign_cdata():
+    # "<svg><![CDATA[a<b]]></svg>" -> svg > text "a<b" (foreign context)
+    nodes = parse_document("<svg><![CDATA[a<b]]></svg>")
+    svg = by_name(nodes, "svg")[0]
+    kids = [n for n in nodes if n["parent_id"] == svg["node_id"]]
+    assert len(kids) == 1
+    assert kids[0]["type"] == "text" and kids[0]["data"] == "a<b"
+
+
+def test_document_stream_equivalent():
+    # "&amp;This is text<!-- and comments --><tags>" -> text, comment, tag
+    nodes = parse_document("&amp;This is text<!-- and comments --><tags>")
+    roots = [n for n in nodes if n["parent_id"] == -1]
+    assert [n["type"] for n in roots] == ["text", "comment", "tag"]
+    assert roots[0]["data"] == "&This is text"
+    assert roots[1]["data"] == " and comments "
+    assert roots[2]["name"] == "tags"
