@@ -171,6 +171,10 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, n=n, n_perm=n_perm, seed=seed, text_col=text_col, id_col=id_col
     )
+    # Shingle-less documents have all-null signatures; without this
+    # filter they'd share identical (hash-of-nulls) bands and form one
+    # giant spurious candidate clique.
+    sig = sig.filter(F.col("sig")[0].isNotNull())
     band_cols = F.array(
         *[
             F.struct(
