@@ -113,13 +113,24 @@ def _make_parser(handler, options: dict) -> Parser:
 def extract_text_udf(**options):
     @F.pandas_udf(StringType())
     def _extract(html: pd.Series) -> pd.Series:
-        handler = _TextHandler()
-        parser = _make_parser(handler, options)
+        if not options:
+            # Default HTML options: tokenizer-only fast path (~2x),
+            # bails to the full parser on foreign content.
+            from ..engine.fast_text import FastTextExtractor
 
-        def one(value) -> str:
-            handler.parts.clear()
-            parser.parse(_to_str(value))
-            return "".join(handler.parts)
+            extractor = FastTextExtractor()
+
+            def one(value) -> str:
+                return extractor.extract(_to_str(value))[0]
+
+        else:
+            handler = _TextHandler()
+            parser = _make_parser(handler, options)
+
+            def one(value) -> str:
+                handler.parts.clear()
+                parser.parse(_to_str(value))
+                return "".join(handler.parts)
 
         return html.map(one)
 

@@ -62,32 +62,13 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: parse every document in every Arrow batch."""
     from pyspark import TaskContext
 
-    from ..engine.parser import Parser
-    from ..functions.udfs import _CountingHandler, _TextHandler
+    from ..engine.fast_text import FastTextExtractor
 
     pid = TaskContext.get().partitionId() if TaskContext.get() else -1
     t0 = time.perf_counter()
 
-    text_handler = _TextHandler()
-    count_handler = _CountingHandler()
-
-    class _Both:
-        """Single-pass handler: text capture + counters."""
-
-        on_open_tag = count_handler.on_open_tag
-        on_close_tag = count_handler.on_close_tag
-        on_comment = count_handler.on_comment
-        on_processing_instruction = count_handler.on_processing_instruction
-
-        @staticmethod
-        def on_text(data: str) -> None:
-            text_handler.parts.append(data)
-            count_handler.on_text(data)
-
-    parser = Parser(_Both())
-    parts = text_handler.parts
-    reset_counts = count_handler.__init__
-    parse = parser.parse
+    extractor = FastTextExtractor()
+    extract = extractor.extract
     for batch in batches:
         # Series.__iter__ is slow; pull plain python lists once per batch.
         htmls = batch["html"].tolist()
@@ -98,14 +79,13 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         events_col = []
         bytes_col = []
         for html, golden in zip(htmls, goldens):
-            parts.clear()
-            reset_counts()
-            parse(html.decode("utf-8", "replace"))
-            extracted = "".join(parts)
+            extracted, n_tags = extract(html.decode("utf-8", "replace"))
             extracted_col.append(extracted)
             match_col.append(1 if extracted == golden else 0)
-            tags_col.append(count_handler.n_tags)
-            events_col.append(count_handler.n_events)
+            tags_col.append(n_tags)
+            # Lineage-only approximation: opens+closes pair up, so event
+            # volume ~ 2 x tags (exact counting lives in doc_stats_udf).
+            events_col.append(2 * n_tags)
             bytes_col.append(len(html))
         yield pd.DataFrame(
             {
