@@ -1,0 +1,60 @@
+"""htmlparser2_spark — PySpark-native forgiving HTML/XML parsing engine.
+
+Public API mirroring the reference surface (/root/reference/src/index.ts):
+
+Engine level (pure Python, runs anywhere):
+  parse_document(html, **options)  -> adjacency node list  (parseDocument)
+  parse_feed(xml)                  -> feed record           (parseFeed)
+  text_content(nodes) / clean_text(nodes) / serialize(nodes)
+  Parser, ParserOptions, Tokenizer (streaming callback interface)
+  fast_text_content(html)          -> textContent, fast path
+
+Spark level (Arrow-batched, cluster scale):
+  functions.udfs:       extract_text_udf, dom_nodes_udf, parser_events_udf,
+                        feed_udf, doc_stats_udf, clean_text_udf
+  operators.domquery:   DomUtils over the exploded nodes table
+  operators.dedup:      exact/Jaccard/MinHash-LSH/SimHash/embedding dedup
+  operators.similarity: brute-force + LSH ANN
+  plans.extract_job:    repartition -> parse -> lineage -> resumable writes
+  streaming:            incremental + stateful extraction
+  sources:              pages synthesis, snapshot tables
+"""
+
+from .engine.dom import (
+    clean_text,
+    parse_document,
+    serialize,
+    text_content,
+)
+from .engine.fast_text import FastTextExtractor, fast_text_content
+from .engine.feed import get_feed, parse_feed
+from .engine.parser import NO_VALUE, Parser, ParserOptions
+from .engine.tokenizer import (
+    QUOTE_DOUBLE,
+    QUOTE_NONE,
+    QUOTE_SINGLE,
+    QUOTE_UNQUOTED,
+    Tokenizer,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "parse_document",
+    "parse_feed",
+    "get_feed",
+    "text_content",
+    "clean_text",
+    "serialize",
+    "fast_text_content",
+    "FastTextExtractor",
+    "Parser",
+    "ParserOptions",
+    "Tokenizer",
+    "NO_VALUE",
+    "QUOTE_NONE",
+    "QUOTE_UNQUOTED",
+    "QUOTE_SINGLE",
+    "QUOTE_DOUBLE",
+    "__version__",
+]
