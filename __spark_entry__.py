@@ -265,6 +265,17 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, corpus, k=5)
 
 
+def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripped main-content extraction (script/style removed,
+    whitespace normalized) — the north rule's 'HTML boilerplate strip'."""
+    from htmlparser2_spark.functions.udfs import clean_text_udf
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select(
+        "url", clean_text_udf()(F.col("html")).alias("main_text")
+    )
+
+
 def _q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked feed parsing: RSS documents synthesized per source
     (SQL shared with DuckDB), parsed with the feed UDF, fields compared
@@ -398,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_clean_text": _q_clean_text,
         "q_feed_extract": _q_feed_extract,
         "q_events_hourly": _q_events_hourly,
         "q_user_first_event": _q_user_first_event,
@@ -515,6 +527,18 @@ def oracle_sql() -> dict[str, str]:
         "q_dom_text_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
+        ),
+        "q_clean_text": (
+            # NB: pages.text is the full-extraction golden; clean_text
+            # derives from the raw documents.text instead.
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE d.doc_id % 3 "
+            "WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS STRING) || ' Doc ' || "
+            "CAST(d.doc_id AS STRING) || ' ' || d.text || ' more' "
+            "WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || "
+            "' A & B <tag> !' "
+            "ELSE 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || ' T & A tail' "
+            "END AS main_text FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
         ),
         "q_feed_extract": (
             "WITH per_source AS (SELECT source, count(*) AS n, min(doc_id) AS min_id "

@@ -167,20 +167,35 @@ def serialize(nodes: list[dict], *, xml_mode: bool = False) -> str:
     def esc_attr(s: str) -> str:
         return s.replace("&", "&amp;").replace('"', "&quot;")
 
-    def render(n: dict) -> str:
+    # Iterative render (explicit work stack): real-web DOMs can nest
+    # deeper than Python's recursion limit.
+    out: list[str] = []
+    stack: list = list(reversed(children.get(-1, [])))
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):  # deferred closing text
+            out.append(item)
+            continue
+        n = item
         t = n["type"]
         if t == "text":
             parent = nodes[n["parent_id"]] if n["parent_id"] >= 0 else None
             if parent is not None and parent["type"] in ("script", "style"):
-                return n["data"]
-            return esc_text(n["data"])
+                out.append(n["data"])
+            else:
+                out.append(esc_text(n["data"]))
+            continue
         if t == "comment":
-            return f"<!--{n['data']}-->"
+            out.append(f"<!--{n['data']}-->")
+            continue
         if t == "cdata":
-            inner = "".join(render(c) for c in children.get(n["node_id"], []))
-            return f"<![CDATA[{inner}]]>"
+            out.append("<![CDATA[")
+            stack.append("]]>")
+            stack.extend(reversed(children.get(n["node_id"], [])))
+            continue
         if t == "directive":
-            return f"<{n['data']}>"
+            out.append(f"<{n['data']}>")
+            continue
         # element
         attrs = n["attrs"] or {}
         parts = [n["name"]]
@@ -194,11 +209,13 @@ def serialize(nodes: list[dict], *, xml_mode: bool = False) -> str:
         kids = children.get(n["node_id"], [])
         if not kids:
             if xml_mode:
-                return f"<{open_tag}/>"
-            if n["name"] in _VOID:
-                return f"<{open_tag}>"
-            return f"<{open_tag}></{n['name']}>"
-        inner = "".join(render(c) for c in kids)
-        return f"<{open_tag}>{inner}</{n['name']}>"
-
-    return "".join(render(n) for n in children.get(-1, []))
+                out.append(f"<{open_tag}/>")
+            elif n["name"] in _VOID:
+                out.append(f"<{open_tag}>")
+            else:
+                out.append(f"<{open_tag}></{n['name']}>")
+            continue
+        out.append(f"<{open_tag}>")
+        stack.append(f"</{n['name']}>")
+        stack.extend(reversed(kids))
+    return "".join(out)
