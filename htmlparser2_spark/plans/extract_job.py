@@ -72,7 +72,11 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
         # Series.__iter__ is slow; pull plain python lists once per batch.
         htmls = batch["html"].tolist()
-        goldens = batch["text"].tolist()
+        # Real crawls carry no expected-extraction column; golden_match
+        # is then reported as 0 matches over 0 checks (sum stays usable).
+        goldens = (
+            batch["text"].tolist() if "text" in batch.columns else [None] * len(htmls)
+        )
         extracted_col = []
         match_col = []
         tags_col = []
@@ -81,7 +85,9 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for html, golden in zip(htmls, goldens):
             extracted, n_tags = extract(html.decode("utf-8", "replace"))
             extracted_col.append(extracted)
-            match_col.append(1 if extracted == golden else 0)
+            match_col.append(
+                1 if golden is not None and extracted == golden else 0
+            )
             tags_col.append(n_tags)
             # Lineage-only approximation: opens+closes pair up, so event
             # volume ~ 2 x tags (exact counting lives in doc_stats_udf).
@@ -165,10 +171,8 @@ def run_extract(
     if done:
         todo_pages = todo_pages.filter(~F.col("bucket").isin(done))
 
-    parsed = parse_pages(
-        todo_pages.select("url", "html", "text", "lang"),
-        n_partitions=n_partitions,
-    )
+    keep = [c for c in ("url", "html", "text", "lang") if c in todo_pages.columns]
+    parsed = parse_pages(todo_pages.select(*keep), n_partitions=n_partitions)
     # Re-derive the bucket from the url (cheap Catalyst expression,
     # avoids threading it through the UDF schema).
     parsed = parsed.withColumn("bucket", bucket)
