@@ -3,8 +3,7 @@ pipeline (lineage + checkpoint resume), streaming, multimodal, textstats."""
 
 from __future__ import annotations
 
-import shutil
-
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -249,3 +248,46 @@ def test_image_features_plumbing(spark):
     assert sorted(r["embedding"][0] for r in feats) == sorted(
         r["embedding"][0] for r in again
     )
+
+
+# ---------------------------- pdf plumbing ----------------------------
+
+def test_pdf_spans_and_text(spark):
+    from htmlparser2_spark.functions.pdf import pdf_spans, pdf_text
+
+    pdfs = spark.createDataFrame(
+        [
+            (1, b"%PDF-1.4 fake content one"),
+            (2, b"%PDF-1.4 other fake content"),
+            (3, b"not a pdf at all"),
+        ],
+        "doc_id long, payload binary",
+    )
+    spans = pdf_spans(pdfs)
+    rows = spans.collect()
+    assert all(r["kind"] == "text" and r["x0"] == 72.0 for r in rows)
+    assert {r["doc_id"] for r in rows} == {1, 2}  # invalid payload skipped
+    text = {r["doc_id"]: r["text"] for r in pdf_text(spans).collect()}
+    assert text[1].startswith("p0s0:")
+    assert "\n" in text[1]
+    # Determinism across runs.
+    again = {r["doc_id"]: r["text"] for r in pdf_text(pdf_spans(pdfs)).collect()}
+    assert text == again
+
+
+def test_main_content_udf_shape(spark):
+    from pyspark.sql.types import StringType
+
+    from htmlparser2_spark.engine.readability import main_content
+
+    @F.pandas_udf(StringType())
+    def main_udf(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: main_content(bytes(b).decode("utf-8", "replace")))
+
+    page = (
+        b'<body><div id=n><a href=/>Home</a><a href=/a>About</a></div>'
+        b"<div id=c><p>the long main article body with plenty of words here</p></div></body>"
+    )
+    df = spark.createDataFrame([(page,)], "html binary")
+    out = df.select(main_udf(F.col("html")).alias("t")).collect()[0]["t"]
+    assert "main article body" in out and "Home" not in out
