@@ -276,6 +276,38 @@ def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getOuterHTML coverage: parse -> serialize -> reparse -> extract
+    must still be byte-identical to the golden text."""
+    from htmlparser2_spark.operators.domquery import outer_html
+
+    pages = build_pages(spark, sf_dir)
+    rendered = outer_html(pages)
+    reparsed = extract_text_udf()(F.encode(F.col("outer_html"), "utf-8"))
+    return rendered.select("url", reparsed.alias("text_out"))
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting (JVM regexp both sides)."""
+    from htmlparser2_spark.functions.textstats import bpe_ish_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.size(bpe_ish_tokens("text")).alias("n_subtokens")
+    )
+
+
+def _q_host_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-host counting via explicit two-stage salted aggregation
+    (host0 carries ~40% of rows by design)."""
+    from htmlparser2_spark.operators.skew import salted_count
+
+    pages = build_pages(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    out = salted_count(pages.select(host.alias("host")), "host", n_salts=8)
+    return out.select("host", F.col("n").cast("long").alias("n"))
+
+
 def _q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked feed parsing: RSS documents synthesized per source
     (SQL shared with DuckDB), parsed with the feed UDF, fields compared
@@ -410,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_clean_text": _q_clean_text,
+        "q_serialize_roundtrip": _q_serialize_roundtrip,
+        "q_bpe_tokens": _q_bpe_tokens,
+        "q_host_counts_salted": _q_host_counts_salted,
         "q_feed_extract": _q_feed_extract,
         "q_events_hourly": _q_events_hourly,
         "q_user_first_event": _q_user_first_event,
@@ -527,6 +562,18 @@ def oracle_sql() -> dict[str, str]:
         "q_dom_text_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
+        ),
+        "q_serialize_roundtrip": (
+            f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages"
+        ),
+        "q_bpe_tokens": (
+            "SELECT doc_id, CAST(len(list_filter(string_split_regex("
+            "regexp_replace(text, '([[:punct:]0-9])', ' \\1', 'g'), '\\s+'), "
+            "x -> x <> '')) AS INTEGER) AS n_subtokens FROM documents"
+        ),
+        "q_host_counts_salted": (
+            f"WITH {_PAGES_CTE} SELECT regexp_extract(url, 'https://([^.]+)\\.', 1) AS host, "
+            "CAST(count(*) AS BIGINT) AS n FROM pages GROUP BY 1"
         ),
         "q_clean_text": (
             # NB: pages.text is the full-extraction golden; clean_text

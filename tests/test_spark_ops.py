@@ -291,3 +291,29 @@ def test_main_content_udf_shape(spark):
     df = spark.createDataFrame([(page,)], "html binary")
     out = df.select(main_udf(F.col("html")).alias("t")).collect()[0]["t"]
     assert "main article body" in out and "Home" not in out
+
+
+# ---------------------------- skew salting ----------------------------
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from htmlparser2_spark.operators.skew import salted_agg, salted_count
+    from htmlparser2_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, SF)
+    host = F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    hosts = pages.select(host.alias("host"), F.length("html").alias("hb"))
+    plain = {
+        r["host"]: (r["n"], r["b"])
+        for r in hosts.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hb").alias("b"))
+        .collect()
+    }
+    salted = {
+        r["host"]: (r["n"], r["b"])
+        for r in salted_agg(
+            hosts, "host", {"n": ("count", None), "b": ("sum", "hb")}, n_salts=8
+        ).collect()
+    }
+    assert salted == plain
+    counts = {r["host"]: r["n"] for r in salted_count(hosts, "host").collect()}
+    assert counts["host0"] > 150  # the designed hot key survives salting

@@ -83,3 +83,27 @@ def test_stateful_host_budget(spark, tmp_path):
     assert by_host["host0"]["over_budget"] == 1
     assert by_host["host0"]["docs_total"] > 100
     assert sum(r["docs_total"] for r in by_host.values()) == 500
+
+
+def test_windowed_throughput_metrics(spark, tmp_path):
+    from htmlparser2_spark.streaming.stream_extract import (
+        stream_extract,
+        windowed_throughput,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    _pages(spark).write.parquet(src)
+    parsed = stream_extract(spark, src)
+    rows = []
+    q = (
+        windowed_throughput(parsed, window="1 minute")
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(r["docs"] for r in rows) == 500
+    assert sum(r["matches"] for r in rows) == 500
+    assert all(r["bytes"] > 0 and r["window"] is not None for r in rows)
