@@ -81,16 +81,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
-    explode -> self-join on shingle -> per-pair intersection counts ->
+    explode -> self-join on the 64-bit shingle hash (an 8-byte shuffle
+    key instead of the 20-40B shingle string; xxhash64 collisions are
+    negligible at corpus scale) -> per-pair intersection counts ->
     Jaccard from set sizes. Returns (id_a, id_b, jaccard) with id_a <
     id_b and jaccard rounded to 4 decimals.
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    sh = (
+        word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnsRenamed({"id": "id_a"})
     b = sh.withColumnsRenamed({"id": "id_b"})
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
