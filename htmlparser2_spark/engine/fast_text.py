@@ -128,7 +128,7 @@ class FastTextExtractor:
 
     def __init__(self) -> None:
         self._fast = _FastHandler()
-        self._tokenizer = Tokenizer(self._fast)
+        self._tokenizer = Tokenizer(self._fast, light_attrs=True)
         self._full = _FullTextHandler()
         self._parser = Parser(self._full, ParserOptions())
         self.n_fallbacks = 0

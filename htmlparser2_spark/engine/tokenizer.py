@@ -88,7 +88,13 @@ class Tokenizer:
     ``is_in_foreign_context()``.
     """
 
-    __slots__ = ("xml_mode", "decode_entities", "recognize_self_closing", "cbs")
+    __slots__ = (
+        "xml_mode",
+        "decode_entities",
+        "recognize_self_closing",
+        "light_attrs",
+        "cbs",
+    )
 
     def __init__(
         self,
@@ -97,6 +103,7 @@ class Tokenizer:
         xml_mode: bool = False,
         decode_entities: bool = True,
         recognize_self_closing: bool | None = None,
+        light_attrs: bool = False,
     ) -> None:
         self.cbs = cbs
         self.xml_mode = xml_mode
@@ -104,6 +111,14 @@ class Tokenizer:
         self.recognize_self_closing = (
             xml_mode if recognize_self_closing is None else recognize_self_closing
         )
+        # light_attrs: callers that ignore attribute events (text-only
+        # extraction) may skip the attribute machine when the tag chunk
+        # is quote-free — the first '>' then provably ends the tag
+        # (unquoted values and names terminate at '>'). Quoted chunks
+        # fall back to the exact per-attribute scan. Only valid when
+        # recognize_self_closing is off (on_self_closing_tag vs
+        # on_open_tag_end indices are not distinguished).
+        self.light_attrs = light_attrs
 
     # ------------------------------------------------------------------
     def run(self, buf: str) -> None:
@@ -221,6 +236,17 @@ class Tokenizer:
         if buf[j] == ">":
             cbs.on_open_tag_end(j)
             return self._enter_tag_body(buf, lbuf, j + 1, special)
+
+        if self.light_attrs:
+            g = buf.find(">", j)
+            if g != -1 and buf.find('"', j, g) == -1 and buf.find("'", j, g) == -1:
+                # Quote-free chunk: '>' at g ends the tag (names and
+                # unquoted values both stop at '>'). Attribute events
+                # are skipped by contract; self-closing is equivalent
+                # to a plain open here (recognize_self_closing off).
+                cbs.on_open_tag_end(g)
+                return self._enter_tag_body(buf, lbuf, g + 1, special)
+            # Quoted chunk or EOF: exact attribute machine below.
 
         # --------- attribute loop (BeforeAttributeName etc.) ---------
         i = j

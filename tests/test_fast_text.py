@@ -76,3 +76,20 @@ _MARKUP = st.text(
 @settings(max_examples=500, deadline=None)
 def test_fast_matches_full_fuzz(doc):
     assert fast_text_content(doc) == full_text(doc)
+
+
+@pytest.mark.parametrize(
+    "doc",
+    [
+        '<a href=">">after</a>',            # '>' inside quoted value
+        "<a href='>x' y>t</a>",             # single-quoted '>'
+        '<a x=y">z</a>tail',                # quote inside unquoted value
+        '<a fo"o=1>t</a>',                  # quote inside attribute name
+        "<a x = '  spaced  ' disabled>t",   # ws around '=', valueless, EOF
+        '<img src=x.png data-a="1" />txt',  # quoted + self-closing slash
+        "<p a=1 b=2 c=3>deep</p>",          # plain unquoted run
+        '<a href="unterminated>t',          # unterminated quote -> dropped
+    ],
+)
+def test_fast_matches_full_attr_soup(doc):
+    assert fast_text_content(doc) == full_text(doc)
