@@ -238,15 +238,39 @@ class Tokenizer:
             return self._enter_tag_body(buf, lbuf, j + 1, special)
 
         if self.light_attrs:
-            g = buf.find(">", j)
-            if g != -1 and buf.find('"', j, g) == -1 and buf.find("'", j, g) == -1:
-                # Quote-free chunk: '>' at g ends the tag (names and
-                # unquoted values both stop at '>'). Attribute events
-                # are skipped by contract; self-closing is equivalent
-                # to a plain open here (recognize_self_closing off).
-                cbs.on_open_tag_end(g)
-                return self._enter_tag_body(buf, lbuf, g + 1, special)
-            # Quoted chunk or EOF: exact attribute machine below.
+            # Scan for the tag-ending '>' treating a quote as a value
+            # delimiter only when preceded by '=' (+ optional ws) — the
+            # exact condition under which the attribute machine enters a
+            # quoted-value state. Any other quote placement (quote in a
+            # name or unquoted value: pathological markup) bails to the
+            # exact machine. Attribute events are skipped by contract;
+            # '/>' is equivalent to '>' here (recognize_self_closing off).
+            pos = j
+            end = -2  # -2: bail to exact machine; -1: EOF drop; >=0: '>'
+            while True:
+                g = buf.find(">", pos)
+                q1 = buf.find('"', pos, g if g != -1 else n)
+                q2 = buf.find("'", pos, g if g != -1 else n)
+                q = q1 if q2 == -1 else q2 if q1 == -1 else min(q1, q2)
+                if q == -1:
+                    end = g
+                    break
+                k = q - 1
+                while k >= j and buf[k] in _WS:
+                    k -= 1
+                if k < j or buf[k] != "=":
+                    break  # suspicious quote: exact machine decides
+                mate = buf.find(buf[q], q + 1)
+                if mate == -1:
+                    end = -1  # EOF inside quoted value: tag dropped
+                    break
+                pos = mate + 1
+            if end >= 0:
+                cbs.on_open_tag_end(end)
+                return self._enter_tag_body(buf, lbuf, end + 1, special)
+            if end == -1:
+                return n, n
+            # end == -2: fall through to the exact attribute machine.
 
         # --------- attribute loop (BeforeAttributeName etc.) ---------
         i = j
