@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale properties claimed in
+BENCH/BASELINE.md must survive future changes (no accidental shuffles,
+lost pushdowns, or broadcast regressions)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_parse_pipeline_has_no_shuffle_when_scan_partitioned(spark):
+    from htmlparser2_spark.plans.extract_job import parse_pages
+    from htmlparser2_spark.sources.pages import build_pages
+
+    parsed = parse_pages(build_pages(spark, SF), repartition=False)
+    p = plan(parsed)
+    assert "Exchange" not in p  # scan partitioning carries through
+    assert "mapInPandas" in p or "MapInPandas" in p
+
+
+def test_explicit_repartition_is_single_hash_exchange(spark):
+    from htmlparser2_spark.plans.extract_job import parse_pages
+    from htmlparser2_spark.sources.pages import build_pages
+
+    parsed = parse_pages(build_pages(spark, SF), n_partitions=16, repartition=True)
+    p = plan(parsed)
+    # Formatted mode lists each node once in the tree and once in the
+    # detail section: exactly one Exchange node -> one "(n) Exchange".
+    assert p.count(") Exchange") == 1
+    assert "xxhash64" in p
+
+
+def test_ann_broadcasts_query_side_with_topk_pushdown(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_ann_topk"](spark, SF)
+    p = plan(df)
+    assert "Broadcast" in p  # small query side broadcast, corpus stays put
+    assert "WindowGroupLimit" in p  # partial top-k before the exchange
+    assert "PushedFilters" in p and "vec_id" in p
+
+
+def test_extract_scan_prunes_columns(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_extract_text"](spark, SF)
+    p = plan(df)
+    assert "n_chars" not in p  # unused column pruned from the parquet scan
+
+
+def test_minhash_aggregation_is_partial(spark):
+    from htmlparser2_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(minhash_signatures(docs, n_perm=8))
+    # Map-side combine: partial then final min aggregates.
+    assert "partial_min" in p or "HashAggregate" in p
