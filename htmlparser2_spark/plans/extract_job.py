@@ -83,7 +83,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         events_col = []
         bytes_col = []
         for html, golden in zip(htmls, goldens):
-            extracted, n_tags = extract(html.decode("utf-8", "replace"))
+            # NULL payloads (fetch failures in real crawls) parse as
+            # empty documents instead of failing the task.
+            doc = html.decode("utf-8", "replace") if html is not None else ""
+            extracted, n_tags = extract(doc)
             extracted_col.append(extracted)
             match_col.append(
                 1 if golden is not None and extracted == golden else 0
@@ -92,7 +95,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # Lineage-only approximation: opens+closes pair up, so event
             # volume ~ 2 x tags (exact counting lives in doc_stats_udf).
             events_col.append(2 * n_tags)
-            bytes_col.append(len(html))
+            bytes_col.append(len(html) if html is not None else 0)
         yield pd.DataFrame(
             {
                 "url": batch["url"],

@@ -317,3 +317,19 @@ def test_salted_agg_matches_plain_groupby(spark):
     assert salted == plain
     counts = {r["host"]: r["n"] for r in salted_count(hosts, "host").collect()}
     assert counts["host0"] > 150  # the designed hot key survives salting
+
+
+def test_parse_pages_null_payloads(spark):
+    from htmlparser2_spark.plans.extract_job import parse_pages
+
+    df = spark.createDataFrame(
+        [
+            ("u1", b"<p>ok</p>", "ok", "en"),
+            ("u2", None, None, "en"),  # fetch failure: null payload
+        ],
+        "url string, html binary, text string, lang string",
+    )
+    rows = {r["url"]: r for r in parse_pages(df, repartition=False).collect()}
+    assert rows["u1"]["extracted"] == "ok" and rows["u1"]["golden_match"] == 1
+    assert rows["u2"]["extracted"] == "" and rows["u2"]["html_bytes"] == 0
+    assert rows["u2"]["golden_match"] == 0
