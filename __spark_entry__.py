@@ -265,6 +265,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, corpus, k=5)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate ANN: k-means cells + n_probe
+    search. Rows-only check (approximate by construction); exactness of
+    the underlying math is pinned by the oracle-checked q_ann_topk and
+    the recall test in tests/test_spark_ops.py."""
+    from htmlparser2_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=3, iters=2)
+
+
 def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-stripped main-content extraction (script/style removed,
     whitespace normalized) — the north rule's 'HTML boilerplate strip'."""
@@ -436,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": _q_quality,
         "q_fingerprint": _q_fingerprint,
         "q_ann_topk": _q_ann_topk,
+        "q_ivf_topk": _q_ivf_topk,
         "q_near_dup_jaccard": _q_near_dup_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,

@@ -31,8 +31,10 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
+    "AUDIO_FEATURES_SCHEMA",
     "attach_media_metadata",
     "image_features",
+    "audio_features",
     "frame_sample",
 ]
 
@@ -53,6 +55,17 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", FloatType()),
         StructField("embedding", ArrayType(FloatType())),
     ]
 )
@@ -124,6 +137,57 @@ def image_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         worker, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake audio decoder: (sample_rate, n_samples).
+
+    Production: replace with ``soundfile.read``/ffprobe; empty payloads
+    raise like a real decoder would.
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    digest = hashlib.sha256(payload).digest()
+    rate = (8000, 16000, 22050, 44100, 48000)[digest[0] % 5]
+    # fake "compression ratio": ~4 samples per payload byte
+    return rate, 4 * len(payload)
+
+
+def audio_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
+    """Decode + featurize audio via mapInPandas (Arrow batches).
+
+    Same production contract as :func:`image_features`: payload bytes
+    in, fixed-width feature rows out, decode failures -> NULLs instead
+    of task failure. The embedding stub stands in for an MFCC/wav2vec
+    forward pass.
+    """
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "media_id": batch["media_id"],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "embedding": [],
+            }
+            for payload in batch["payload"]:
+                try:
+                    rate, n = _decode_audio_stub(bytes(payload or b""))
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(n / rate)
+                    out["embedding"].append(_feature_stub(bytes(payload), dim))
+                except ValueError:
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_s"].append(None)
+                    out["embedding"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        worker, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -24,6 +24,12 @@ __all__ = [
     "get_elements_by_tag_name",
     "get_element_by_id",
     "find_all",
+    "find_one",
+    "exists_one",
+    "children_of",
+    "siblings_of",
+    "element_siblings",
+    "get_attribute_value",
     "text_content_per_doc",
     "outer_html",
     "remove_elements",
@@ -54,6 +60,82 @@ def get_element_by_id(nodes: DataFrame, element_id: str) -> DataFrame:
 def find_all(nodes: DataFrame, predicate) -> DataFrame:
     """findAll with an arbitrary Column predicate over node fields."""
     return nodes.filter(predicate(nodes))
+
+
+def find_one(nodes: DataFrame, predicate) -> DataFrame:
+    """findOne-equivalent: first (document-order) match per url.
+
+    domutils' findOne is a depth-first search returning the first hit;
+    node_id is assigned in depth-first emission order, so min(node_id)
+    over matches is the same element (reference re-export:
+    /root/reference/src/index.ts:86).
+    """
+    w = Window.partitionBy("url").orderBy("node_id")
+    return (
+        nodes.filter(predicate(nodes))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+def exists_one(nodes: DataFrame, predicate) -> DataFrame:
+    """existsOne-equivalent: per-url boolean ``(url, exists)``."""
+    return nodes.groupBy("url").agg(
+        F.max(F.when(predicate(nodes), True).otherwise(False)).alias("exists")
+    )
+
+
+def children_of(nodes: DataFrame, predicate) -> DataFrame:
+    """getChildren-equivalent: child rows of every node matching
+    ``predicate``, tagged with ``of_node_id``. One equi-join on
+    (url, parent_id) — broadcastable when the matched set is small."""
+    parents = nodes.filter(predicate(nodes)).select(
+        F.col("url").alias("p_url"), F.col("node_id").alias("of_node_id")
+    )
+    return nodes.join(
+        parents,
+        (nodes.url == parents.p_url) & (nodes.parent_id == parents.of_node_id),
+    ).drop("p_url")
+
+
+def siblings_of(nodes: DataFrame, predicate) -> DataFrame:
+    """getSiblings-equivalent: all rows sharing (url, parent) with a
+    match — including the matched element itself, as domutils does."""
+    anchors = nodes.filter(predicate(nodes)).select(
+        F.col("url").alias("s_url"), F.col("parent_id").alias("s_parent")
+    ).distinct()
+    return nodes.join(
+        anchors,
+        (nodes.url == anchors.s_url) & (nodes.parent_id == anchors.s_parent),
+    ).drop("s_url", "s_parent")
+
+
+def element_siblings(nodes: DataFrame) -> DataFrame:
+    """nextElementSibling / prevElementSibling for every tag node.
+
+    One window pass per (url, parent): lag/lead of name over tag-type
+    rows ordered by idx_in_parent. NULL at the ends, like domutils.
+    """
+    w = Window.partitionBy("url", "parent_id").orderBy("idx_in_parent")
+    tags = nodes.filter(F.col("type") == "tag")
+    return tags.withColumns(
+        {
+            "prev_element": F.lag("name").over(w),
+            "next_element": F.lead("name").over(w),
+        }
+    )
+
+
+def get_attribute_value(nodes: DataFrame, attr: str) -> DataFrame:
+    """getAttributeValue-equivalent: ``(url, node_id, name, value)`` for
+    nodes carrying the attribute (hasAttrib = value IS NOT NULL)."""
+    return nodes.select(
+        "url",
+        "node_id",
+        "name",
+        F.col("attrs")[attr].alias("value"),
+    ).filter(F.col("value").isNotNull())
 
 
 def text_content_per_doc(nodes: DataFrame) -> DataFrame:
