@@ -1,0 +1,112 @@
+"""Streaming write()/end() lifecycle: chunk-invariance + byte safety.
+
+Ports the reference's chunked-parse contract: every Parser.events golden
+is replayed char-by-char through StreamingParser and must produce the
+identical event stream as the whole-document parse
+(/root/reference/src/Parser.events.spec.ts:13-40), plus the
+write-after-end errors (Parser.ts:776-779) and the split-multi-byte
+UTF-8 byte-stream test (WritableStream.spec.ts:10-20).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from htmlparser2_spark.engine.collector import EventCollector
+from htmlparser2_spark.engine.parser import Parser, ParserOptions
+from htmlparser2_spark.engine.stream import StreamingParser, WritableStreamParser
+
+GOLDENS = json.loads(
+    (pathlib.Path(__file__).parent / "goldens" / "parser_events.json").read_text()
+)
+
+_OPTION_MAP = {
+    "xmlMode": "xml_mode",
+    "decodeEntities": "decode_entities",
+    "lowerCaseTags": "lower_case_tags",
+    "lowerCaseAttributeNames": "lower_case_attribute_names",
+    "recognizeCDATA": "recognize_cdata",
+    "recognizeSelfClosing": "recognize_self_closing",
+}
+
+
+def _opts(options: dict) -> ParserOptions:
+    return ParserOptions(**{_OPTION_MAP[k]: v for k, v in options.items()})
+
+
+@pytest.mark.parametrize("case", GOLDENS, ids=[c["name"] for c in GOLDENS])
+def test_char_by_char_equals_whole(case):
+    opts = _opts(case["options"])
+
+    whole = EventCollector()
+    p = Parser(whole, opts)
+    whole.attach(p)
+    p.parse(case["input"])
+
+    chunked = EventCollector()
+    sp = StreamingParser(chunked, opts)
+    chunked.attach(sp._parser)
+    for ch in case["input"]:
+        sp.write(ch)
+    sp.end()
+
+    assert chunked.events == whole.events
+
+
+def test_write_after_end_raises():
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.end("<p>x</p>")
+    with pytest.raises(RuntimeError, match=r"\.write\(\) after done!"):
+        sp.write("more")
+    with pytest.raises(RuntimeError, match=r"\.end\(\) after done!"):
+        sp.end()
+
+
+def test_reset_reuses_instance():
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("<h1>a")
+    sp.end("</h1>")
+    first = [e for e in col.events if e["$event"] == "text"]
+    assert first and first[0]["data"] == ["a"]
+
+    col.events.clear()
+    sp.reset()
+    sp.parse_complete("<p>b</p>")
+    second = [e for e in col.events if e["$event"] == "text"]
+    assert second and second[0]["data"] == ["b"]
+
+
+@pytest.mark.parametrize("split_at", [1, 2, 3])
+def test_utf8_split_across_chunks(split_at):
+    # "Ü" is 2 bytes, "€" is 3, "😀" is 4 — byte splits land mid-sequence
+    # for every split_at in 1..3.
+    doc = "<p>café € \U0001f600</p>".encode()
+    expected = "café € \U0001f600"
+
+    col = EventCollector()
+    ws = WritableStreamParser(col)
+    col.attach(ws._parser)
+    for i in range(0, len(doc), split_at):
+        ws.write(doc[i : i + split_at])
+    ws.end()
+    texts = [e for e in col.events if e["$event"] == "text"]
+    assert texts[0]["data"] == [expected]
+
+
+def test_truncated_utf8_tail_replaced():
+    # Document ends mid-sequence: the decoder flush yields U+FFFD, like
+    # bytes.decode(..., errors="replace") in the Spark ingest path.
+    col = EventCollector()
+    ws = WritableStreamParser(col)
+    col.attach(ws._parser)
+    ws.write(b"<p>ok ")
+    ws.end("€".encode()[:2])
+    texts = [e for e in col.events if e["$event"] == "text"]
+    assert texts[0]["data"] == ["ok �"]
