@@ -7,6 +7,7 @@ Engine level (pure Python, runs anywhere):
   parse_feed(xml)                  -> feed record           (parseFeed)
   text_content(nodes) / clean_text(nodes) / serialize(nodes)
   Parser, ParserOptions, Tokenizer (streaming callback interface)
+  StreamingParser / WritableStreamParser (write/end lifecycle, byte chunks)
   fast_text_content(html)          -> textContent, fast path
 
 Spark level (Arrow-batched, cluster scale):
@@ -29,6 +30,7 @@ from .engine.dom import (
 from .engine.fast_text import FastTextExtractor, fast_text_content
 from .engine.feed import get_feed, parse_feed
 from .engine.parser import NO_VALUE, Parser, ParserOptions
+from .engine.stream import StreamingParser, WritableStreamParser
 from .engine.tokenizer import (
     QUOTE_DOUBLE,
     QUOTE_NONE,
@@ -50,6 +52,8 @@ __all__ = [
     "FastTextExtractor",
     "Parser",
     "ParserOptions",
+    "StreamingParser",
+    "WritableStreamParser",
     "Tokenizer",
     "NO_VALUE",
     "QUOTE_NONE",
