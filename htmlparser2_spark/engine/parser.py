@@ -194,6 +194,7 @@ class ParserOptions:
         "lower_case_attribute_names",
         "recognize_cdata",
         "recognize_self_closing",
+        "tokenizer_class",
     )
 
     def __init__(
@@ -205,6 +206,7 @@ class ParserOptions:
         lower_case_attribute_names: bool | None = None,
         recognize_cdata: bool | None = None,
         recognize_self_closing: bool | None = None,
+        tokenizer_class: type | None = None,
     ) -> None:
         self.xml_mode = xml_mode
         self.decode_entities = decode_entities
@@ -218,6 +220,10 @@ class ParserOptions:
         self.recognize_self_closing = (
             xml_mode if recognize_self_closing is None else recognize_self_closing
         )
+        # Custom tokenizer injection (reference: `Tokenizer` option,
+        # Parser.ts:210, exercised at Parser.spec.ts:238-251). Must be a
+        # Tokenizer subclass / drop-in with the same constructor.
+        self.tokenizer_class = tokenizer_class
 
 
 class Parser:
@@ -227,7 +233,7 @@ class Parser:
         o = self.options = options or ParserOptions()
         self.cbs = handler
         self.html_mode = not o.xml_mode
-        self.tokenizer = Tokenizer(
+        self.tokenizer = (o.tokenizer_class or Tokenizer)(
             self,
             xml_mode=o.xml_mode,
             decode_entities=o.decode_entities,

@@ -114,3 +114,26 @@ def test_start_index_never_exceeds_end_index():
         p = Parser(inv)
         inv.parser = p
         p.parse(doc)
+
+
+def test_custom_tokenizer_injection():
+    """ParserOptions accepts a Tokenizer subclass (Parser.ts:210;
+    Parser.spec.ts:238-251)."""
+    from htmlparser2_spark.engine.collector import EventCollector
+    from htmlparser2_spark.engine.parser import Parser, ParserOptions
+    from htmlparser2_spark.engine.tokenizer import Tokenizer
+
+    seen = []
+
+    class CustomTokenizer(Tokenizer):
+        def run(self, buf):
+            seen.append(buf)
+            super().run(buf)
+
+    col = EventCollector()
+    p = Parser(col, ParserOptions(tokenizer_class=CustomTokenizer))
+    col.attach(p)
+    assert isinstance(p.tokenizer, CustomTokenizer)
+    p.parse("<p>hi</p>")
+    assert seen == ["<p>hi</p>"]
+    assert [e["data"] for e in col.events if e["$event"] == "text"] == [["hi"]]
