@@ -22,6 +22,9 @@ Spark level (Arrow-batched, cluster scale):
 """
 
 from .engine.dom import (
+    DefaultHandler,
+    DomArrayHandler,
+    ElementType,
     clean_text,
     parse_document,
     serialize,
@@ -30,7 +33,11 @@ from .engine.dom import (
 from .engine.fast_text import FastTextExtractor, fast_text_content
 from .engine.feed import get_feed, parse_feed
 from .engine.parser import NO_VALUE, Parser, ParserOptions
-from .engine.stream import StreamingParser, WritableStreamParser
+from .engine.stream import (
+    StreamingParser,
+    WritableStreamParser,
+    create_document_stream,
+)
 from .engine.tokenizer import (
     QUOTE_DOUBLE,
     QUOTE_NONE,
@@ -54,6 +61,10 @@ __all__ = [
     "ParserOptions",
     "StreamingParser",
     "WritableStreamParser",
+    "create_document_stream",
+    "DomArrayHandler",
+    "DefaultHandler",
+    "ElementType",
     "Tokenizer",
     "NO_VALUE",
     "QUOTE_NONE",

@@ -16,19 +16,49 @@ from __future__ import annotations
 
 from .parser import NO_VALUE, Parser, ParserOptions
 
-__all__ = ["DomArrayHandler", "parse_document", "text_content", "clean_text", "serialize"]
+__all__ = [
+    "DomArrayHandler",
+    "DefaultHandler",
+    "ElementType",
+    "parse_document",
+    "text_content",
+    "clean_text",
+    "serialize",
+]
+
+
+class ElementType:
+    """Node-type tags, mirroring the ``domelementtype`` re-export
+    (/root/reference/src/index.ts:61). Values are the strings used in
+    the adjacency nodes' ``type`` field."""
+
+    ROOT = "root"  # implicit parent_id -1, never materialized as a row
+    TAG = "tag"
+    SCRIPT = "script"
+    STYLE = "style"
+    TEXT = "text"
+    COMMENT = "comment"
+    CDATA = "cdata"
+    DIRECTIVE = "directive"
 
 
 class DomArrayHandler:
-    """Folds parser events into a flat node list (depth-first order)."""
+    """Folds parser events into a flat node list (depth-first order).
 
-    def __init__(self, with_indices: bool = True) -> None:
+    ``element_callback`` mirrors createDocumentStream's per-element
+    callback (/root/reference/src/index.ts:44-55): invoked with the
+    node dict each time an element finishes (its close tag fires), by
+    which point all of its descendants are in ``self.nodes``.
+    """
+
+    def __init__(self, with_indices: bool = True, element_callback=None) -> None:
         self.nodes: list[dict] = []
         self._stack: list[int] = []  # node_ids of open elements
         self._child_counts: dict[int, int] = {-1: 0}
         self._last_text: int | None = None  # node_id of an open text node
         self._in_cdata = False
         self._with_indices = with_indices
+        self._element_callback = element_callback
         self.parser: Parser | None = None
 
     def attach(self, parser: Parser) -> None:
@@ -74,6 +104,8 @@ class DomArrayHandler:
             node_id = self._stack.pop()
             if self._with_indices:
                 self.nodes[node_id]["end_index"] = self.parser.end_index
+            if self._element_callback is not None:
+                self._element_callback(self.nodes[node_id])
         self._last_text = None
 
     def on_text(self, data: str) -> None:
@@ -108,6 +140,11 @@ class DomArrayHandler:
 
     def on_end(self) -> None:
         pass
+
+
+# Old name for DomHandler kept by the reference for back-compat
+# (/root/reference/src/index.ts:14-17).
+DefaultHandler = DomArrayHandler
 
 
 def parse_document(html: str, **options) -> list[dict]:

@@ -34,7 +34,7 @@ import codecs
 
 from .parser import Parser, ParserOptions
 
-__all__ = ["StreamingParser", "WritableStreamParser"]
+__all__ = ["StreamingParser", "WritableStreamParser", "create_document_stream"]
 
 
 class StreamingParser:
@@ -70,6 +70,34 @@ class StreamingParser:
         """reset + end(data) — Parser.ts:731-740."""
         self.reset()
         self.end(data)
+
+
+def create_document_stream(
+    callback,
+    options: ParserOptions | None = None,
+    element_callback=None,
+) -> StreamingParser:
+    """createDocumentStream-equivalent (/root/reference/src/index.ts:44-55).
+
+    Returns a :class:`StreamingParser` with an attached DOM handler.
+    ``element_callback(node_dict)`` fires every time an element
+    completes; ``callback(error, nodes)`` fires once at ``end()`` with
+    the full adjacency node list (the reference passes the DomHandler
+    root; our DOM contract is the flat node list, SURVEY.md §1.3).
+    """
+    from .dom import DomArrayHandler
+
+    handler = DomArrayHandler(element_callback=element_callback)
+    orig_on_end = handler.on_end
+
+    def on_end() -> None:
+        orig_on_end()
+        callback(None, handler.nodes)
+
+    handler.on_end = on_end  # type: ignore[method-assign]
+    sp = StreamingParser(handler, options)
+    handler.attach(sp._parser)
+    return sp
 
 
 class WritableStreamParser(StreamingParser):

@@ -110,3 +110,36 @@ def test_truncated_utf8_tail_replaced():
     ws.end("€".encode()[:2])
     texts = [e for e in col.events if e["$event"] == "text"]
     assert texts[0]["data"] == ["ok �"]
+
+
+def test_create_document_stream():
+    """createDocumentStream parity (/root/reference/src/index.ts:44-55):
+    per-element callbacks fire as elements complete; the final callback
+    receives the whole document."""
+    from htmlparser2_spark.engine.stream import create_document_stream
+
+    elements = []
+    finished = []
+    sp = create_document_stream(
+        lambda err, nodes: finished.append((err, nodes)),
+        element_callback=lambda node: elements.append(node["name"]),
+    )
+    sp.write("<div><p>a</p>")
+    sp.write("<p>b</p></div><hr>")
+    sp.end()
+
+    # close order: p, p, div; hr (void) closes implied; html-level EOF.
+    assert elements == ["p", "p", "div", "hr"]
+    assert len(finished) == 1 and finished[0][0] is None
+    nodes = finished[0][1]
+    texts = [n["data"] for n in nodes if n["type"] == "text"]
+    assert texts == ["a", "b"]
+
+
+def test_element_type_constants():
+    from htmlparser2_spark import ElementType, parse_document
+
+    nodes = parse_document("<p>x</p><!--c--><script>s</script>")
+    types = {n["type"] for n in nodes}
+    assert types == {ElementType.TAG, ElementType.TEXT, ElementType.COMMENT,
+                     ElementType.SCRIPT}
