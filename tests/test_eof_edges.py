@@ -151,3 +151,25 @@ def test_html_special_close_missing_gt_eof():
     evs = events("<script>x</script ")
     assert ("text", ["x"]) in evs
     assert ("closetag", ["script", False]) in evs
+
+
+def test_eof_implied_close_index_is_len_plus_one():
+    """Implied EOF close-tags after trailing comment-like data carry
+    start == end == len(doc) + 1, matching the reference: the trailing
+    comment gets endIndex = buffer.length (Tokenizer.ts:1092,
+    handleTrailingCommentLikeData), oncomment advances startIndex to
+    endIndex + 1 (Parser.ts:670), and onend copies startIndex into
+    endIndex for the close-all loop (Parser.ts:699-708)."""
+    from htmlparser2_spark.engine.collector import EventCollector
+    from htmlparser2_spark.engine.parser import Parser, ParserOptions
+
+    for doc, xml in (("<x><!--", True), ("<div><!--x", False)):
+        col = EventCollector()
+        p = Parser(col, ParserOptions(xml_mode=xml))
+        col.attach(p)
+        p.parse(doc)
+        comment = [e for e in col.events if e["$event"] == "comment"][0]
+        close = [e for e in col.events if e["$event"] == "closetag"][0]
+        assert comment["endIndex"] == len(doc)
+        assert close["startIndex"] == close["endIndex"] == len(doc) + 1
+        assert close["data"][1] is True  # implied

@@ -46,8 +46,12 @@ def test_never_raises_and_indices_valid(doc, options):
     collector.attach(parser)
     parser.parse(doc)  # EventCollector validates start<=end on every event
     for ev in collector.events:
-        assert 0 <= ev["startIndex"] <= len(doc)
-        assert 0 <= ev["endIndex"] <= len(doc)
+        # len(doc)+1 is reachable: after trailing comment-like data the
+        # reference sets startIndex = endIndex + 1 with endIndex ==
+        # buffer.length (Parser.ts:663-671), and onend copies that into
+        # the implied EOF close-tags (Parser.ts:699-708).
+        assert 0 <= ev["startIndex"] <= len(doc) + 1
+        assert 0 <= ev["endIndex"] <= len(doc) + 1
 
 
 @given(st.one_of(_MARKUP, _FREE))
