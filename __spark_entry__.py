@@ -265,6 +265,21 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, corpus, k=5)
 
 
+def _q_element_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomUtils nextElementSibling as a relational window op: histogram
+    of adjacent element pairs across the corpus (oracle derives the
+    per-variant pair inventory from the fixed page templates)."""
+    from htmlparser2_spark.operators.domquery import element_siblings
+
+    nodes = _nodes_df(spark, sf_dir)
+    return (
+        element_siblings(nodes)
+        .filter(F.col("next_element").isNotNull())
+        .groupBy("name", "next_element")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate ANN: k-means cells + n_probe
     search. Rows-only check (approximate by construction); exactness of
@@ -450,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q_fingerprint,
         "q_ann_topk": _q_ann_topk,
         "q_ivf_topk": _q_ivf_topk,
+        "q_element_siblings": _q_element_siblings,
         "q_near_dup_jaccard": _q_near_dup_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
@@ -472,6 +488,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles (ANSI SQL over the pre-registered parquet views).
 # ----------------------------------------------------------------------
 
+# Adjacent element pairs per page variant (derived from the templates
+# in sources/pages.py; verified against the engine DOM per variant).
+_SIBLING_PAIRS = [
+    # (name, next_element, variant, per-doc count)
+    ("head", "body", 0, 1), ("title", "script", 0, 1),
+    ("script", "style", 0, 1), ("h1", "p", 0, 1), ("p", "a", 0, 1),
+    ("ul", "p", 1, 1), ("li", "li", 1, 1), ("br", "img", 1, 1),
+    ("table", "textarea", 2, 1), ("textarea", "div", 2, 1),
+    ("tr", "tr", 2, 1),
+]
+
 _TAG_COUNTS = [
     # (name, variant, per-doc count)
     ("html", 0, 1), ("head", 0, 1), ("title", 0, 1), ("script", 0, 1),
@@ -485,6 +512,9 @@ _TAG_COUNTS = [
 
 def oracle_sql() -> dict[str, str]:
     tag_values = ", ".join(f"('{n}', {v}, {k})" for n, v, k in _TAG_COUNTS)
+    sib_values = ", ".join(
+        f"('{n}', '{nxt}', {v}, {k})" for n, nxt, v, k in _SIBLING_PAIRS
+    )
     return {
         "q_extract_text": f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages",
         "q_extract_match": (
@@ -637,6 +667,14 @@ def oracle_sql() -> dict[str, str]:
             "run_b AS (SELECT url, CASE WHEN doc_id % 20 = 5 THEN upper(text) "
             "ELSE text END AS text FROM pages) "
             "SELECT url FROM (SELECT * FROM run_a EXCEPT ALL SELECT * FROM run_b)"
+        ),
+        "q_element_siblings": (
+            f"WITH {_PAGES_CTE}, sib(name, next_element, variant, k) AS "
+            f"(VALUES {sib_values}) "
+            "SELECT s.name AS name, s.next_element AS next_element, "
+            "CAST(SUM(s.k) AS BIGINT) AS cnt "
+            "FROM pages p JOIN sib s ON p.doc_id % 3 = s.variant "
+            "GROUP BY 1, 2"
         ),
         "q_ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "

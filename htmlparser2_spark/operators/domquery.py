@@ -112,13 +112,15 @@ def siblings_of(nodes: DataFrame, predicate) -> DataFrame:
 
 
 def element_siblings(nodes: DataFrame) -> DataFrame:
-    """nextElementSibling / prevElementSibling for every tag node.
+    """nextElementSibling / prevElementSibling for every element node.
 
-    One window pass per (url, parent): lag/lead of name over tag-type
+    One window pass per (url, parent): lag/lead of name over element
     rows ordered by idx_in_parent. NULL at the ends, like domutils.
+    Element-ness follows domutils ``isTag``: script and style carry
+    their own node types (domelementtype) but are still elements.
     """
     w = Window.partitionBy("url", "parent_id").orderBy("idx_in_parent")
-    tags = nodes.filter(F.col("type") == "tag")
+    tags = nodes.filter(F.col("type").isin("tag", "script", "style"))
     return tags.withColumns(
         {
             "prev_element": F.lag("name").over(w),
