@@ -161,8 +161,16 @@ Reference single-node envelope (BASELINE.md): ~460 docs/sec/core,
 {lineage_rows(high)}
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Preserve hand-written analysis sections appended after the
+    # generated report (e.g. the overhead decomposition).
+    keep = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        marker = "\n## Overhead decomposition"
+        if marker in old:
+            keep = marker + old.split(marker, 1)[1]
     with open(out_path, "w") as fh:
-        fh.write(md)
+        fh.write(md + keep)
     print(f"efficiency={efficiency:.3f} -> {out_path}")
     print(json.dumps({"low": {k: v for k, v in low.items() if k != 'lineage'},
                       "high": {k: v for k, v in high.items() if k != 'lineage'},
