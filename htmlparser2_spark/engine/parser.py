@@ -253,7 +253,21 @@ class Parser:
         self._cb_cdata_end = g("on_cdata_end")
         self._cb_pi = g("on_processing_instruction")
         self._cb_end = g("on_end")
+        self._cb_parser_init = g("on_parser_init")
+        self._cb_reset = g("on_reset")
         self._reset_state()
+        # Lifecycle: onparserinit fires at construction (Parser.ts:308)
+        # and again after every reset (Parser.ts:713-723).
+        if self._cb_parser_init:
+            self._cb_parser_init(self)
+
+    def reset(self) -> None:
+        """Reset to a blank state for a new document (Parser.ts:713-726)."""
+        if self._cb_reset:
+            self._cb_reset()
+        self._reset_state()
+        if self._cb_parser_init:
+            self._cb_parser_init(self)
 
     def _reset_state(self) -> None:
         self.buffer = ""
@@ -270,8 +284,12 @@ class Parser:
 
     # ------------------------------------------------------------------
     def parse(self, data: str) -> None:
-        """Parse a complete document, firing handler events."""
-        self._reset_state()
+        """Parse a complete document, firing handler events.
+
+        Equivalent to the reference's ``parseComplete``
+        (Parser.ts:731-740): reset (with lifecycle callbacks), then run.
+        """
+        self.reset()
         self.buffer = data
         self.tokenizer.run(data)
 

@@ -137,3 +137,26 @@ def test_custom_tokenizer_injection():
     p.parse("<p>hi</p>")
     assert seen == ["<p>hi</p>"]
     assert [e["data"] for e in col.events if e["$event"] == "text"] == [["hi"]]
+
+
+def test_lifecycle_callbacks():
+    """onparserinit at construction + after reset; onreset on reset
+    (Parser.ts:308, 713-723)."""
+    from htmlparser2_spark.engine.parser import Parser
+
+    calls = []
+
+    class H:
+        def on_parser_init(self, parser):
+            calls.append(("init", isinstance(parser, Parser)))
+
+        def on_reset(self):
+            calls.append(("reset", True))
+
+    p = H()
+    parser = Parser(p)
+    assert calls == [("init", True)]
+    parser.parse("<p>x</p>")  # parse = reset + run
+    assert calls == [("init", True), ("reset", True), ("init", True)]
+    parser.reset()
+    assert calls[-2:] == [("reset", True), ("init", True)]
