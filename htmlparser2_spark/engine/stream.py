@@ -46,16 +46,25 @@ class StreamingParser:
         self._chunks: list[str] = []
         self._ended = False
 
+    def _use_after_end(self, message: str) -> None:
+        # Reference: routed to handler.onerror when provided, thrown
+        # otherwise (Parser.ts:776-779, 790-793).
+        on_error = getattr(self._handler, "on_error", None)
+        if on_error is not None:
+            on_error(RuntimeError(message))
+            return
+        raise RuntimeError(message)
+
     def write(self, chunk: str) -> None:
         if self._ended:
-            # Reference: `.write() after done!` routed to onerror or
-            # thrown (Parser.ts:776-779).
-            raise RuntimeError(".write() after done!")
+            self._use_after_end(".write() after done!")
+            return
         self._chunks.append(chunk)
 
     def end(self, chunk: str | None = None) -> None:
         if self._ended:
-            raise RuntimeError(".end() after done!")
+            self._use_after_end(".end() after done!")
+            return
         if chunk is not None:
             self._chunks.append(chunk)
         self._ended = True

@@ -143,3 +143,21 @@ def test_element_type_constants():
     types = {n["type"] for n in nodes}
     assert types == {ElementType.TAG, ElementType.TEXT, ElementType.COMMENT,
                      ElementType.SCRIPT}
+
+
+def test_write_after_end_routed_to_onerror():
+    """With an on_error handler, use-after-end reports instead of
+    raising (Parser.ts:776-779)."""
+    errors = []
+
+    class H(EventCollector):
+        def on_error(self, exc):
+            errors.append(str(exc))
+
+    col = H()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.end("<p>x</p>")
+    sp.write("more")   # no raise
+    sp.end()           # no raise
+    assert errors == [".write() after done!", ".end() after done!"]
