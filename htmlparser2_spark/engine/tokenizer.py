@@ -129,27 +129,38 @@ class Tokenizer:
         lbuf = buf.translate(_ASCII_LOWER)
         text_mode = STRICT if xml else LEGACY
 
+        # Hot-path locals: attribute/method lookups hoisted out of the
+        # per-token loop (same technique as the reference's hot-state
+        # dispatch ordering, Tokenizer.ts:893-897).
+        on_text = cbs.on_text
+        entity = self._entity
+        open_tag = self._open_tag
+        closing_tag = self._closing_tag
+        markup_declaration = self._markup_declaration
+        text_stop_search = _RE_TEXT_STOP.search
+        find = buf.find
+
         i = 0  # cursor
         sec = 0  # section start of the current text run
         while i < n:
             # ---------------- Text ----------------
             if decode:
-                m = _RE_TEXT_STOP.search(buf, i)
+                m = text_stop_search(buf, i)
                 if m is None:
                     i = n
                     break
                 j = m.start()
                 if buf[j] == "&":
-                    i, sec = self._entity(buf, j, text_mode, sec, False)
+                    i, sec = entity(buf, j, text_mode, sec, False)
                     continue
             else:
-                j = buf.find("<", i)
+                j = find("<", i)
                 if j == -1:
                     i = n
                     break
             # '<' found at j.
             if j > sec:
-                cbs.on_text(sec, j)
+                on_text(sec, j)
             sec = j
             i = j + 1
             if i >= n:
@@ -157,17 +168,19 @@ class Tokenizer:
 
             c = buf[i]
             # ------------- BeforeTagName dispatch -------------
-            if c == "!":
-                i, sec = self._markup_declaration(buf, lbuf, i + 1)
+            if ("a" <= c <= "z" or "A" <= c <= "Z") if not xml else (
+                not _is_end_of_tag_section(c) and c not in "!?/"
+            ):
+                i, sec = open_tag(buf, lbuf, i)
+            elif c == "!":
+                i, sec = markup_declaration(buf, lbuf, i + 1)
             elif c == "?":
                 if xml:
                     i, sec = self._processing_instruction(buf, i + 1)
                 else:
                     i, sec = self._bogus_comment(buf, i, i)
             elif c == "/":
-                i, sec = self._closing_tag(buf, lbuf, i + 1)
-            elif self._is_tag_start(c):
-                i, sec = self._open_tag(buf, lbuf, i)
+                i, sec = closing_tag(buf, lbuf, i + 1)
             # else: '<' stays literal text (sec still at '<'); rescan from i.
 
         # ------------- EOF epilogue (plain trailing text) -------------
@@ -210,9 +223,12 @@ class Tokenizer:
         name_start = i
 
         special = None  # matched text-only tag name, if any
-        if not self.xml_mode and not cbs.is_in_foreign_context():
+        if not self.xml_mode:
             cands = _SPECIAL_BY_FIRST.get(lbuf[i])
-            if cands:
+            # Foreign-context query deferred until a special candidate
+            # matches by first letter (rare) — one dict probe replaces a
+            # Python call on the per-tag hot path.
+            if cands and not cbs.is_in_foreign_context():
                 for cand in cands:
                     end = i + len(cand)
                     if lbuf[i:end] == cand and end < n:
