@@ -265,6 +265,21 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, corpus, k=5)
 
 
+def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed. Oracle-exact
+    by construction: at threshold ~1.0 only identical vectors qualify,
+    and identical vectors always share their hyperplane bucket, so the
+    sub-quadratic LSH join finds exactly the full cross-join answer."""
+    from htmlparser2_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    uni = emb.unionByName(dup).select("vec_id", "embedding")
+    return embedding_dup_pairs(uni, threshold=0.9999)
+
+
 def _q_element_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DomUtils nextElementSibling as a relational window op: histogram
     of adjacent element pairs across the corpus (oracle derives the
@@ -466,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": _q_ann_topk,
         "q_ivf_topk": _q_ivf_topk,
         "q_element_siblings": _q_element_siblings,
+        "q_embedding_dup": _q_embedding_dup,
         "q_near_dup_jaccard": _q_near_dup_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
@@ -667,6 +683,14 @@ def oracle_sql() -> dict[str, str]:
             "run_b AS (SELECT url, CASE WHEN doc_id % 20 = 5 THEN upper(text) "
             "ELSE text END AS text FROM pages) "
             "SELECT url FROM (SELECT * FROM run_a EXCEPT ALL SELECT * FROM run_b)"
+        ),
+        "q_embedding_dup": (
+            "WITH uni AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim "
+            "FROM uni a JOIN uni b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9999"
         ),
         "q_element_siblings": (
             f"WITH {_PAGES_CTE}, sib(name, next_element, variant, k) AS "
