@@ -116,6 +116,7 @@ def parse_pages(
     *,
     n_partitions: int | None = None,
     repartition: bool | None = None,
+    jumbo_bytes: int | None = None,
 ) -> DataFrame:
     """Parse a pages DataFrame with one ``mapInPandas`` pass.
 
@@ -124,14 +125,28 @@ def parse_pages(
     parquet/Iceberg scan already provides partition parallelism and a
     shuffle of the full html payload would be pure overhead. Explicit
     ``repartition=True`` forces the url-hash shuffle (use when the input
-    layout is host-clustered and skewed). Oversized single documents are
-    bounded by the Arrow batch size (maxRecordsPerBatch), not by
-    splitting: a row is atomic, so the mitigation at 100TB is more
-    partitions than cores (tail hiding), which auto mode provides via
-    ``n_partitions`` defaulting to 2x shuffle parallelism.
+    layout is host-clustered and skewed).
+
+    ``jumbo_bytes`` (size-skew isolation): rows with ``length(html) >
+    jumbo_bytes`` are routed into their own url-hash-partitioned branch
+    and parsed separately, so one 100MB page never queues behind — or
+    holds up — a partition of ordinary documents. Costs a second pass
+    over the scan (the predicate is not pushable), so it is opt-in;
+    without it, oversized rows are still bounded per-batch by Arrow's
+    maxRecordsPerBatch and hidden by n_partitions >> cores (tail
+    hiding). A row is atomic either way — documents are never split.
     """
     spark = pages.sparkSession
     n = n_partitions or 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if jumbo_bytes is not None:
+        is_jumbo = F.coalesce(F.length("html"), F.lit(0)) > F.lit(jumbo_bytes)
+        normal = parse_pages(
+            pages.filter(~is_jumbo),
+            n_partitions=n_partitions,
+            repartition=repartition,
+        )
+        jumbo = pages.filter(is_jumbo).repartition(n, F.xxhash64("url"))
+        return normal.unionByName(jumbo.mapInPandas(_parse_batches, PARSED_SCHEMA))
     if repartition is None:
         repartition = pages.rdd.getNumPartitions() < n
     if repartition:

@@ -437,3 +437,26 @@ def test_domquery_traversal_helpers(spark):
     vals = get_attribute_value(nodes, "class").collect()
     assert [(r["name"], r["value"]) for r in vals] == [("p", "a")]
     nodes.unpersist()
+
+
+def test_parse_pages_jumbo_isolation(spark):
+    """Size-skew routing: oversized documents parse in their own
+    partition branch, normal docs are unaffected, results identical."""
+    from htmlparser2_spark.plans.extract_job import parse_pages
+
+    rows = [(f"https://h{i}.example/{i}", b"<p>doc %d</p>" % i, f"doc {i}", "en")
+            for i in range(20)]
+    rows.append(("https://big.example/1",
+                 b"<pre>" + b"x" * 200_000 + b"</pre>", "x" * 200_000, "en"))
+    df = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    )
+    parsed = parse_pages(df, n_partitions=4, jumbo_bytes=100_000)
+    out = {r["url"]: r for r in parsed.collect()}
+    assert len(out) == 21
+    assert sum(r["golden_match"] for r in out.values()) == 21
+    big = out["https://big.example/1"]
+    # the jumbo doc sits alone in its partition (pid not shared)
+    jumbo_pid = big["pid"]
+    assert all(r["pid"] != jumbo_pid for u, r in out.items()
+               if u != "https://big.example/1")
