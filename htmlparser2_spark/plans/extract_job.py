@@ -173,6 +173,7 @@ def run_extract(
     n_buckets: int = 16,
     resume: bool = True,
     n_partitions: int | None = None,
+    jumbo_bytes: int | None = None,
 ) -> dict:
     """Bucketed, checkpoint-resumable extraction run.
 
@@ -190,7 +191,11 @@ def run_extract(
         todo_pages = todo_pages.filter(~F.col("bucket").isin(done))
 
     keep = [c for c in ("url", "html", "text", "lang") if c in todo_pages.columns]
-    parsed = parse_pages(todo_pages.select(*keep), n_partitions=n_partitions)
+    parsed = parse_pages(
+        todo_pages.select(*keep),
+        n_partitions=n_partitions,
+        jumbo_bytes=jumbo_bytes,
+    )
     # Re-derive the bucket from the url (cheap Catalyst expression,
     # avoids threading it through the UDF schema).
     parsed = parsed.withColumn("bucket", bucket)

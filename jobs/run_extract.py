@@ -28,6 +28,10 @@ def main() -> None:
     parser.add_argument("--output", required=True)
     parser.add_argument("--buckets", type=int, default=16)
     parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument(
+        "--jumbo-bytes", type=int, default=None,
+        help="isolate documents larger than this into their own partitions",
+    )
     parser.add_argument("--no-resume", action="store_true")
     args = parser.parse_args()
 
@@ -51,6 +55,7 @@ def main() -> None:
         n_buckets=args.buckets,
         resume=not args.no_resume,
         n_partitions=args.partitions,
+        jumbo_bytes=args.jumbo_bytes,
     )
     print(json.dumps({k: (v if not hasattr(v, "item") else v.item()) for k, v in summary.items()}))
     spark.stop()
