@@ -395,6 +395,55 @@ def _q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_feed_atom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atom-dialect feed parsing (self-closing <link href>, <subtitle>,
+    <entry> items), oracle-checked like the RSS variant."""
+    from htmlparser2_spark.functions.udfs import feed_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entry = F.concat(
+        F.lit("<entry><id>e"), F.col("doc_id").cast("string"),
+        F.lit("</id><title>ET "), F.col("doc_id").cast("string"),
+        F.lit('</title><link href="https://'), F.col("source"),
+        F.lit(".example/e/"), F.col("doc_id").cast("string"),
+        F.lit('"/></entry>'),
+    )
+    per_source = (
+        docs.select(
+            "source", "doc_id", F.struct("doc_id").alias("k"), entry.alias("entry")
+        )
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ).alias("entries_xml"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+    xml = F.concat(
+        F.lit("<feed><id>urn:"), F.col("source"),
+        F.lit("</id><title>Atom "), F.col("source"),
+        F.lit('</title><link href="https://'), F.col("source"),
+        F.lit('.example/atom"/><subtitle>sub</subtitle>'),
+        F.col("entries_xml"), F.lit("</feed>"),
+    )
+    feeds = per_source.select("source", feed_udf()(xml).alias("f"))
+    return feeds.select(
+        "source",
+        F.col("f.type").alias("feed_type"),
+        F.col("f.id").alias("feed_id"),
+        F.col("f.title").alias("feed_title"),
+        F.col("f.link").alias("feed_link"),
+        F.col("f.description").alias("feed_description"),
+        F.size("f.items").alias("n_items"),
+        F.col("f.items")[0]["link"].alias("first_entry_link"),
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
@@ -492,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
         "q_feed_extract": _q_feed_extract,
+        "q_feed_atom": _q_feed_atom,
         "q_events_hourly": _q_events_hourly,
         "q_user_first_event": _q_user_first_event,
         "q_top_hosts": _q_top_hosts,
@@ -654,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
             "'https://' || source || '.example/' AS feed_link, "
             "CAST(n AS INTEGER) AS n_items, 'g' || CAST(min_id AS STRING) AS first_guid "
             "FROM per_source"
+        ),
+        "q_feed_atom": (
+            "WITH per_source AS (SELECT source, count(*) AS n, min(doc_id) AS min_id "
+            "FROM documents GROUP BY source) "
+            "SELECT source, 'atom' AS feed_type, 'urn:' || source AS feed_id, "
+            "'Atom ' || source AS feed_title, "
+            "'https://' || source || '.example/atom' AS feed_link, "
+            "'sub' AS feed_description, CAST(n AS INTEGER) AS n_items, "
+            "'https://' || source || '.example/e/' || CAST(min_id AS STRING) "
+            "AS first_entry_link FROM per_source"
         ),
         "q_events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
