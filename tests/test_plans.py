@@ -69,3 +69,35 @@ def test_minhash_aggregation_is_partial(spark):
     p = plan(minhash_signatures(docs, n_perm=8))
     # Map-side combine: partial then final min aggregates.
     assert "partial_min" in p or "HashAggregate" in p
+
+
+def test_ivf_broadcasts_probe_side_with_pushdown(spark):
+    """IVF cell join must broadcast the (small) probe side and keep the
+    corpus scan's vec_id predicate pushed into parquet."""
+    from htmlparser2_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ivf_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=3,
+        centroids=[[0.1] * 64, [0.2] * 64],
+    )
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "GreaterThanOrEqual(vec_id,5)" in p  # corpus-side pushdown
+    assert "LessThan(vec_id,5)" in p  # probe-side pushdown
+
+
+def test_jumbo_branch_is_union_of_two_parse_passes(spark):
+    """Size-skew routing: one Union of two MapInPandas branches; no
+    extra shuffle beyond the two explicit url-hash repartitions."""
+    from htmlparser2_spark.plans.extract_job import parse_pages
+    from htmlparser2_spark.sources.pages import build_pages
+
+    parsed = parse_pages(
+        build_pages(spark, SF), n_partitions=4, jumbo_bytes=100_000
+    )
+    p = plan(parsed)
+    assert "Union" in p
+    assert p.count("MapInPandas") >= 2
