@@ -444,6 +444,51 @@ def _q_feed_atom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_feed_rdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-dialect feed parsing (rdf:RDF root, items as channel
+    siblings), completing RSS/Atom/RDF oracle coverage."""
+    from htmlparser2_spark.functions.udfs import feed_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    item = F.concat(
+        F.lit("<item><title>RT "), F.col("doc_id").cast("string"),
+        F.lit("</title><link>https://"), F.col("source"),
+        F.lit(".example/r/"), F.col("doc_id").cast("string"),
+        F.lit("</link></item>"),
+    )
+    per_source = (
+        docs.select(
+            "source", "doc_id", F.struct("doc_id").alias("k"), item.alias("item")
+        )
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "item"))),
+                    lambda s: s["item"],
+                ),
+                "",
+            ).alias("items_xml"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+    xml = F.concat(
+        F.lit("<rdf:RDF><channel><title>RDF "), F.col("source"),
+        F.lit("</title><link>https://"), F.col("source"),
+        F.lit(".example/rdf</link><description>d</description></channel>"),
+        F.col("items_xml"), F.lit("</rdf:RDF>"),
+    )
+    feeds = per_source.select("source", feed_udf()(xml).alias("f"))
+    return feeds.select(
+        "source",
+        F.col("f.type").alias("feed_type"),
+        F.col("f.title").alias("feed_title"),
+        F.col("f.link").alias("feed_link"),
+        F.size("f.items").alias("n_items"),
+        F.col("f.items")[0]["link"].alias("first_item_link"),
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
@@ -542,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_counts_salted": _q_host_counts_salted,
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
+        "q_feed_rdf": _q_feed_rdf,
         "q_events_hourly": _q_events_hourly,
         "q_user_first_event": _q_user_first_event,
         "q_top_hosts": _q_top_hosts,
@@ -714,6 +760,15 @@ def oracle_sql() -> dict[str, str]:
             "'sub' AS feed_description, CAST(n AS INTEGER) AS n_items, "
             "'https://' || source || '.example/e/' || CAST(min_id AS STRING) "
             "AS first_entry_link FROM per_source"
+        ),
+        "q_feed_rdf": (
+            "WITH per_source AS (SELECT source, count(*) AS n, min(doc_id) AS min_id "
+            "FROM documents GROUP BY source) "
+            "SELECT source, 'rdf' AS feed_type, 'RDF ' || source AS feed_title, "
+            "'https://' || source || '.example/rdf' AS feed_link, "
+            "CAST(n AS INTEGER) AS n_items, "
+            "'https://' || source || '.example/r/' || CAST(min_id AS STRING) "
+            "AS first_item_link FROM per_source"
         ),
         "q_events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
