@@ -34,7 +34,12 @@ import codecs
 
 from .parser import Parser, ParserOptions
 
-__all__ = ["StreamingParser", "WritableStreamParser", "create_document_stream"]
+__all__ = [
+    "StreamingParser",
+    "WritableStreamParser",
+    "WebWritableStreamParser",
+    "create_document_stream",
+]
 
 
 class StreamingParser:
@@ -136,3 +141,11 @@ class WritableStreamParser(StreamingParser):
     def reset(self) -> None:
         super().reset()
         self._decoder.reset()
+
+
+# The reference ships two byte-stream adapters — Node Writable
+# (WritableStream.ts:18-42, StringDecoder) and Web Streams
+# (WebWritableStream.ts:23-47, TextDecoder(stream: true)). Both reduce
+# to "incremental UTF-8 decode, then write()"; in Python one class
+# covers both, so the Web variant is an alias.
+WebWritableStreamParser = WritableStreamParser
