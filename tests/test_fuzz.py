@@ -98,3 +98,35 @@ def test_xml_mode_never_raises(doc):
     parser = Parser(handler, ParserOptions(xml_mode=True))
     handler.attach(parser)
     parser.parse(doc)
+
+
+def test_pathological_deep_nesting_is_iterative():
+    """100k-deep nesting must not hit Python's recursion limit anywhere
+    in parse -> extract -> clean -> serialize -> readability."""
+    from htmlparser2_spark.engine.dom import (
+        clean_text,
+        parse_document,
+        serialize,
+        text_content,
+    )
+    from htmlparser2_spark.engine.fast_text import fast_text_content
+    from htmlparser2_spark.engine.readability import main_content
+
+    depth = 100_000
+    deep = "<div>" * depth + "core" + "</div>" * depth
+    nodes = parse_document(deep)
+    assert len(nodes) == depth + 1
+    assert text_content(nodes) == "core"
+    assert clean_text(nodes) == "core"
+    assert serialize(nodes) == deep
+    assert fast_text_content(deep) == "core"
+    assert main_content(deep) == "core"
+
+
+def test_pathological_wide_document():
+    from htmlparser2_spark.engine.dom import parse_document, text_content
+
+    wide = "<p>x</p>" * 200_000
+    nodes = parse_document(wide)
+    assert len(nodes) == 400_000
+    assert text_content(nodes) == "x" * 200_000
