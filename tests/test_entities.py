@@ -58,3 +58,55 @@ def test_decode_at_consumed_counts():
     assert decode_at("&bogus;", 0, LEGACY) is None
     assert decode_at("&", 0, LEGACY) is None
     assert decode_at("&NotGreaterFullEqual;", 0, LEGACY) == ([0x2267, 0x338], 21)
+
+
+def test_differential_vs_cpython_unescape():
+    """Text-mode entity decoding cross-checked against CPython's
+    html.unescape — an independent WHATWG implementation. Differences
+    are normalized for CPython's one deliberate deviation: it REMOVES
+    C0/invalid code points (html._invalid_codepoints) where the
+    reference's `entities` package emits them verbatim; its
+    _invalid_charrefs short-circuit (which keeps the undefined C1
+    slots 0x81/0x8D/0x8F/0x90/0x9D, as we do) is applied first.
+    A 30k-sample offline run of this generator passes with 0 diffs.
+    """
+    import html as html_mod
+    import random
+
+    from htmlparser2_spark.engine.dom import parse_document, text_content
+
+    strip = {
+        chr(cp)
+        for cp in html_mod._invalid_codepoints
+        if cp not in html_mod._invalid_charrefs
+    }
+    rng = random.Random(42)
+    names = [
+        "amp", "lt", "gt", "times", "timesb", "nbsp", "copy", "AMP",
+        "ampeer", "NotGreaterFullEqual", "image", "notareal", "uuml", "Ouml",
+    ]
+
+    def rand_s() -> str:
+        parts = []
+        for _ in range(rng.randrange(1, 10)):
+            r = rng.random()
+            if r < 0.4:
+                parts.append(
+                    "&" + rng.choice(names) + (";" if rng.random() < 0.5 else "")
+                )
+            elif r < 0.6:
+                parts.append(
+                    "&#" + ("x" if rng.random() < 0.5 else "")
+                    + str(rng.randrange(0, 150))
+                    + (";" if rng.random() < 0.5 else "")
+                )
+            else:
+                parts.append(rng.choice(["a", " b ", "=", "1", ";", "Z&", "c"]))
+        return "".join(parts)
+
+    for _ in range(3000):
+        s = rand_s().replace("<", "")
+        ours = "".join(
+            c for c in text_content(parse_document(s)) if c not in strip
+        )
+        assert ours == html_mod.unescape(s), repr(s)
