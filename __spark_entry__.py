@@ -319,6 +319,17 @@ def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inner_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domutils innerText: rendered text (script/style subtrees skipped,
+    <br> -> newline) — oracle derives it per page variant."""
+    from htmlparser2_spark.functions.udfs import inner_text_udf
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select(
+        "url", inner_text_udf()(F.col("html")).alias("rendered")
+    )
+
+
 def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getOuterHTML coverage: parse -> serialize -> reparse -> extract
     must still be byte-identical to the golden text."""
@@ -582,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_clean_text": _q_clean_text,
+        "q_inner_text": _q_inner_text,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -742,6 +754,16 @@ def oracle_sql() -> dict[str, str]:
             "' A & B <tag> !' "
             "ELSE 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || ' T & A tail' "
             "END AS main_text FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
+        ),
+        "q_inner_text": (
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE d.doc_id % 3 "
+            "WHEN 0 THEN 'Doc ' || CAST(d.doc_id AS STRING) || 'Doc ' || "
+            "CAST(d.doc_id AS STRING) || d.text || 'more' "
+            "WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS STRING) || d.text || "
+            "'A & B <tag> !' || chr(10) "
+            "ELSE 'Doc ' || CAST(d.doc_id AS STRING) || d.text || 'T & A' || 'tail' "
+            "END AS rendered FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
         ),
         "q_feed_extract": (
             "WITH per_source AS (SELECT source, count(*) AS n, min(doc_id) AS min_id "

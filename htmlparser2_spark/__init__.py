@@ -26,6 +26,7 @@ from .engine.dom import (
     DomArrayHandler,
     ElementType,
     clean_text,
+    inner_text,
     parse_document,
     serialize,
     text_content,
@@ -53,6 +54,7 @@ __all__ = [
     "parse_feed",
     "get_feed",
     "text_content",
+    "inner_text",
     "clean_text",
     "serialize",
     "fast_text_content",

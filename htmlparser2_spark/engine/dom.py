@@ -22,6 +22,7 @@ __all__ = [
     "ElementType",
     "parse_document",
     "text_content",
+    "inner_text",
     "clean_text",
     "serialize",
 ]
@@ -161,6 +162,25 @@ def text_content(nodes: list[dict]) -> str:
     node's data in document order (raw-text script/style bodies included —
     they are text nodes in the DOM; reference README.md:184)."""
     return "".join(n["data"] for n in nodes if n["type"] == "text")
+
+
+def inner_text(nodes: list[dict]) -> str:
+    """domutils ``innerText``-style rendered text: text nodes outside
+    script/style subtrees, with ``<br>`` rendered as a newline
+    (reference re-export: /root/reference/src/index.ts:86; contrast
+    ``textContent`` which includes rawtext bodies verbatim)."""
+    skip: set[int] = set()
+    out: list[str] = []
+    for n in nodes:
+        # DFS order guarantees parent_id < node_id, so one pass suffices.
+        if n["type"] in ("script", "style") or n["parent_id"] in skip:
+            skip.add(n["node_id"])
+            continue
+        if n["type"] == "text":
+            out.append(n["data"])
+        elif n["type"] == "tag" and n["name"] == "br":
+            out.append("\n")
+    return "".join(out)
 
 
 def clean_text(nodes: list[dict]) -> str:

@@ -29,13 +29,14 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..engine.dom import DomArrayHandler, clean_text, text_content
+from ..engine.dom import DomArrayHandler, clean_text, inner_text, text_content
 from ..engine.feed import get_feed
 from ..engine.parser import Parser, ParserOptions
 
 __all__ = [
     "extract_text_udf",
     "clean_text_udf",
+    "inner_text_udf",
     "dom_nodes_udf",
     "parser_events_udf",
     "feed_udf",
@@ -135,6 +136,21 @@ def extract_text_udf(**options):
         return html.map(one)
 
     return _extract
+
+
+def inner_text_udf(**options):
+    @F.pandas_udf(StringType())
+    def _inner(html: pd.Series) -> pd.Series:
+        def one(value) -> str:
+            handler = DomArrayHandler(with_indices=False)
+            parser = _make_parser(handler, options)
+            handler.attach(parser)
+            parser.parse(_to_str(value))
+            return inner_text(handler.nodes)
+
+        return html.map(one)
+
+    return _inner
 
 
 def clean_text_udf(**options):

@@ -154,3 +154,16 @@ def test_document_stream_equivalent():
     assert roots[0]["data"] == "&This is text"
     assert roots[1]["data"] == " and comments "
     assert roots[2]["name"] == "tags"
+
+
+def test_inner_text_semantics():
+    """innerText: script/style subtrees skipped, <br> -> newline,
+    RCDATA (textarea) text kept; contrast textContent which includes
+    rawtext bodies."""
+    from htmlparser2_spark.engine.dom import inner_text, parse_document, text_content
+
+    doc = ("<div>Hello<br>world<script>var x;</script>"
+           "<style>p{}</style><textarea>T</textarea> tail</div>")
+    nodes = parse_document(doc)
+    assert inner_text(nodes) == "Hello\nworldT tail"
+    assert text_content(nodes) == "Helloworldvar x;p{}T tail"
