@@ -53,17 +53,28 @@ class DomArrayHandler:
     """
 
     def __init__(self, with_indices: bool = True, element_callback=None) -> None:
+        self._with_indices = with_indices
+        self._element_callback = element_callback
+        self.parser: Parser | None = None
+        self._init_state()
+
+    def _init_state(self) -> None:
         self.nodes: list[dict] = []
         self._stack: list[int] = []  # node_ids of open elements
         self._child_counts: dict[int, int] = {-1: 0}
         self._last_text: int | None = None  # node_id of an open text node
         self._in_cdata = False
-        self._with_indices = with_indices
-        self._element_callback = element_callback
-        self.parser: Parser | None = None
 
     def attach(self, parser: Parser) -> None:
         self.parser = parser
+
+    def on_parser_init(self, parser: Parser) -> None:
+        # The reference DomHandler re-initializes its tree in
+        # onparserinit (fired at Parser construction and after every
+        # reset, Parser.ts:308/713-723), so a reused parser never leaks
+        # the previous document's nodes into the next parse.
+        self.parser = parser
+        self._init_state()
 
     # ------------------------------------------------------------------
     def _add(self, node_type: str, name: str | None, data: str | None,

@@ -52,13 +52,12 @@ class StreamingParser:
         self._ended = False
 
     def _use_after_end(self, message: str) -> None:
-        # Reference: routed to handler.onerror when provided, thrown
-        # otherwise (Parser.ts:776-779, 790-793).
+        # Reference: routed to handler.onerror when provided, silently
+        # ignored otherwise (`this.cbs.onerror?.(...)`,
+        # Parser.ts:776-779, 790-793 — optional chaining, no throw).
         on_error = getattr(self._handler, "on_error", None)
         if on_error is not None:
             on_error(RuntimeError(message))
-            return
-        raise RuntimeError(message)
 
     def write(self, chunk: str) -> None:
         if self._ended:
@@ -131,6 +130,13 @@ class WritableStreamParser(StreamingParser):
         super().write(self._decoder.decode(chunk))
 
     def end(self, chunk: bytes | None = None) -> None:  # type: ignore[override]
+        if self._ended:
+            # Guard before decoding/writing the final chunk so misuse
+            # emits exactly one '.end() after done!' error (the
+            # reference's behavior) instead of a '.write() after done!'
+            # followed by a second error.
+            self._use_after_end(".end() after done!")
+            return
         if chunk is not None:
             self.write(chunk)
         tail = self._decoder.decode(b"", final=True)

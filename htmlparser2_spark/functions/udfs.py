@@ -72,6 +72,9 @@ class _CountingHandler:
     __slots__ = ("n_events", "n_tags", "n_text_chars", "max_depth", "_depth")
 
     def __init__(self) -> None:
+        self.on_parser_init(None)
+
+    def on_parser_init(self, parser) -> None:
         self.n_events = 0
         self.n_tags = 0
         self.n_text_chars = 0
@@ -141,10 +144,14 @@ def extract_text_udf(**options):
 def inner_text_udf(**options):
     @F.pandas_udf(StringType())
     def _inner(html: pd.Series) -> pd.Series:
+        # One handler+parser per batch; parse() resets them per document
+        # (on_parser_init re-inits the tree, like the reference
+        # DomHandler), so per-row cost is a state reset, never object
+        # construction.
+        handler = DomArrayHandler(with_indices=False)
+        parser = _make_parser(handler, options)
+
         def one(value) -> str:
-            handler = DomArrayHandler(with_indices=False)
-            parser = _make_parser(handler, options)
-            handler.attach(parser)
             parser.parse(_to_str(value))
             return inner_text(handler.nodes)
 
@@ -156,10 +163,10 @@ def inner_text_udf(**options):
 def clean_text_udf(**options):
     @F.pandas_udf(StringType())
     def _clean(html: pd.Series) -> pd.Series:
+        handler = DomArrayHandler(with_indices=False)
+        parser = _make_parser(handler, options)
+
         def one(value) -> str:
-            handler = DomArrayHandler(with_indices=False)
-            parser = _make_parser(handler, options)
-            handler.attach(parser)
             parser.parse(_to_str(value))
             return clean_text(handler.nodes)
 
@@ -189,10 +196,13 @@ NODE_SCHEMA = ArrayType(
 def dom_nodes_udf(**options):
     @F.pandas_udf(NODE_SCHEMA)
     def _nodes(html: pd.Series) -> pd.Series:
+        # Batch-level reuse is safe for the returned node lists:
+        # on_parser_init binds a *fresh* list per document, so a
+        # previously returned list is never mutated by the next parse.
+        handler = DomArrayHandler()
+        parser = _make_parser(handler, options)
+
         def one(value):
-            handler = DomArrayHandler()
-            parser = _make_parser(handler, options)
-            handler.attach(parser)
             parser.parse(_to_str(value))
             return handler.nodes
 
@@ -223,6 +233,10 @@ class _EventArrayHandler:
     def __init__(self) -> None:
         self.events: list[dict] = []
         self.parser: Parser | None = None
+
+    def on_parser_init(self, parser) -> None:
+        self.parser = parser
+        self.events = []
 
     def _push(self, event, name=None, data=None, attrs=None, implied=None):
         p = self.parser
@@ -264,10 +278,10 @@ class _EventArrayHandler:
 def parser_events_udf(**options):
     @F.pandas_udf(EVENT_SCHEMA)
     def _events(html: pd.Series) -> pd.Series:
+        handler = _EventArrayHandler()
+        parser = _make_parser(handler, options)
+
         def one(value):
-            handler = _EventArrayHandler()
-            parser = _make_parser(handler, options)
-            handler.parser = parser
             parser.parse(_to_str(value))
             return handler.events
 
@@ -326,11 +340,10 @@ FEED_SCHEMA = StructType(
 def feed_udf():
     @F.pandas_udf(FEED_SCHEMA)
     def _feed(xml: pd.Series) -> pd.DataFrame:
+        handler = DomArrayHandler(with_indices=False)
+        parser = _make_parser(handler, {"xml_mode": True})
         rows = []
         for value in xml:
-            handler = DomArrayHandler(with_indices=False)
-            parser = _make_parser(handler, {"xml_mode": True})
-            handler.attach(parser)
             parser.parse(_to_str(value))
             feed = get_feed(handler.nodes)
             if feed is None:
@@ -377,10 +390,10 @@ STATS_SCHEMA = StructType(
 def doc_stats_udf(**options):
     @F.pandas_udf(STATS_SCHEMA)
     def _stats(html: pd.Series) -> pd.DataFrame:
+        handler = _CountingHandler()
+        parser = _make_parser(handler, options)
         rows = []
         for value in html:
-            handler = _CountingHandler()
-            parser = _make_parser(handler, options)
             parser.parse(_to_str(value))
             rows.append(
                 {

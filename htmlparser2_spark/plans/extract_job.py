@@ -127,8 +127,9 @@ def parse_pages(
     ``repartition=True`` forces the url-hash shuffle (use when the input
     layout is host-clustered and skewed).
 
-    ``jumbo_bytes`` (size-skew isolation): rows with ``length(html) >
-    jumbo_bytes`` are routed into their own url-hash-partitioned branch
+    ``jumbo_bytes`` (size-skew isolation): rows with ``octet_length(html)
+    > jumbo_bytes`` (bytes for BINARY, UTF-8 bytes for STRING columns)
+    are routed into their own url-hash-partitioned branch
     and parsed separately, so one 100MB page never queues behind — or
     holds up — a partition of ordinary documents. Costs a second pass
     over the scan (the predicate is not pushable), so it is opt-in;
@@ -139,7 +140,10 @@ def parse_pages(
     spark = pages.sparkSession
     n = n_partitions or 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     if jumbo_bytes is not None:
-        is_jumbo = F.coalesce(F.length("html"), F.lit(0)) > F.lit(jumbo_bytes)
+        # octet_length measures bytes for BINARY and UTF-8 bytes for
+        # STRING columns; length() would count characters for strings,
+        # under-measuring multi-byte UTF-8 documents by up to 4x.
+        is_jumbo = F.coalesce(F.octet_length("html"), F.lit(0)) > F.lit(jumbo_bytes)
         normal = parse_pages(
             pages.filter(~is_jumbo),
             n_partitions=n_partitions,
@@ -148,7 +152,16 @@ def parse_pages(
         jumbo = pages.filter(is_jumbo).repartition(n, F.xxhash64("url"))
         return normal.unionByName(jumbo.mapInPandas(_parse_batches, PARSED_SCHEMA))
     if repartition is None:
-        repartition = pages.rdd.getNumPartitions() < n
+        # Estimate scan parallelism without touching df.rdd (which
+        # converts the whole logical plan to an RDD on every call just
+        # to read a number): file sources are bounded below by their
+        # file count (files above maxPartitionBytes only split further),
+        # anything else runs at the cluster's default parallelism
+        # (exact for range/in-memory sources). Underestimating only
+        # errs toward shuffling, the conservative choice for skewed
+        # layouts; callers at scale should pass `repartition` explicitly.
+        n_in = len(pages.inputFiles()) or spark.sparkContext.defaultParallelism
+        repartition = n_in < n
     if repartition:
         pages = pages.repartition(n, F.xxhash64("url"))
     return pages.mapInPandas(_parse_batches, PARSED_SCHEMA)
@@ -199,17 +212,42 @@ def run_extract(
     # Re-derive the bucket from the url (cheap Catalyst expression,
     # avoids threading it through the UDF schema).
     parsed = parsed.withColumn("bucket", bucket)
+    parsed_path = os.path.join(out_dir, "parsed")
+    # Dynamic partition overwrite makes resume idempotent: if a prior
+    # run died after some bucket directories landed but before the
+    # manifest was written, re-parsing a todo bucket *replaces* its
+    # directory instead of appending duplicate rows (the append-mode
+    # hazard). Only the buckets present in this write are touched;
+    # already-completed (manifest-skipped) buckets are untouched.
     (
-        parsed.write.mode("append")
+        parsed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "parsed"))
+        .parquet(parsed_path)
     )
 
-    all_buckets = sorted(set(range(n_buckets)))
+    # Spark's commit protocol makes output files visible only at job
+    # commit, so the write returning means every todo bucket is durable.
+    # Cross-check against the bucket directories actually on disk rather
+    # than assuming: a todo bucket with zero rows creates no directory
+    # (still complete — there was nothing to write), but a manifest
+    # claiming buckets that are neither on disk nor in this run's todo
+    # set would be wrong, so completed = previously-done U this run's
+    # todo, and on-disk state is the tiebreaker for diagnostics.
+    todo = sorted(set(range(n_buckets)) - set(done))
+    on_disk = {
+        int(name.split("=", 1)[1])
+        for name in (os.listdir(parsed_path) if os.path.isdir(parsed_path) else [])
+        if name.startswith("bucket=")
+    }
+    completed = sorted(set(done) | set(todo))
     with open(manifest_path, "w") as fh:
-        json.dump({"completed_buckets": all_buckets}, fh)
+        json.dump(
+            {"completed_buckets": completed, "buckets_on_disk": sorted(on_disk)},
+            fh,
+        )
 
-    result = spark.read.parquet(os.path.join(out_dir, "parsed"))
+    result = spark.read.parquet(parsed_path)
     summary = result.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("golden_match").alias("matches"),

@@ -178,6 +178,31 @@ def test_run_extract_checkpoint_resume(spark, tmp_path):
     assert summary2["docs"] == 500  # no duplicated output rows
 
 
+def test_run_extract_resume_idempotent_after_crash(spark, tmp_path):
+    """Crash-before-manifest simulation: bucket data landed on disk but
+    the manifest was never written. A resume must re-parse the todo
+    buckets with dynamic partition *overwrite* (not append), so the
+    doubled run yields exactly the single-run rows — zero duplicate urls."""
+    import os
+
+    from htmlparser2_spark.plans.extract_job import run_extract
+    from htmlparser2_spark.sources.pages import build_pages
+
+    out = str(tmp_path / "extract")
+    pages = build_pages(spark, SF)
+    run_extract(spark, pages, out, n_buckets=8, resume=True)
+    # Simulate dying after the data write but before the manifest write.
+    os.remove(os.path.join(out, "manifest.json"))
+
+    summary = run_extract(spark, pages, out, n_buckets=8, resume=True)
+    assert summary["buckets_skipped"] == []  # manifest was gone: full redo
+    assert summary["docs"] == 500  # overwrite, not append: no duplicates
+
+    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+    dup = parsed.groupBy("url").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+
 def test_partition_metrics(spark):
     from htmlparser2_spark.plans.extract_job import parse_pages, partition_metrics
     from htmlparser2_spark.sources.pages import build_pages

@@ -56,15 +56,18 @@ def test_char_by_char_equals_whole(case):
     assert chunked.events == whole.events
 
 
-def test_write_after_end_raises():
+def test_write_after_end_silently_ignored_without_handler():
+    # The reference routes use-after-end through `this.cbs.onerror?.()`
+    # (optional chaining, Parser.ts:776-779, 790-793): with no onerror
+    # handler the misuse is silently ignored, never thrown.
     col = EventCollector()
     sp = StreamingParser(col)
     col.attach(sp._parser)
     sp.end("<p>x</p>")
-    with pytest.raises(RuntimeError, match=r"\.write\(\) after done!"):
-        sp.write("more")
-    with pytest.raises(RuntimeError, match=r"\.end\(\) after done!"):
-        sp.end()
+    before = list(col.events)
+    sp.write("more")  # no error, no new events
+    sp.end()
+    assert col.events == before
 
 
 def test_reset_reuses_instance():
@@ -161,3 +164,52 @@ def test_write_after_end_routed_to_onerror():
     sp.write("more")   # no raise
     sp.end()           # no raise
     assert errors == [".write() after done!", ".end() after done!"]
+
+
+def test_byte_stream_end_after_done_single_error():
+    """WritableStreamParser.end(chunk) after done emits exactly one
+    '.end() after done!' error (reference behavior) — not a
+    '.write() after done!' first."""
+    errors = []
+
+    class H(EventCollector):
+        def on_error(self, exc):
+            errors.append(str(exc))
+
+    col = H()
+    ws = WritableStreamParser(col)
+    col.attach(ws._parser)
+    ws.end(b"<p>x</p>")
+    ws.end(b"more")
+    assert errors == [".end() after done!"]
+
+
+def test_document_stream_reuse_does_not_leak_nodes():
+    """Reference DomHandler re-inits in onparserinit, so a reused
+    parser starts each document with a clean tree; a second parse must
+    not return the previous document's nodes prepended."""
+    from htmlparser2_spark.engine.stream import create_document_stream
+
+    results = []
+    sp = create_document_stream(lambda err, nodes: results.append(nodes))
+    sp.parse_complete("<p>a</p>")
+    sp.parse_complete("<b>x</b>")
+    assert [n["name"] for n in results[0] if n["type"] == "tag"] == ["p"]
+    assert [n["name"] for n in results[1] if n["type"] == "tag"] == ["b"]
+    texts = [n["data"] for n in results[1] if n["type"] == "text"]
+    assert texts == ["x"]
+
+
+def test_dom_handler_reuse_across_parser_reset():
+    from htmlparser2_spark.engine.dom import DomArrayHandler
+    from htmlparser2_spark.engine.parser import Parser
+
+    handler = DomArrayHandler()
+    parser = Parser(handler)
+    handler.attach(parser)
+    parser.parse("<div><p>one</p></div>")
+    first = [n["name"] for n in handler.nodes if n["type"] == "tag"]
+    parser.parse("<span>two</span>")
+    second = [n["name"] for n in handler.nodes if n["type"] == "tag"]
+    assert first == ["div", "p"]
+    assert second == ["span"]
