@@ -211,20 +211,60 @@ def _q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (no SQL oracle: permuted-hash
-    signatures are not expressible in DuckDB; rows-only check)."""
-    from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash+LSH with a superset-property oracle: every exact-Jaccard
+    >= 0.7 pair (independently computable in DuckDB — the same SQL shape
+    as the hash-checked q_near_dup_jaccard) must appear in the LSH
+    candidate set. The permuted-hash signatures themselves are not
+    SQL-expressible, but the recall contract of the banding IS, and it
+    is what a dedup pipeline actually relies on."""
+    from htmlparser2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
-    return minhash_lsh_pairs(_near_dup_input(spark, sf_dir), n_perm=32, bands=8)
+    inp = _near_dup_input(spark, sf_dir)
+    cands = minhash_lsh_pairs(inp, n_perm=32, bands=8).withColumn(
+        "recovered", F.lit(True)
+    )
+    truth = ngram_jaccard_pairs(inp, n=3, threshold=0.7).select("id_a", "id_b")
+    return truth.join(cands, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce("recovered", F.lit(False)).alias("recovered"),
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: xxhash64 bit arithmetic has no
-    DuckDB equivalent)."""
+    """SimHash with a distance-property oracle over the injected
+    near-dup pairs: for every original document d (d % 10 = 0, control
+    partner d+10 present), hamming(simhash(d), simhash(near-dup of d))
+    must be (a) within 16 bits and (b) no larger than the distance to
+    the unrelated control document d+10. The xxhash64 bit arithmetic is
+    not DuckDB-expressible; the locality contract is."""
     from htmlparser2_spark.operators.dedup import simhash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash64(docs)
+    sims = simhash64(_near_dup_input(spark, sf_dir))
+    base = sims.filter(
+        (F.col("id") % 10 == 0) & (F.col("id") < 1_000_000)
+    ).withColumnsRenamed({"id": "orig_id", "simhash": "h_orig"})
+    near = (
+        sims.filter(F.col("id") >= 1_000_000)
+        .withColumn("orig_id", F.col("id") - 1_000_000)
+        .select("orig_id", F.col("simhash").alias("h_near"))
+    )
+    ctrl = (
+        sims.filter(F.col("id") < 1_000_000)
+        .withColumn("orig_id", F.col("id") - 10)
+        .select("orig_id", F.col("simhash").alias("h_ctrl"))
+    )
+    j = base.join(near, "orig_id").join(ctrl, "orig_id")
+    ham_near = F.bit_count(F.col("h_orig").bitwiseXOR(F.col("h_near")))
+    ham_ctrl = F.bit_count(F.col("h_orig").bitwiseXOR(F.col("h_ctrl")))
+    return j.select(
+        "orig_id",
+        (ham_near <= 16).alias("within_bound"),
+        (ham_near <= ham_ctrl).alias("no_farther_than_control"),
+    )
 
 
 def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,8 +286,10 @@ def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID distribution (rows-only: marker-vote CASE
-    cascade kept Spark-side)."""
+    """Heuristic language-ID distribution. Oracle-checked: the
+    marker-vote cascade (count marker tokens per language, highest
+    score wins, ties broken by language order, zero hits -> 'und') is
+    ported to DuckDB SQL as a greatest/CASE cascade."""
     from htmlparser2_spark.functions.textstats import langid_guess
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -296,16 +338,19 @@ def _q_element_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate ANN: k-means cells + n_probe
-    search. Rows-only check (approximate by construction); exactness of
-    the underlying math is pinned by the oracle-checked q_ann_topk and
-    the recall test in tests/test_spark_ops.py."""
+    """IVF (inverted-file) ANN at full probe (n_probe = n_centroids):
+    the index must be *lossless* when every cell is probed, so the
+    result is hash-checkable against the same DuckDB cross-join oracle
+    as q_ann_topk. This pins the whole assign/probe/rank machinery
+    (cell partitioning must neither drop nor duplicate candidates); the
+    approximate n_probe < n_centroids path's recall is pinned by
+    tests/test_spark_ops.py."""
     from htmlparser2_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=3, iters=2)
+    return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=8, iters=2)
 
 
 def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +679,18 @@ _TAG_COUNTS = [
 ]
 
 
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+    "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10), "
+    "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "list_cosine_similarity(q.embedding, c.embedding) AS sim FROM q CROSS JOIN c) "
+    "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(sim, 4) AS sim FROM ("
+    "SELECT query_id, neighbor_id, sim, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+    "FROM sims) WHERE rank <= 5"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     tag_values = ", ".join(f"('{n}', {v}, {k})" for n, v, k in _TAG_COUNTS)
     sib_values = ", ".join(
@@ -837,14 +894,55 @@ def oracle_sql() -> dict[str, str]:
             "FROM pages p JOIN sib s ON p.doc_id % 3 = s.variant "
             "GROUP BY 1, 2"
         ),
-        "q_ann_topk": (
-            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
-            "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10), "
-            "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
-            "list_cosine_similarity(q.embedding, c.embedding) AS sim FROM q CROSS JOIN c) "
-            "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, round(sim, 4) AS sim FROM ("
-            "SELECT query_id, neighbor_id, sim, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
-            "FROM sims) WHERE rank <= 5"
+        "q_ann_topk": _ANN_TOPK_SQL,
+        # Full-probe IVF must be lossless — byte-identical to the exact
+        # cross-join ranking.
+        "q_ivf_topk": _ANN_TOPK_SQL,
+        "q_minhash_lsh": (
+            # The exact-Jaccard >= 0.7 truth set (same SQL as
+            # q_near_dup_jaccard); every pair must be recovered by LSH.
+            "WITH uni AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, 'extra prefix words here ' || text "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM uni)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, TRUE AS recovered FROM ("
+            "SELECT id_a, id_b, round(CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) WHERE jaccard >= 0.7"
+        ),
+        "q_simhash": (
+            # Locality contract: every injected near-dup lands within 16
+            # bits of its original and no farther than the unrelated
+            # control document d+10.
+            "SELECT doc_id AS orig_id, TRUE AS within_bound, "
+            "TRUE AS no_farther_than_control FROM documents "
+            "WHERE doc_id % 10 = 0 "
+            "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_langid": (
+            # The marker-vote cascade ported verbatim: per-language
+            # marker-token counts, highest wins, ties broken by language
+            # order (en, de, fr, es, zh), zero hits -> 'und'.
+            "WITH t AS (SELECT string_split_regex(text, '\\s+') AS toks "
+            "FROM documents), s AS (SELECT "
+            "len(list_filter(toks, x -> x IN ('the','and','of','with'))) AS s_en, "
+            "len(list_filter(toks, x -> x IN ('der','die','und','nicht'))) AS s_de, "
+            "len(list_filter(toks, x -> x IN ('le','les','des','est'))) AS s_fr, "
+            "len(list_filter(toks, x -> x IN ('el','los','que','por'))) AS s_es, "
+            "len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh "
+            "FROM t), g AS (SELECT CASE "
+            "WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und' "
+            "WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en' "
+            "WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de' "
+            "WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr' "
+            "WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS guess FROM s) "
+            "SELECT guess, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY guess"
         ),
     }

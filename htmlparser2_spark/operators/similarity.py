@@ -132,6 +132,36 @@ def _nearest_cells(vec_col, centroids: list[list[float]], n: int):
     return F.slice(F.array_sort(F.array(*ranked)), 1, n)
 
 
+# One seed candidate per ~64 corpus rows: enough that any corpus with
+# >= 64 * n_centroids rows (i.e. anything at scale) seeds from the
+# sample, while the per-row filter is a single JVM hash.
+_SEED_SAMPLE_MOD = 64
+
+
+def seed_candidates(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-sampled seed vectors for :func:`ivf_fit_centroids`.
+
+    ``filter(pmod(xxhash64(id), 64) = 0)`` then lowest-id top-k: the
+    top-k (TakeOrderedAndProject, never a global Sort/Exchange) runs
+    over the sampled slice only. Exposed separately so plan tests can
+    assert the physical shape.
+    """
+    sampled = corpus.select(id_col, vec_col).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SEED_SAMPLE_MOD)) == 0
+    )
+    return (
+        sampled.orderBy(id_col)
+        .limit(n_centroids)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+    )
+
+
 def ivf_fit_centroids(
     corpus: DataFrame,
     *,
@@ -143,19 +173,29 @@ def ivf_fit_centroids(
     """Fit k-means centroids with distributed Lloyd iterations.
 
     Deterministic: seeds are the ``n_centroids`` lowest-id vectors
-    (stable across runs and partitionings; at 100 TB swap the seed scan
-    for a hash-sampled ``TABLESAMPLE``). Each iteration is one Spark
-    pass — assign (JVM expression) + per-dimension mean via
-    ``posexplode``/``groupBy`` — and only the k x dim centroid matrix is
-    collected. Empty cells keep their previous centroid.
+    *within a hash-sampled slice* of the corpus
+    (``pmod(xxhash64(id), _SEED_SAMPLE_MOD) = 0``) — stable across runs
+    and partitionings, and the top-k ordering only ever sees ~1/64th of
+    the corpus instead of every row (at 100 TB, ordering the full corpus
+    just to pick 8 seed vectors would dominate the fit). The tiny-corpus
+    case (sampled slice smaller than ``n_centroids``) falls back to the
+    unsampled scan, which is cheap exactly when it happens. Each Lloyd
+    iteration is one Spark pass — assign (JVM expression) +
+    per-dimension mean via ``posexplode``/``groupBy`` — and only the
+    k x dim centroid matrix is collected. Empty cells keep their
+    previous centroid.
     """
-    seeds = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .collect()
-    )
+    seeds = seed_candidates(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    ).collect()
+    if len(seeds) < n_centroids:
+        seeds = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .select(_as_double(F.col(vec_col)).alias("v"))
+            .collect()
+        )
     centroids = [list(r["v"]) for r in seeds]
     for _ in range(iters):
         # Two projections: Spark's generator rewrite drops struct field

@@ -101,3 +101,18 @@ def test_jumbo_branch_is_union_of_two_parse_passes(spark):
     p = plan(parsed)
     assert "Union" in p
     assert p.count("MapInPandas") >= 2
+
+
+def test_ivf_seed_selection_has_no_global_sort(spark):
+    """Centroid seeding must hash-sample before ordering: the physical
+    plan contains no Sort node and no sort Exchange — only the top-k
+    TakeOrderedAndProject over the sampled slice — and the sampling
+    filter runs before it."""
+    from htmlparser2_spark.operators.similarity import seed_candidates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(seed_candidates(emb, n_centroids=8))
+    assert ") Sort" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "xxhash64" in p  # the sampling filter made it into the plan
