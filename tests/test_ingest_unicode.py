@@ -67,3 +67,86 @@ def test_text_content_multibyte():
 
 test_multibyte_utf8_through_udf = pytest.mark.spark(test_multibyte_utf8_through_udf)
 test_invalid_utf8_replaced = pytest.mark.spark(test_invalid_utf8_replaced)
+
+
+# ----------------------------------------------------------------------
+# End-to-end astral-plane position parity.
+#
+# The reference reports positions in UTF-16 code units (JS string
+# indices, /root/reference/src/Parser.ts:261-264); this engine reports
+# code points and converts via engine/positions.py. To pin parity
+# without a JS runtime: replace every astral char with TWO BMP chars —
+# the resulting document has exactly the UTF-16 code-unit geometry the
+# reference sees for the astral document (each astral char = 2 units =
+# 2 placeholder chars), and for pure-BMP input our code-point indices
+# ARE UTF-16 indices. So expanded-doc indices = the reference's indices
+# for the astral doc, derived independently of cp_to_utf16.
+
+_ASTRAL_DOC = (
+    '<h1 id="a\U0001F600b">Hi \U0001F30D x</h1>'
+    "<!-- c\U0001F4AFd --><script>s\U0001F600t</script><p>tail</p>"
+)
+_EXPANDED_DOC = (
+    _ASTRAL_DOC.replace("\U0001F600", "Q1")
+    .replace("\U0001F30D", "W2")
+    .replace("\U0001F4AF", "E3")
+)
+
+
+def _engine_events(doc):
+    from htmlparser2_spark.engine.collector import EventCollector
+    from htmlparser2_spark.engine.parser import Parser
+
+    col = EventCollector()
+    p = Parser(col)
+    col.attach(p)
+    p.parse(doc)
+    return col.events
+
+
+def test_astral_event_positions_match_utf16_reference_engine():
+    astral = _engine_events(_ASTRAL_DOC)
+    ref_u16 = _engine_events(_EXPANDED_DOC)  # = reference's UTF-16 indices
+    offs = utf16_offsets(_ASTRAL_DOC)
+    assert offs, "fixture must contain astral characters"
+    assert [e["$event"] for e in astral] == [e["$event"] for e in ref_u16]
+    for ea, eb in zip(astral, ref_u16):
+        assert cp_to_utf16(offs, ea["startIndex"]) == eb["startIndex"], ea
+        assert cp_to_utf16(offs, ea["endIndex"]) == eb["endIndex"], ea
+        # And back: the reference's UTF-16 indices map onto our code
+        # points (testHelper.ts:62-66 validates index invariants).
+        assert utf16_to_cp(offs, eb["startIndex"]) == ea["startIndex"]
+        assert utf16_to_cp(offs, eb["endIndex"]) == ea["endIndex"]
+
+
+def test_astral_positions_through_spark_udf(spark):
+    """The same parity end-to-end through parser_events_udf: converted
+    indices from the astral document equal the reference-equivalent
+    UTF-16 indices of its BMP-expanded twin."""
+    from htmlparser2_spark.functions.udfs import parser_events_udf
+
+    df = spark.createDataFrame(
+        [(0, _ASTRAL_DOC.encode()), (1, _EXPANDED_DOC.encode())],
+        "doc_kind int, html binary",
+    )
+    rows = (
+        df.select("doc_kind", F.explode(parser_events_udf()(F.col("html"))).alias("e"))
+        .select("doc_kind", "e.*")
+        .collect()
+    )
+    by_kind = {0: [], 1: []}
+    for r in rows:
+        by_kind[r["doc_kind"]].append(r)
+    astral = sorted(by_kind[0], key=lambda r: r["seq"])
+    ref_u16 = sorted(by_kind[1], key=lambda r: r["seq"])
+    offs = utf16_offsets(_ASTRAL_DOC)
+    assert len(astral) == len(ref_u16) and len(astral) > 5
+    for ea, eb in zip(astral, ref_u16):
+        assert ea["event"] == eb["event"]
+        assert cp_to_utf16(offs, ea["start_index"]) == eb["start_index"]
+        assert cp_to_utf16(offs, ea["end_index"]) == eb["end_index"]
+
+
+test_astral_positions_through_spark_udf = pytest.mark.spark(
+    test_astral_positions_through_spark_udf
+)
