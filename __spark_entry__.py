@@ -353,6 +353,29 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=8, iters=2)
 
 
+def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over REAL encoded bytes: a valid GIF header is
+    synthesized per document (SQL shared with the oracle — only byte
+    values < 128, so UTF-8 encoding is the identity), and the real
+    header parser in functions/multimodal.py must recover the exact
+    width/height the oracle predicts from doc_id."""
+    from htmlparser2_spark.functions.multimodal import image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(
+        F.concat(
+            F.lit("GIF89a"),
+            F.expr("char(1 + doc_id % 96)"),
+            F.expr("char(1)"),  # width  = (1 + doc_id % 96) + 256
+            F.expr("char(1 + (doc_id * 7) % 96)"),
+            F.expr("char(2)"),  # height = (1 + (doc_id * 7) % 96) + 512
+        ),
+        "utf-8",
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return image_features(media).select("media_id", "width", "height", "channels")
+
+
 def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-stripped main-content extraction (script/style removed,
     whitespace normalized) — the north rule's 'HTML boilerplate strip'."""
@@ -637,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_image_meta": _q_image_meta,
         "q_clean_text": _q_clean_text,
         "q_inner_text": _q_inner_text,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
@@ -925,6 +949,14 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS no_farther_than_control FROM documents "
             "WHERE doc_id % 10 = 0 "
             "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_image_meta": (
+            # The real GIF header parser must recover the synthesized
+            # logical-screen dimensions exactly.
+            "SELECT doc_id AS media_id, "
+            "CAST(257 + doc_id % 96 AS INTEGER) AS width, "
+            "CAST(513 + (doc_id * 7) % 96 AS INTEGER) AS height, "
+            "CAST(3 AS INTEGER) AS channels FROM documents"
         ),
         "q_langid": (
             # The marker-vote cascade ported verbatim: per-language

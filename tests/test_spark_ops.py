@@ -275,7 +275,48 @@ def test_image_features_plumbing(spark):
     )
 
 
+def test_image_audio_features_real_bytes(spark):
+    """Real encoded payloads (PNG/GIF/JPEG/WAV built byte-by-byte) must
+    decode to their true dimensions through the Arrow batch path, not
+    stub values."""
+    from tests.test_codecs import make_jpeg, make_png, make_wav
+
+    import struct
+
+    from htmlparser2_spark.functions.multimodal import audio_features, image_features
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    media = spark.createDataFrame(
+        [(1, make_png(12, 34)), (2, gif), (3, make_jpeg(360, 240))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (12, 34, 4)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (320, 200, 3)
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["channels"]) == (360, 240, 3)
+
+    wavs = spark.createDataFrame(
+        [(1, make_wav(44100, 999))], "media_id long, payload binary"
+    )
+    row = audio_features(wavs).collect()[0]
+    assert (row["sample_rate"], row["n_samples"]) == (44100, 999)
+
+
 # ---------------------------- pdf plumbing ----------------------------
+
+
+def test_pdf_real_text_through_spark(spark):
+    """An uncompressed PDF with genuine text operators extracts its real
+    text (reading order preserved) through the mapInPandas path."""
+    from htmlparser2_spark.functions.pdf import pdf_spans, pdf_text
+
+    content = b"BT 72 700 Td (First line) Tj 0 -14 TD (Second line) Tj ET"
+    payload = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n" + content + b"\nendstream\nendobj"
+    )
+    pdfs = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    text = pdf_text(pdf_spans(pdfs)).collect()[0]["text"]
+    assert text == "First line\nSecond line"
 
 def test_pdf_spans_and_text(spark):
     from htmlparser2_spark.functions.pdf import pdf_spans, pdf_text
