@@ -398,6 +398,50 @@ def _q_inner_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inner_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domutils getInnerHTML: serialize the first <body>'s children
+    without the body tag itself; the oracle rebuilds the exact expected
+    markup per page variant (serializer re-escapes &/</> in text)."""
+    from htmlparser2_spark.operators.domquery import inner_html
+
+    pages = build_pages(spark, sf_dir)
+    return inner_html(pages, tag="body").select(
+        "url", F.col("inner_html").alias("body_html")
+    )
+
+
+def _q_prev_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomUtils prevElementSibling: histogram of (element, previous
+    element) pairs — the mirror of q_element_siblings' next_element
+    check, sharing its per-variant pair inventory."""
+    from htmlparser2_spark.operators.domquery import element_siblings
+
+    nodes = _nodes_df(spark, sf_dir)
+    return (
+        element_siblings(nodes)
+        .filter(F.col("prev_element").isNotNull())
+        .groupBy("name", "prev_element")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_node_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getElementsByTagType over the nodes table: per-type counts for
+    the domelementtype kinds with known per-variant cardinalities."""
+    from htmlparser2_spark.operators.domquery import get_elements_by_tag_type
+
+    nodes = _nodes_df(spark, sf_dir)
+    out = None
+    for t in ("directive", "comment", "script", "style"):
+        part = (
+            get_elements_by_tag_type(nodes, t)
+            .groupBy(F.lit(t).alias("node_type"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getOuterHTML coverage: parse -> serialize -> reparse -> extract
     must still be byte-identical to the golden text."""
@@ -663,6 +707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_meta": _q_image_meta,
         "q_clean_text": _q_clean_text,
         "q_inner_text": _q_inner_text,
+        "q_inner_html": _q_inner_html,
+        "q_prev_siblings": _q_prev_siblings,
+        "q_node_types": _q_node_types,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -909,6 +956,45 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim "
             "FROM uni a JOIN uni b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9999"
+        ),
+        "q_inner_html": (
+            # Serializer contract per variant; text nodes re-escape
+            # & < > on the way out.
+            f"WITH {_PAGES_CTE} SELECT url, CASE d.doc_id % 3 "
+            "WHEN 0 THEN '<h1>Doc ' || CAST(d.doc_id AS STRING) || "
+            "'</h1><!-- src:' || d.source || ' --><p class=\"c' || "
+            "CAST(d.doc_id % 7 AS STRING) || '\">' || "
+            "replace(replace(replace(d.text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+            "'</p><a href=\"https://example.com/doc/' || CAST(d.doc_id AS STRING) || "
+            "'\">more</a>' "
+            "WHEN 1 THEN '<ul><li>Doc ' || CAST(d.doc_id AS STRING) || '</li><li>' || "
+            "replace(replace(replace(d.text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+            "'</li></ul><p>A &amp; B &lt;tag&gt; !<br><img src=\"i' || "
+            "CAST(d.doc_id AS STRING) || '.png\"></p>' "
+            "ELSE '<table><tr><td>Doc ' || CAST(d.doc_id AS STRING) || "
+            "'</td></tr><tr><td>' || "
+            "replace(replace(replace(d.text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+            "'</td></tr></table><textarea>T &amp; A</textarea><!--?bogus ' || "
+            "CAST(d.doc_id AS STRING) || '--><div>tail</div>' "
+            "END AS body_html FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
+        ),
+        "q_prev_siblings": (
+            # (element, prev) is the mirror of the next-sibling pairs.
+            f"WITH {_PAGES_CTE}, sib(name, next_element, variant, k) AS "
+            f"(VALUES {sib_values}) "
+            "SELECT s.next_element AS name, s.name AS prev_element, "
+            "CAST(SUM(s.k) AS BIGINT) AS cnt "
+            "FROM pages p JOIN sib s ON p.doc_id % 3 = s.variant "
+            "GROUP BY 1, 2"
+        ),
+        "q_node_types": (
+            "WITH v AS (SELECT "
+            "count(*) FILTER (WHERE doc_id % 3 = 0) AS n0, "
+            "count(*) FILTER (WHERE doc_id % 3 = 2) AS n2 FROM documents) "
+            "SELECT 'directive' AS node_type, CAST(n0 AS BIGINT) AS cnt FROM v "
+            "UNION ALL SELECT 'comment', CAST(n0 + n2 AS BIGINT) FROM v "
+            "UNION ALL SELECT 'script', CAST(n0 AS BIGINT) FROM v "
+            "UNION ALL SELECT 'style', CAST(n0 AS BIGINT) FROM v"
         ),
         "q_element_siblings": (
             f"WITH {_PAGES_CTE}, sib(name, next_element, variant, k) AS "

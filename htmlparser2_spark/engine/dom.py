@@ -25,6 +25,7 @@ __all__ = [
     "inner_text",
     "clean_text",
     "serialize",
+    "inner_html_of",
 ]
 
 
@@ -218,12 +219,15 @@ _VOID = frozenset(
 )
 
 
-def serialize(nodes: list[dict], *, xml_mode: bool = False) -> str:
+def serialize(nodes: list[dict], *, xml_mode: bool = False,
+              root_id: int = -1) -> str:
     """Render the adjacency DOM back to markup (getOuterHTML-equivalent).
 
     Engine-defined formatting contract: double-quoted attributes with
     ``&``/``"`` escaped, void elements unclosed in HTML mode, self-closing
-    empty elements in XML mode.
+    empty elements in XML mode. ``root_id`` renders only that node's
+    children (getInnerHTML semantics); the default -1 renders the whole
+    document.
     """
     children: dict[int, list[dict]] = {}
     for n in nodes:
@@ -238,7 +242,7 @@ def serialize(nodes: list[dict], *, xml_mode: bool = False) -> str:
     # Iterative render (explicit work stack): real-web DOMs can nest
     # deeper than Python's recursion limit.
     out: list[str] = []
-    stack: list = list(reversed(children.get(-1, [])))
+    stack: list = list(reversed(children.get(root_id, [])))
     while stack:
         item = stack.pop()
         if isinstance(item, str):  # deferred closing text
@@ -287,3 +291,10 @@ def serialize(nodes: list[dict], *, xml_mode: bool = False) -> str:
         stack.append(f"</{n['name']}>")
         stack.extend(reversed(kids))
     return "".join(out)
+
+
+def inner_html_of(nodes: list[dict], node_id: int, *, xml_mode: bool = False) -> str:
+    """domutils ``getInnerHTML``: the node's children serialized, without
+    the node's own tag (reference re-export surface:
+    /root/reference/README.md:166-218)."""
+    return serialize(nodes, xml_mode=xml_mode, root_id=node_id)

@@ -22,6 +22,7 @@ from ..functions.udfs import dom_nodes_udf
 __all__ = [
     "explode_nodes",
     "get_elements_by_tag_name",
+    "get_elements_by_tag_type",
     "get_element_by_id",
     "find_all",
     "find_one",
@@ -32,6 +33,7 @@ __all__ = [
     "get_attribute_value",
     "text_content_per_doc",
     "outer_html",
+    "inner_html",
     "remove_elements",
 ]
 
@@ -47,6 +49,14 @@ def explode_nodes(pages: DataFrame, html_col: str = "html", key_col: str = "url"
 def get_elements_by_tag_name(nodes: DataFrame, name: str, *, limit: int | None = None) -> DataFrame:
     out = nodes.filter(F.col("name") == name)
     return out.limit(limit) if limit else out
+
+
+def get_elements_by_tag_type(nodes: DataFrame, node_type: str) -> DataFrame:
+    """getElementsByTagType-equivalent (reference surface:
+    /root/reference/README.md:166-218): all nodes of one domelementtype
+    (``tag``/``script``/``style``/``text``/``comment``/``cdata``/
+    ``directive``). A plain pushdown-friendly filter on the nodes table."""
+    return nodes.filter(F.col("type") == node_type)
 
 
 def get_element_by_id(nodes: DataFrame, element_id: str) -> DataFrame:
@@ -184,6 +194,42 @@ def outer_html(pages: DataFrame, html_col: str = "html", **parser_options) -> Da
         return html.map(one)
 
     return pages.withColumn("outer_html", _render(F.col(html_col)))
+
+
+def inner_html(pages: DataFrame, *, tag: str = "body", html_col: str = "html",
+               **parser_options) -> DataFrame:
+    """getInnerHTML-equivalent over pages: parse each document, locate
+    the first element named ``tag`` (depth-first, like domutils
+    getElementsByTagName(...)[0]), and serialize its children without
+    the element's own tag (engine.dom.inner_html_of). NULL when the tag
+    is absent."""
+    from pyspark.sql.types import StringType
+
+    from ..engine.dom import DomArrayHandler, inner_html_of
+    from ..engine.parser import Parser, ParserOptions
+
+    xml_mode = parser_options.get("xml_mode", False)
+
+    @F.pandas_udf(StringType())
+    def _inner(html: pd.Series) -> pd.Series:
+        handler = DomArrayHandler(with_indices=False)
+        parser = Parser(handler, ParserOptions(**parser_options))
+
+        def one(value):
+            raw = bytes(value).decode("utf-8", "replace") if isinstance(
+                value, (bytes, bytearray)
+            ) else (value or "")
+            parser.parse(raw)
+            target = next(
+                (n for n in handler.nodes if n["name"] == tag), None
+            )
+            if target is None:
+                return None
+            return inner_html_of(handler.nodes, target["node_id"], xml_mode=xml_mode)
+
+        return html.map(one)
+
+    return pages.withColumn("inner_html", _inner(F.col(html_col)))
 
 
 def remove_elements(nodes: DataFrame, predicate) -> DataFrame:

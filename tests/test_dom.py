@@ -167,3 +167,17 @@ def test_inner_text_semantics():
     nodes = parse_document(doc)
     assert inner_text(nodes) == "Hello\nworldT tail"
     assert text_content(nodes) == "Helloworldvar x;p{}T tail"
+
+
+def test_inner_html_of():
+    """getInnerHTML: children serialized without the element's own tag
+    (reference surface: /root/reference/README.md:166-218)."""
+    from htmlparser2_spark.engine.dom import inner_html_of, parse_document
+
+    nodes = parse_document('<div id="x"><p>a &amp; b</p><br>tail</div>')
+    div = next(n for n in nodes if n["name"] == "div")
+    assert inner_html_of(nodes, div["node_id"]) == "<p>a &amp; b</p><br>tail"
+    p = next(n for n in nodes if n["name"] == "p")
+    assert inner_html_of(nodes, p["node_id"]) == "a &amp; b"
+    # Whole document via the root sentinel keeps getOuterHTML semantics.
+    assert inner_html_of(nodes, -1) == '<div id="x"><p>a &amp; b</p><br>tail</div>'
