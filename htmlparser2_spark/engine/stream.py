@@ -14,18 +14,28 @@ StringDecoder keeps split multi-byte UTF-8 intact):
   multi-byte sequences that straddle chunk boundaries
   (WritableStream.spec.ts:10-20 is the reference test for this).
 
-Delivery model: the reference tokenizes each chunk as it arrives and
-guarantees the *final* event stream is chunk-invariant — its own spec
-parses every input both char-by-char and whole and asserts identical
-streams (Parser.events.spec.ts:13-40; the collector merges adjacent
-text events split by chunk boundaries). This engine holds the chunks
-and emits that same stream at ``end()``: per-document memory is O(doc)
-either way (the Parser retains all chunks for getSlice until consumed,
-Parser.ts:285-286), and the cluster-scale analogue of bounded
-incremental progress is Arrow batch sizing + Structured Streaming
-(SURVEY.md §2.3), not intra-document chunk replay. The chunk-invariance
-contract itself is pinned by tests/test_streaming_parser.py, which
-replays every ported golden char-by-char.
+Delivery model: like the reference, ``write()`` tokenizes incrementally
+— events for every construct that is provably complete in the data so
+far are delivered during the ``write()`` call (so createDocumentStream
+element callbacks fire as elements close, not only at ``end()``).
+Constructs that might still change with more input (an unterminated
+tag/comment/rawtext body, an entity touching the buffer end, trailing
+text) are deferred: the tokenizer suspends at the first such construct
+(:meth:`Tokenizer.run_partial`) and the final ``end()`` pass applies
+EOF semantics from the suspension point. Consequences of that contract:
+
+* The *final* event stream is chunk-invariant, exactly like the
+  reference (Parser.events.spec.ts:13-40); text events may split at
+  chunk boundaries in both engines and collectors merge them.
+* Delivery timing differs from the reference only in that an element
+  whose construct spans a chunk boundary is delivered when it
+  completes, not re-attempted per character.
+* Per-document memory is O(doc) in both engines (the reference retains
+  all chunks for getSlice, Parser.ts:285-286).
+
+Custom injected tokenizers (``ParserOptions.tokenizer_class``) fall
+back to buffer-and-parse-at-end, since their overridden behavior has no
+incremental contract.
 """
 
 from __future__ import annotations
@@ -48,7 +58,13 @@ class StreamingParser:
     def __init__(self, handler, options: ParserOptions | None = None) -> None:
         self._parser = Parser(handler, options)
         self._handler = handler
-        self._chunks: list[str] = []
+        # Incremental tokenization needs our scan-based Tokenizer's
+        # run_partial contract; injected custom tokenizers keep the
+        # buffer-and-parse-at-end behavior.
+        self._incremental = (options is None or options.tokenizer_class is None)
+        self._buf = ""
+        self._resume = 0
+        self._started = False
         self._ended = False
 
     def _use_after_end(self, message: str) -> None:
@@ -59,24 +75,44 @@ class StreamingParser:
         if on_error is not None:
             on_error(RuntimeError(message))
 
+    def _begin(self) -> None:
+        # Lifecycle parity with Parser.parse: onreset/onparserinit fire
+        # once at the start of each document (Parser.ts:713-740).
+        if not self._started:
+            self._parser.reset()
+            self._started = True
+
     def write(self, chunk: str) -> None:
         if self._ended:
             self._use_after_end(".write() after done!")
             return
-        self._chunks.append(chunk)
+        self._buf += chunk
+        if self._incremental:
+            self._begin()
+            self._parser.buffer = self._buf
+            self._resume = self._parser.tokenizer.run_partial(
+                self._buf, self._resume
+            )
 
     def end(self, chunk: str | None = None) -> None:
         if self._ended:
             self._use_after_end(".end() after done!")
             return
         if chunk is not None:
-            self._chunks.append(chunk)
+            self._buf += chunk
         self._ended = True
-        self._parser.parse("".join(self._chunks))
+        if self._incremental:
+            self._begin()
+            self._parser.buffer = self._buf
+            self._parser.tokenizer.run(self._buf, self._resume)
+        else:
+            self._parser.parse(self._buf)
 
     def reset(self) -> None:
         """Reuse the instance for a new document (Parser.ts:713-726)."""
-        self._chunks.clear()
+        self._buf = ""
+        self._resume = 0
+        self._started = False
         self._ended = False
 
     def parse_complete(self, data: str) -> None:

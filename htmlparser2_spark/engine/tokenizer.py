@@ -121,7 +121,13 @@ class Tokenizer:
         self.light_attrs = light_attrs
 
     # ------------------------------------------------------------------
-    def run(self, buf: str) -> None:
+    def run(self, buf: str, start: int = 0) -> None:
+        """Tokenize ``buf`` from ``start`` to EOF (one-shot semantics).
+
+        ``start`` supports the incremental path (:meth:`run_partial`):
+        the final ``end()`` pass resumes where the last partial pass
+        suspended; positions stay absolute document offsets either way.
+        """
         cbs = self.cbs
         xml = self.xml_mode
         decode = self.decode_entities
@@ -140,8 +146,8 @@ class Tokenizer:
         text_stop_search = _RE_TEXT_STOP.search
         find = buf.find
 
-        i = 0  # cursor
-        sec = 0  # section start of the current text run
+        i = start  # cursor
+        sec = start  # section start of the current text run
         while i < n:
             # ---------------- Text ----------------
             if decode:
@@ -187,6 +193,255 @@ class Tokenizer:
         if sec < n:
             cbs.on_text(sec, n)
         cbs.on_end()
+
+    # ------------------------------------------------------------------
+    # Incremental (chunked) tokenization.
+    #
+    # ``run_partial`` tokenizes as much of ``buf`` as is provably final:
+    # each construct is pre-validated for completeness with cheap
+    # find-based scans, then executed through the same helpers the
+    # one-shot path uses. On the first construct that *might* change
+    # with more input (unterminated tag/comment/rawtext body, an entity
+    # touching the buffer end, trailing text) it stops and returns the
+    # position to resume from; the caller re-invokes with the grown
+    # buffer, and the final pass runs :meth:`run` (EOF semantics) from
+    # the last resume point. Validation is deliberately conservative:
+    # a false "incomplete" only defers delivery to ``end()`` (the
+    # pre-existing behavior); validation never lets a helper hit its
+    # EOF path mid-stream, which is what the chunked==whole golden
+    # replays pin.
+
+    # Longest named entity is 33 chars ("&CounterClockwiseContourIntegral;");
+    # any '&' closer than this to the buffer end might still grow.
+    _ENTITY_GUARD = 48
+
+    def run_partial(self, buf: str, start: int) -> int:
+        """Deliver events for every complete construct in
+        ``buf[start:]``; return the resume position (callers pass it
+        back with more data, or to :meth:`run` at end-of-input)."""
+        cbs = self.cbs
+        xml = self.xml_mode
+        decode = self.decode_entities
+        n = len(buf)
+        lbuf = buf.translate(_ASCII_LOWER)
+        text_mode = STRICT if xml else LEGACY
+        guard = self._ENTITY_GUARD
+
+        i = start
+        sec = start
+        while i < n:
+            # ---------------- text ----------------
+            if decode:
+                m = _RE_TEXT_STOP.search(buf, i)
+                if m is None:
+                    return sec  # trailing text: not final yet
+                j = m.start()
+                if buf[j] == "&":
+                    res = decode_at(buf, j, text_mode)
+                    # Stability: a decode (or non-decode) is final only
+                    # when no future char can change it. Any '&' within
+                    # the longest-entity window of the buffer end can
+                    # ("&timesbar" + ";" upgrades a legacy &times match
+                    # to the full name; "&am" + "p;" turns a non-match
+                    # into one), and an arbitrarily long numeric run
+                    # touching the end can keep growing.
+                    if n - j < guard or (res is not None and j + res[1] >= n):
+                        if sec < j:
+                            cbs.on_text(sec, j)
+                        return j
+                    if res is None:
+                        i = j + 1  # stable literal '&'
+                        continue
+                    cps, consumed = res
+                    end = j + consumed
+                    if sec < j:
+                        cbs.on_text(sec, j)
+                    for cp in cps:
+                        cbs.on_text_entity(cp, end)
+                    i = sec = end
+                    continue
+            else:
+                j = buf.find("<", i)
+                if j == -1:
+                    return sec
+            # '<' at j. Text before a construct is final in every
+            # continuation (the one-shot loop emits it before
+            # dispatching too), so suspensions flush it and resume at
+            # the '<' itself.
+            if j + 1 >= n:
+                if j > sec:
+                    cbs.on_text(sec, j)
+                return j  # dispatch char not buffered yet
+            c = buf[j + 1]
+            if ("a" <= c <= "z" or "A" <= c <= "Z") if not xml else (
+                not _is_end_of_tag_section(c) and c not in "!?/"
+            ):
+                if not self._validate_open_tag(buf, lbuf, j + 1):
+                    if j > sec:
+                        cbs.on_text(sec, j)
+                    return j
+                if j > sec:
+                    cbs.on_text(sec, j)
+                i, sec = self._open_tag(buf, lbuf, j + 1)
+            elif c == "!":
+                if not self._validate_bang(buf, lbuf, j):
+                    if j > sec:
+                        cbs.on_text(sec, j)
+                    return j
+                if j > sec:
+                    cbs.on_text(sec, j)
+                i, sec = self._markup_declaration(buf, lbuf, j + 2)
+            elif c == "?":
+                terminated = (
+                    buf.find("?>", j + 2) != -1
+                    if xml
+                    else buf.find(">", j + 2) != -1
+                )
+                if not terminated:
+                    if j > sec:
+                        cbs.on_text(sec, j)
+                    return j
+                if j > sec:
+                    cbs.on_text(sec, j)
+                if xml:
+                    i, sec = self._processing_instruction(buf, j + 2)
+                else:
+                    i, sec = self._bogus_comment(buf, j + 1, j + 1)
+            elif c == "/":
+                # Every closing-tag path (name, '</>', '</ ' bogus
+                # comment, junk skip) terminates at a '>'.
+                if buf.find(">", j + 2) == -1:
+                    if j > sec:
+                        cbs.on_text(sec, j)
+                    return j
+                if j > sec:
+                    cbs.on_text(sec, j)
+                i, sec = self._closing_tag(buf, lbuf, j + 2)
+            else:
+                i = j + 1  # literal '<': stays in the text run
+        return sec
+
+    def _validate_open_tag(self, buf: str, lbuf: str, i: int) -> bool:
+        """True when the open tag starting at ``i`` (first name char) —
+        including a raw-text/RCDATA body for special tags — is provably
+        complete in ``buf``."""
+        n = len(buf)
+        special = None
+        if not self.xml_mode:
+            cands = _SPECIAL_BY_FIRST.get(lbuf[i])
+            if cands and not self.cbs.is_in_foreign_context():
+                for cand in cands:
+                    end = i + len(cand)
+                    if lbuf[i:end] == cand and end < n:
+                        if _is_end_of_tag_section(buf[end]):
+                            special = cand
+                        break
+                    if end >= n and cand.startswith(lbuf[i:n]):
+                        return False  # could still become special
+        if special == "plaintext":
+            # Consumes to EOF by definition: only final.
+            return False
+        # Quote-aware scan for the tag-ending '>' (value quotes are
+        # those preceded by '='+ws; any other quote placement is
+        # pathological — defer it rather than model the exact machine).
+        pos = i
+        while True:
+            g = buf.find(">", pos)
+            if g == -1:
+                return False
+            q1 = buf.find('"', pos, g)
+            q2 = buf.find("'", pos, g)
+            q = q1 if q2 == -1 else q2 if q1 == -1 else min(q1, q2)
+            if q == -1:
+                break
+            k = q - 1
+            while k >= i and buf[k] in _WS:
+                k -= 1
+            if k < i or buf[k] != "=":
+                return False  # suspicious quote: defer to end()
+            mate = buf.find(buf[q], q + 1)
+            if mate == -1:
+                return False
+            pos = mate + 1
+        if special is None:
+            return True
+        # Raw-text/RCDATA body: the case-insensitive end tag, a tag-
+        # section char after it, and the closing '>' must all be here.
+        needle = "</" + special
+        ln = len(needle)
+        pos = g + 1
+        while True:
+            k = lbuf.find(needle, pos)
+            if k == -1 or k + ln >= n:
+                return False
+            if not _is_end_of_tag_section(buf[k + ln]):
+                pos = k + ln
+                continue
+            if buf[k + ln] == ">":
+                return True
+            return buf.find(">", k + ln) != -1
+
+    def _validate_bang(self, buf: str, lbuf: str, j: int) -> bool:
+        """True when the ``<!`` construct at ``j`` is provably complete:
+        comments need their end sequence, CDATA its ``]]>``, everything
+        else a ``>``; prefixes that could still become a different
+        construct ("<![CD", "<!doct" at buffer end) stay incomplete."""
+        n = len(buf)
+        s = j + 2
+        if s >= n:
+            return False
+        c = buf[s]
+        if c == "[":
+            rest = buf[s + 1 : s + 7]
+            if rest == "CDATA[":
+                # XML emits the cdata at ']]>'; unclosed HTML CDATA is
+                # a bogus-comment-to-EOF — either way ']]>' must be
+                # in-buffer before the construct is final.
+                return buf.find("]]>", s + 7) != -1
+            if len(rest) < 6 and "CDATA[".startswith(rest):
+                return False  # could still complete the sequence
+            return buf.find(">", s + 1) != -1  # declaration / bogus
+        if c == "-":
+            if s + 1 >= n:
+                return False
+            if buf[s + 1] == "-":
+                body = s + 2  # comment content start
+                if not self.xml_mode:
+                    # Abruptly closed empty comments are HTML-only
+                    # (Tokenizer.ts:419-432); XML comments always need
+                    # the full end sequence.
+                    if body >= n:
+                        return False
+                    if buf[body] == ">":
+                        return True  # <!-->
+                    if buf[body] == "-" and body + 1 >= n:
+                        return False  # could be <!---> or a dash run
+                    if buf.startswith("->", body):
+                        return True  # <!--->
+                return _RE_COMMENT_END.search(buf, body) is not None
+            # '<!-' + other: XML declaration (consumes the char at s+1
+            # unchecked, so its terminator starts at s+2) / HTML
+            # bogus-or-empty comment (terminator can be at s+1 itself).
+            if self.xml_mode:
+                return buf.find(">", s + 2) != -1
+            return buf.find(">", s + 1) != -1
+        if not self.xml_mode and lbuf[s] == "d":
+            k = s + 1
+            t = 1
+            while k < n and t < 7 and lbuf[k] == "doctype"[t]:
+                k += 1
+                t += 1
+            if t < 7 and k >= n:
+                return False  # partial 'doctype' could still match
+            return buf.find(">", k) != -1
+        if not self.xml_mode:
+            if c == ">":
+                return True  # '<!>': empty bogus comment
+            return buf.find(">", s + 1) != -1  # bogus comment
+        # XML declaration: the char at s is consumed unchecked
+        # (Tokenizer.ts BeforeDeclaration), so '<!>' scans on for a
+        # LATER '>' — the terminator search starts past it.
+        return buf.find(">", s + 1) != -1
 
     # ------------------------------------------------------------------
     def _is_tag_start(self, c: str) -> bool:

@@ -213,3 +213,104 @@ def test_dom_handler_reuse_across_parser_reset():
     second = [n["name"] for n in handler.nodes if n["type"] == "tag"]
     assert first == ["div", "p"]
     assert second == ["span"]
+
+
+# ---------------- incremental (write-time) delivery ----------------
+
+def test_events_delivered_during_write():
+    """Complete constructs are delivered at write() time, like the
+    reference's per-chunk tokenization — not deferred to end()."""
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("<div><p>hello</p>")
+    # div open, p open, text, p close are all complete already.
+    assert [e["$event"] for e in col.events] == [
+        "opentagname", "opentag", "opentagname", "opentag", "text", "closetag",
+    ]
+    n_before = len(col.events)
+    sp.write("<p>wo")
+    # "<p>" is complete; "wo" is pending trailing text.
+    assert [e["$event"] for e in col.events][n_before:] == [
+        "opentagname", "opentag",
+    ]
+    sp.end("rld</p></div>")
+    texts = [e for e in col.events if e["$event"] == "text"]
+    assert texts[-1]["data"] == ["world"]
+
+
+def test_element_callback_fires_during_write():
+    from htmlparser2_spark.engine.stream import create_document_stream
+
+    seen = []
+    sp = create_document_stream(
+        lambda err, nodes: None, element_callback=lambda n: seen.append(n["name"])
+    )
+    sp.write("<ul><li>a</li>")
+    assert seen == ["li"]  # delivered before end()
+    sp.write("<li>b</li></ul>")
+    assert seen == ["li", "li", "ul"]
+    sp.end()
+    assert seen == ["li", "li", "ul"]
+
+
+def test_incomplete_constructs_are_withheld():
+    """Nothing is delivered for a construct that may still change:
+    unterminated script body, comment, tag, or boundary entity."""
+    for prefix in ("<script>alert('</scr", "<!-- unterminated", "<div cls",
+                   "text &am"):
+        col = EventCollector()
+        sp = StreamingParser(col)
+        col.attach(sp._parser)
+        sp.write(prefix)
+        held = [e for e in col.events
+                if not (e["$event"] == "text" and prefix.startswith(e["data"][0]))]
+        assert held == [], (prefix, col.events)
+
+
+def test_boundary_entity_resolves_across_chunks():
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("x &am")
+    sp.write("p; y")
+    sp.end()
+    assert [e["data"] for e in col.events if e["$event"] == "text"] == [["x & y"]]
+
+
+def test_legacy_entity_upgrade_across_chunks():
+    # "&times" (legacy, no ;) must not decode early when "bar;" follows
+    # in a later chunk and upgrades the match to "&timesbar;".
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("&timesbar")
+    sp.write(";")
+    sp.end()
+    assert col.events[0]["data"] == ["⨱"]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_chunk_splits_equal_whole(seed):
+    """Arbitrary (not just per-char) chunkings across all goldens."""
+    import random
+
+    rng = random.Random(seed)
+    for case in GOLDENS:
+        opts = _opts(case["options"])
+        whole = EventCollector()
+        p = Parser(whole, opts)
+        whole.attach(p)
+        p.parse(case["input"])
+
+        chunked = EventCollector()
+        sp = StreamingParser(chunked, opts)
+        chunked.attach(sp._parser)
+        s = case["input"]
+        i = 0
+        while i < len(s):
+            step = rng.randint(1, 7)
+            sp.write(s[i : i + step])
+            i += step
+        sp.end()
+        assert chunked.events == whole.events, case["name"]
