@@ -154,13 +154,15 @@ def parse_pages(
     if repartition is None:
         # Estimate scan parallelism without touching df.rdd (which
         # converts the whole logical plan to an RDD on every call just
-        # to read a number): file sources are bounded below by their
-        # file count (files above maxPartitionBytes only split further),
-        # anything else runs at the cluster's default parallelism
-        # (exact for range/in-memory sources). Underestimating only
-        # errs toward shuffling, the conservative choice for skewed
-        # layouts; callers at scale should pass `repartition` explicitly.
-        n_in = len(pages.inputFiles()) or spark.sparkContext.defaultParallelism
+        # to read a number). Splittable file scans produce at least
+        # ~defaultParallelism partitions (spark.sql.files.minPartitionNum
+        # defaults to it) and at least one per file, so
+        # max(files, defaultParallelism) is the floor; non-file plans
+        # run at default parallelism. Misestimates only affect the
+        # shuffle-or-not heuristic — callers at scale should pass
+        # `repartition` explicitly (unsplittable .gz inputs especially).
+        par = spark.sparkContext.defaultParallelism
+        n_in = max(len(pages.inputFiles()), par)
         repartition = n_in < n
     if repartition:
         pages = pages.repartition(n, F.xxhash64("url"))
