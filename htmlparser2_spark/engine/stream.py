@@ -66,6 +66,8 @@ class StreamingParser:
         self._resume = 0
         self._started = False
         self._ended = False
+        self._paused = False
+        self._end_pending: tuple | None = None
 
     def _use_after_end(self, message: str) -> None:
         # Reference: routed to handler.onerror when provided, silently
@@ -82,21 +84,31 @@ class StreamingParser:
             self._parser.reset()
             self._started = True
 
+    def _pump(self) -> None:
+        """Tokenize as much buffered input as delivery rules (and a
+        possible mid-pass pause()) allow."""
+        self._begin()
+        self._parser.buffer = self._buf
+        self._resume = self._parser.tokenizer.run_partial(
+            self._buf, self._resume, should_pause=lambda: self._paused
+        )
+
     def write(self, chunk: str) -> None:
         if self._ended:
             self._use_after_end(".write() after done!")
             return
         self._buf += chunk
-        if self._incremental:
-            self._begin()
-            self._parser.buffer = self._buf
-            self._resume = self._parser.tokenizer.run_partial(
-                self._buf, self._resume
-            )
+        if self._incremental and not self._paused:
+            self._pump()
 
     def end(self, chunk: str | None = None) -> None:
         if self._ended:
             self._use_after_end(".end() after done!")
+            return
+        if self._paused:
+            # Reference: end() while paused is honored on resume()
+            # (Parser.ts:805-823 buffers and replays).
+            self._end_pending = (chunk,)
             return
         if chunk is not None:
             self._buf += chunk
@@ -108,12 +120,39 @@ class StreamingParser:
         else:
             self._parser.parse(self._buf)
 
+    def pause(self) -> None:
+        """Stop consuming input (backpressure, Parser.ts:805-811).
+
+        Subsequent ``write()`` calls buffer without tokenizing; a call
+        from within a handler callback stops the in-flight pass at the
+        current construct boundary. ``end()`` while paused is deferred
+        until :meth:`resume`.
+        """
+        self._paused = True
+
+    def resume(self) -> None:
+        """Resume consumption, replaying buffered input
+        (Parser.ts:813-823)."""
+        if not self._paused:
+            return
+        self._paused = False
+        if self._ended:
+            return
+        if self._incremental and (self._started or self._buf):
+            self._pump()
+        if self._end_pending is not None and not self._paused:
+            (chunk,) = self._end_pending
+            self._end_pending = None
+            self.end(chunk)
+
     def reset(self) -> None:
         """Reuse the instance for a new document (Parser.ts:713-726)."""
         self._buf = ""
         self._resume = 0
         self._started = False
         self._ended = False
+        self._paused = False
+        self._end_pending = None
 
     def parse_complete(self, data: str) -> None:
         """reset + end(data) — Parser.ts:731-740."""

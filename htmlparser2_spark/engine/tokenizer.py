@@ -215,10 +215,18 @@ class Tokenizer:
     # any '&' closer than this to the buffer end might still grow.
     _ENTITY_GUARD = 48
 
-    def run_partial(self, buf: str, start: int) -> int:
+    def run_partial(self, buf: str, start: int, should_pause=None) -> int:
         """Deliver events for every complete construct in
         ``buf[start:]``; return the resume position (callers pass it
-        back with more data, or to :meth:`run` at end-of-input)."""
+        back with more data, or to :meth:`run` at end-of-input).
+
+        ``should_pause`` (optional nullary callable) is checked between
+        constructs so a handler callback can apply backpressure
+        mid-buffer, like the reference's ``pause()``
+        (Parser.ts:805-823): when it returns true, the pass stops at
+        the current construct boundary and the resume position points
+        at the unconsumed remainder.
+        """
         cbs = self.cbs
         xml = self.xml_mode
         decode = self.decode_entities
@@ -230,6 +238,8 @@ class Tokenizer:
         i = start
         sec = start
         while i < n:
+            if should_pause is not None and should_pause():
+                return sec
             # ---------------- text ----------------
             if decode:
                 m = _RE_TEXT_STOP.search(buf, i)

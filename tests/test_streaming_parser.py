@@ -314,3 +314,76 @@ def test_random_chunk_splits_equal_whole(seed):
             i += step
         sp.end()
         assert chunked.events == whole.events, case["name"]
+
+
+# ---------------- pause() / resume() backpressure ----------------
+
+def test_pause_buffers_writes_until_resume():
+    """Parser.ts:805-823: paused writes buffer; resume replays them."""
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("<p>a</p>")
+    n_before = len(col.events)
+    sp.pause()
+    sp.write("<b>x</b>")
+    assert len(col.events) == n_before  # nothing delivered while paused
+    sp.resume()
+    opens = [e["data"][0] for e in col.events if e["$event"] == "opentag"]
+    assert opens == ["p", "b"]
+    sp.end()
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert texts == ["a", "x"]
+
+
+def test_pause_from_callback_stops_mid_buffer():
+    """A handler can pause from inside a callback and the in-flight
+    pass stops at the construct boundary (reference tokenizer pause)."""
+    holder = {}
+
+    class H(EventCollector):
+        def on_open_tag(self, name, attrs, implied):
+            super().on_open_tag(name, attrs, implied)
+            holder["sp"].pause()
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.write("<p>a</p><b>x</b>")
+    opens = [e["data"][0] for e in col.events if e["$event"] == "opentag"]
+    assert opens == ["p"]  # stopped right after the pausing callback
+    sp.resume()  # runs until <b> pauses again
+    opens = [e["data"][0] for e in col.events if e["$event"] == "opentag"]
+    assert opens == ["p", "b"]
+    sp.resume()
+    sp.end()
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert texts == ["a", "x"]
+
+
+def test_end_while_paused_deferred_to_resume():
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("<p>a")
+    sp.pause()
+    sp.end("</p>")
+    assert not any(e["$event"] == "closetag" for e in col.events)
+    sp.resume()
+    assert [e["$event"] for e in col.events][-1] == "closetag"
+    # The stream equals an unchunked parse.
+    whole = EventCollector()
+    p = Parser(whole)
+    whole.attach(p)
+    p.parse("<p>a</p>")
+    assert col.events == whole.events
+
+
+def test_resume_without_pause_is_noop():
+    col = EventCollector()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.resume()
+    sp.end("<p>x</p>")
+    assert any(e["$event"] == "text" for e in col.events)
