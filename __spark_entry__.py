@@ -267,6 +267,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component clustering over the oracle-checked exact
+    Jaccard >= 0.5 pairs (iterative min-label propagation, the
+    keep-one-per-cluster step of a dedup pipeline); the oracle computes
+    the same components with a recursive CTE."""
+    from htmlparser2_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_near_dup_input(spark, sf_dir), n=3, threshold=0.5)
+    return duplicate_clusters(pairs).select("id", "cluster_id")
+
+
 def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational textContent over the exploded nodes table must equal
     the golden text column (DomUtils surface, SURVEY.md §2.6)."""
@@ -351,6 +365,28 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=8, iters=2)
+
+
+def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (JVM Catalyst expressions): messy URLs are
+    synthesized per doc_id (mixed-case scheme/host, default ports,
+    unsorted query params, fragments) and must normalize to exactly the
+    canonical string the oracle predicts from doc_id."""
+    from htmlparser2_spark.functions.urls import canonicalize_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://WWW.Host"), k, F.lit(".example:80?b=2&a=1")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://Host"), k, F.lit(".Example:443/p/"), ids,
+            F.lit("?z="), ids, F.lit("&a=1#frag"),
+        )
+    )
+    return docs.select("doc_id", canonicalize_url(messy).alias("canonical_url"))
 
 
 def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,8 +738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_near_dup_jaccard": _q_near_dup_jaccard,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
+        "q_dup_clusters": _q_dup_clusters,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_url_canon": _q_url_canon,
         "q_image_meta": _q_image_meta,
         "q_clean_text": _q_clean_text,
         "q_inner_text": _q_inner_text,
@@ -1027,6 +1065,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
             "JOIN sizes sb ON sb.doc_id = id_b) WHERE jaccard >= 0.7"
         ),
+        "q_dup_clusters": (
+            # Same jaccard pair derivation as q_near_dup_jaccard, then
+            # connected components via recursive CTE: cluster_id = min
+            # reachable id.
+            "WITH RECURSIVE uni AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, 'extra prefix words here ' || text "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM uni)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM ("
+            "SELECT id_a, id_b, CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i) AS j "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) WHERE round(j, 4) >= 0.5), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, lab) AS (SELECT src, src FROM edges "
+            "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node) "
+            "SELECT node AS id, CAST(min(lab) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node"
+        ),
         "q_simhash": (
             # Locality contract: every injected near-dup lands within 16
             # bits of its original and no farther than the unrelated
@@ -1035,6 +1099,15 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS no_farther_than_control FROM documents "
             "WHERE doc_id % 10 = 0 "
             "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_url_canon": (
+            # Expected canonical form predicted directly from doc_id.
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+            "THEN 'http://www.host' || CAST(doc_id % 7 AS STRING) || "
+            "'.example/?a=1&b=2' "
+            "ELSE 'https://host' || CAST(doc_id % 7 AS STRING) || "
+            "'.example/p/' || CAST(doc_id AS STRING) || '?a=1&z=' || "
+            "CAST(doc_id AS STRING) END AS canonical_url FROM documents"
         ),
         "q_image_meta": (
             # The real GIF header parser must recover the synthesized

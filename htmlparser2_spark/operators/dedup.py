@@ -32,6 +32,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "embedding_dup_pairs",
+    "duplicate_clusters",
 ]
 
 # 31-bit Mersenne prime: (a*h + b) stays under 2^62, no long overflow
@@ -266,3 +267,68 @@ def embedding_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id).
+
+    The canonical step after pair generation in a dedup pipeline
+    (keep one representative per component). Implemented as iterative
+    min-label propagation in pure DataFrame ops — the standard
+    large-scale connected-components shape (each round: one join on the
+    symmetrized edge list + one min-aggregate, both map-side combined;
+    no driver-side graph). Converges in O(component diameter) rounds;
+    near-dup clusters are dense/shallow, so a handful of rounds
+    suffices and ``max_iter`` is a diameter cap, checked with one
+    cheap count per round (early exit on fixpoint). cluster_id is the
+    minimum member id — deterministic across partitionings.
+
+    Only ids that appear in ``pairs`` are returned; singletons carry no
+    dedup decision and would bloat the output at corpus scale.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # Truncate lineage each round: iterative self-joins otherwise
+        # stack plans exponentially (the classic iterative-algorithm
+        # pitfall on Spark).
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -526,3 +526,40 @@ def test_parse_pages_jumbo_isolation(spark):
     jumbo_pid = big["pid"]
     assert all(r["pid"] != jumbo_pid for u, r in out.items()
                if u != "https://big.example/1")
+
+
+def test_duplicate_clusters_components(spark):
+    """Label propagation finds exact connected components: a chain, a
+    triangle, and a 2-cycle; singletons (no pairs) are absent."""
+    from htmlparser2_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: component min=1
+         (10, 11), (11, 12), (10, 12),  # triangle: min=10
+         (20, 21)],                      # pair: min=20
+        "id_a long, id_b long",
+    )
+    rows = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+    # Deterministic across re-evaluation.
+    again = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert rows == again
+
+
+def test_url_functions_edge_cases(spark):
+    from htmlparser2_spark.functions.urls import canonicalize_url, url_host
+
+    cases = [
+        ("https://user:pw@Host.EX:8443/a?x=1#f", "https://host.ex:8443/a?x=1"),
+        ("http://h.example:80/", "http://h.example/"),
+        ("HTTP://H.example", "http://h.example/"),
+        ("https://h.example/p?c=3&b=2&a=1", "https://h.example/p?a=1&b=2&c=3"),
+        ("ftp://Files.Example:21/pub", "ftp://files.example:21/pub"),
+        ("https://h.example/#only-frag", "https://h.example/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonicalize_url("u")).collect()]
+    assert got == [want for _, want in cases]
+    hosts = [r[0] for r in df.select(url_host("u")).collect()]
+    assert hosts[0] == "host.ex" and hosts[4] == "files.example"
