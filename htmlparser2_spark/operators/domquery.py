@@ -181,10 +181,13 @@ def outer_html(pages: DataFrame, html_col: str = "html", **parser_options) -> Da
 
     @F.pandas_udf(StringType())
     def _render(html: pd.Series) -> pd.Series:
+        # One handler+parser per batch (parse() re-inits the tree via
+        # on_parser_init); per-row cost is a state reset, not
+        # construction.
+        handler = DomArrayHandler(with_indices=False)
+        parser = Parser(handler, ParserOptions(**parser_options))
+
         def one(value):
-            handler = DomArrayHandler(with_indices=False)
-            parser = Parser(handler, ParserOptions(**parser_options))
-            handler.attach(parser)
             raw = bytes(value).decode("utf-8", "replace") if isinstance(
                 value, (bytes, bytearray)
             ) else (value or "")
@@ -247,12 +250,17 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
         F.col("node_id").alias("rm_child"),
     )
     # Iterate: children of removed nodes become removed (max ~20 levels
-    # covers real-world DOM depth; loop ends early when stable).
+    # covers real-world DOM depth; loop ends early when stable). Each
+    # round truncates lineage with localCheckpoint — iterative
+    # self-joins otherwise stack plans exponentially.
+    doomed = doomed.localCheckpoint(eager=True)
     for _ in range(20):
         child_hits = links.join(
             doomed, (links.rm_url == doomed.rm_url) & (links.rm_parent == doomed.rm_id)
         ).select(links.rm_url.alias("rm_url"), F.col("rm_child").alias("rm_id"))
-        new_doomed = doomed.unionByName(child_hits).distinct()
+        new_doomed = doomed.unionByName(child_hits).distinct().localCheckpoint(
+            eager=True
+        )
         if new_doomed.count() == doomed.count():
             doomed = new_doomed
             break
