@@ -254,6 +254,7 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
     # round truncates lineage with localCheckpoint — iterative
     # self-joins otherwise stack plans exponentially.
     doomed = doomed.localCheckpoint(eager=True)
+    n_doomed = doomed.count()
     for _ in range(20):
         child_hits = links.join(
             doomed, (links.rm_url == doomed.rm_url) & (links.rm_parent == doomed.rm_id)
@@ -261,10 +262,11 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
         new_doomed = doomed.unionByName(child_hits).distinct().localCheckpoint(
             eager=True
         )
-        if new_doomed.count() == doomed.count():
-            doomed = new_doomed
-            break
+        n_new = new_doomed.count()
         doomed = new_doomed
+        if n_new == n_doomed:
+            break
+        n_doomed = n_new
     return nodes.join(
         doomed,
         (nodes.url == doomed.rm_url) & (nodes.node_id == doomed.rm_id),

@@ -203,6 +203,31 @@ def test_run_extract_resume_idempotent_after_crash(spark, tmp_path):
     assert dup == 0
 
 
+def test_run_extract_partial_manifest_resume(spark, tmp_path):
+    """Mid-run resume: with only half the buckets recorded complete, a
+    resume re-parses exactly the missing buckets (overwriting any
+    partial leftovers) and totals remain exact with zero duplicates."""
+    import json
+    import os
+
+    from htmlparser2_spark.plans.extract_job import run_extract
+    from htmlparser2_spark.sources.pages import build_pages
+
+    out = str(tmp_path / "extract")
+    pages = build_pages(spark, SF)
+    run_extract(spark, pages, out, n_buckets=8, resume=True)
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        json.dump({"completed_buckets": [0, 1, 2, 3]}, fh)
+
+    summary = run_extract(spark, pages, out, n_buckets=8, resume=True)
+    assert summary["buckets_skipped"] == [0, 1, 2, 3]
+    assert summary["docs"] == 500
+    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+    assert parsed.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert fh.read().find("[0, 1, 2, 3, 4, 5, 6, 7]") != -1
+
+
 def test_partition_metrics(spark):
     from htmlparser2_spark.plans.extract_job import parse_pages, partition_metrics
     from htmlparser2_spark.sources.pages import build_pages
