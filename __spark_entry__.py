@@ -367,6 +367,37 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=8, iters=2)
 
 
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window fingerprints (content-defined-chunking building
+    block): the xxhash64 values aren't SQL-expressible, but the window
+    arithmetic and dedup behavior are — window count = max(n_tokens-7,1)
+    and identical docs must produce identical fingerprint arrays, so
+    every injected exact duplicate pair shares its full array."""
+    from htmlparser2_spark.functions.textstats import rolling_fingerprints, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    fp = docs.unionByName(dup).select(
+        "doc_id",
+        rolling_fingerprints("text").alias("fps"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    a = fp.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1_000_000))
+    b = fp.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"), F.col("fps").alias("fps_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_windows"),
+            (F.col("fps") == F.col("fps_b")).alias("dup_matches"),
+        )
+    )
+
+
 def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (JVM Catalyst expressions): messy URLs are
     synthesized per doc_id (mixed-case scheme/host, default ports,
@@ -741,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": _q_dup_clusters,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_rolling_fp": _q_rolling_fp,
         "q_url_canon": _q_url_canon,
         "q_image_meta": _q_image_meta,
         "q_clean_text": _q_clean_text,
@@ -1099,6 +1131,14 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS no_farther_than_control FROM documents "
             "WHERE doc_id % 10 = 0 "
             "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_rolling_fp": (
+            # Window count from token count; identical duplicate docs
+            # must share identical fingerprint arrays.
+            "SELECT doc_id, CAST(greatest("
+            "len(string_split_regex(text, '\\s+')) - 7, 1) AS INTEGER) "
+            "AS n_windows, TRUE AS dup_matches "
+            "FROM documents WHERE doc_id % 10 = 0"
         ),
         "q_url_canon": (
             # Expected canonical form predicted directly from doc_id.

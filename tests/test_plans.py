@@ -116,3 +116,15 @@ def test_ivf_seed_selection_has_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in p
     assert "TakeOrderedAndProject" in p
     assert "xxhash64" in p  # the sampling filter made it into the plan
+
+
+def test_url_canon_is_pure_projection(spark):
+    """URL canonicalization must stay a single codegen'd projection over
+    the scan — no Exchange, no UDF (BatchEvalPython) nodes."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_url_canon"](spark, SF)
+    p = plan(df)
+    assert "Exchange" not in p
+    assert "Python" not in p  # no row-at-a-time UDF snuck in
+    assert ") Project" in p and ") Scan parquet" in p  # scan -> project only
