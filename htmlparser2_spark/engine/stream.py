@@ -43,6 +43,7 @@ from __future__ import annotations
 import codecs
 
 from .parser import Parser, ParserOptions
+from .tokenizer import _ASCII_LOWER as _STREAM_LOWER
 
 __all__ = [
     "StreamingParser",
@@ -63,11 +64,15 @@ class StreamingParser:
         # buffer-and-parse-at-end behavior.
         self._incremental = (options is None or options.tokenizer_class is None)
         self._buf = ""
+        # Lowercased shadow maintained incrementally: re-translating the
+        # whole buffer per write() would make streaming O(n^2/chunk).
+        self._lbuf = ""
         self._resume = 0
         self._started = False
         self._ended = False
         self._paused = False
-        self._end_pending: tuple | None = None
+        self._pumping = False  # reentrancy guard for callback-driven IO
+        self._end_pending = False
 
     def _use_after_end(self, message: str) -> None:
         # Reference: routed to handler.onerror when provided, silently
@@ -89,44 +94,83 @@ class StreamingParser:
         possible mid-pass pause()) allow."""
         self._begin()
         self._parser.buffer = self._buf
-        self._resume = self._parser.tokenizer.run_partial(
-            self._buf, self._resume, should_pause=lambda: self._paused
-        )
+        self._pumping = True
+        try:
+            self._resume = self._parser.tokenizer.run_partial(
+                self._buf,
+                self._resume,
+                should_pause=lambda: self._paused,
+                lbuf=self._lbuf,
+            )
+        finally:
+            self._pumping = False
+
+    def _finish(self) -> None:
+        """The EOF pass; honors a pause() raised from a callback
+        mid-flush by suspending at the construct boundary (resume()
+        continues it)."""
+        if not self._incremental:
+            self._parser.parse(self._buf)
+            return
+        self._begin()
+        self._parser.buffer = self._buf
+        self._pumping = True
+        try:
+            pos = self._parser.tokenizer.run(
+                self._buf,
+                self._resume,
+                should_pause=lambda: self._paused,
+                lbuf=self._lbuf,
+            )
+        finally:
+            self._pumping = False
+        if pos is not None:  # paused mid-finish: resume() re-enters
+            self._resume = pos
+            self._end_pending = True
+
+    def _append(self, chunk: str) -> None:
+        self._buf += chunk
+        self._lbuf += chunk.translate(_STREAM_LOWER)
 
     def write(self, chunk: str) -> None:
         if self._ended:
             self._use_after_end(".write() after done!")
             return
-        self._buf += chunk
-        if self._incremental and not self._paused:
+        self._append(chunk)
+        # A write() from inside a handler callback (self._pumping) only
+        # buffers: the outer pass's snapshot can't see the new data, and
+        # re-entering run_partial from the stale resume position would
+        # replay already-delivered constructs.
+        if self._incremental and not self._paused and not self._pumping:
             self._pump()
+            if self._end_pending and not self._paused:
+                # end() arrived from a callback during this pump.
+                self._end_pending = False
+                self._finish()
 
     def end(self, chunk: str | None = None) -> None:
         if self._ended:
             self._use_after_end(".end() after done!")
             return
-        if self._paused:
-            # Reference: end() while paused is honored on resume()
-            # (Parser.ts:805-823 buffers and replays).
-            self._end_pending = (chunk,)
-            return
-        if chunk is not None:
-            self._buf += chunk
+        # Latch immediately, even while paused (reference Parser.end
+        # sets ended before the flush), so later write()/end() misuse
+        # reports instead of silently splicing data into the document.
         self._ended = True
-        if self._incremental:
-            self._begin()
-            self._parser.buffer = self._buf
-            self._parser.tokenizer.run(self._buf, self._resume)
-        else:
-            self._parser.parse(self._buf)
+        if chunk is not None:
+            self._append(chunk)
+        if self._paused or self._pumping:
+            self._end_pending = True
+            return
+        self._finish()
 
     def pause(self) -> None:
         """Stop consuming input (backpressure, Parser.ts:805-811).
 
         Subsequent ``write()`` calls buffer without tokenizing; a call
-        from within a handler callback stops the in-flight pass at the
-        current construct boundary. ``end()`` while paused is deferred
-        until :meth:`resume`.
+        from within a handler callback stops the in-flight pass —
+        including the ``end()`` flush — at the current construct
+        boundary. ``end()`` while paused is deferred until
+        :meth:`resume`.
         """
         self._paused = True
 
@@ -136,23 +180,30 @@ class StreamingParser:
         if not self._paused:
             return
         self._paused = False
+        if self._pumping:
+            # resume() from inside a callback: the outer pass's
+            # should_pause now reads False and simply continues — a
+            # nested pump would replay from the stale resume position.
+            return
+        if self._end_pending:
+            self._end_pending = False
+            self._finish()
+            return
         if self._ended:
             return
         if self._incremental and (self._started or self._buf):
             self._pump()
-        if self._end_pending is not None and not self._paused:
-            (chunk,) = self._end_pending
-            self._end_pending = None
-            self.end(chunk)
 
     def reset(self) -> None:
         """Reuse the instance for a new document (Parser.ts:713-726)."""
         self._buf = ""
+        self._lbuf = ""
         self._resume = 0
         self._started = False
         self._ended = False
         self._paused = False
-        self._end_pending = None
+        self._pumping = False
+        self._end_pending = False
 
     def parse_complete(self, data: str) -> None:
         """reset + end(data) — Parser.ts:731-740."""

@@ -121,18 +121,25 @@ class Tokenizer:
         self.light_attrs = light_attrs
 
     # ------------------------------------------------------------------
-    def run(self, buf: str, start: int = 0) -> None:
+    def run(self, buf: str, start: int = 0, should_pause=None,
+            lbuf: str | None = None) -> int | None:
         """Tokenize ``buf`` from ``start`` to EOF (one-shot semantics).
 
         ``start`` supports the incremental path (:meth:`run_partial`):
         the final ``end()`` pass resumes where the last partial pass
         suspended; positions stay absolute document offsets either way.
+        ``should_pause`` (streaming only) is checked between constructs;
+        when it fires, the pass stops WITHOUT the EOF epilogue and
+        returns the position to resume from (None = ran to completion).
+        ``lbuf`` is an optional precomputed ASCII-lowercased shadow of
+        ``buf`` (streaming callers maintain it incrementally).
         """
         cbs = self.cbs
         xml = self.xml_mode
         decode = self.decode_entities
         n = len(buf)
-        lbuf = buf.translate(_ASCII_LOWER)
+        if lbuf is None:
+            lbuf = buf.translate(_ASCII_LOWER)
         text_mode = STRICT if xml else LEGACY
 
         # Hot-path locals: attribute/method lookups hoisted out of the
@@ -149,6 +156,8 @@ class Tokenizer:
         i = start  # cursor
         sec = start  # section start of the current text run
         while i < n:
+            if should_pause is not None and should_pause():
+                return sec
             # ---------------- Text ----------------
             if decode:
                 m = text_stop_search(buf, i)
@@ -193,6 +202,7 @@ class Tokenizer:
         if sec < n:
             cbs.on_text(sec, n)
         cbs.on_end()
+        return None
 
     # ------------------------------------------------------------------
     # Incremental (chunked) tokenization.
@@ -215,7 +225,8 @@ class Tokenizer:
     # any '&' closer than this to the buffer end might still grow.
     _ENTITY_GUARD = 48
 
-    def run_partial(self, buf: str, start: int, should_pause=None) -> int:
+    def run_partial(self, buf: str, start: int, should_pause=None,
+                    lbuf: str | None = None) -> int:
         """Deliver events for every complete construct in
         ``buf[start:]``; return the resume position (callers pass it
         back with more data, or to :meth:`run` at end-of-input).
@@ -225,13 +236,16 @@ class Tokenizer:
         mid-buffer, like the reference's ``pause()``
         (Parser.ts:805-823): when it returns true, the pass stops at
         the current construct boundary and the resume position points
-        at the unconsumed remainder.
+        at the unconsumed remainder. ``lbuf`` is an optional
+        precomputed lowercased shadow (streaming callers maintain it
+        incrementally so repeated pumps stay O(new data), not O(doc)).
         """
         cbs = self.cbs
         xml = self.xml_mode
         decode = self.decode_entities
         n = len(buf)
-        lbuf = buf.translate(_ASCII_LOWER)
+        if lbuf is None:
+            lbuf = buf.translate(_ASCII_LOWER)
         text_mode = STRICT if xml else LEGACY
         guard = self._ENTITY_GUARD
 

@@ -37,14 +37,17 @@ def url_scheme(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host without port or userinfo."""
+    """Lowercased host without port or userinfo. IPv6 literals keep
+    their brackets (``[2001:db8::1]``) — the bracket alternative wins
+    before the stop-at-colon rule mangles them."""
     auth = F.regexp_extract(_col(url), _AUTHORITY, 1)
     no_user = F.element_at(F.split(auth, "@"), -1)
-    return F.lower(F.regexp_extract(no_user, r"^([^:]*)", 1))
+    return F.lower(F.regexp_extract(no_user, r"^(\[[^\]]*\]|[^:]*)", 1))
 
 
 def url_port(url: Column | str) -> Column:
-    """Explicit port as a string; '' when absent."""
+    """Explicit port as a string; '' when absent. The digits-only,
+    end-anchored match never fires inside an IPv6 bracket literal."""
     auth = F.regexp_extract(_col(url), _AUTHORITY, 1)
     no_user = F.element_at(F.split(auth, "@"), -1)
     return F.regexp_extract(no_user, r":(\d+)$", 1)
@@ -55,8 +58,11 @@ def url_path(url: Column | str) -> Column:
 
 
 def url_query(url: Column | str) -> Column:
-    """Query string without the '?'; '' when absent."""
-    return F.regexp_extract(_col(url), r"\?([^#]*)", 1)
+    """Query string without the '?'; '' when absent. The fragment is
+    stripped *first* — an unanchored ``\\?`` would otherwise match a
+    '?' inside the fragment and resurrect fragment content as query."""
+    defragged = F.substring_index(_col(url), "#", 1)
+    return F.regexp_extract(defragged, r"\?(.*)$", 1)
 
 
 def canonicalize_url(url: Column | str) -> Column:

@@ -331,4 +331,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixpoint means some component's
+        # diameter exceeds the cap: silently returning would split one
+        # real duplicate cluster into several cluster_ids and dedup
+        # would keep extra copies — fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds; a component has larger diameter — raise max_iter"
+        )
     return labels

@@ -588,3 +588,36 @@ def test_url_functions_edge_cases(spark):
     assert got == [want for _, want in cases]
     hosts = [r[0] for r in df.select(url_host("u")).collect()]
     assert hosts[0] == "host.ex" and hosts[4] == "files.example"
+
+
+def test_url_fragment_and_ipv6_edge_cases(spark):
+    from htmlparser2_spark.functions.urls import canonicalize_url, url_host
+
+    cases = [
+        # '?' inside the fragment must NOT resurrect as a query string
+        ("https://h.example/p#sec?x=1", "https://h.example/p"),
+        ("https://h.example/p?a=1#sec?x=9", "https://h.example/p?a=1"),
+        # IPv6 literals keep their brackets; ports still strip/keep
+        ("https://[2001:db8::1]:8443/a", "https://[2001:db8::1]:8443/a"),
+        ("https://[2001:DB8::1]:443/a", "https://[2001:db8::1]/a"),
+        ("http://[::1]/x", "http://[::1]/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonicalize_url("u")).collect()]
+    assert got == [want for _, want in cases]
+    hosts = [r[0] for r in df.select(url_host("u")).collect()]
+    assert hosts[2] == "[2001:db8::1]" and hosts[4] == "[::1]"
+
+
+def test_duplicate_clusters_raises_when_not_converged(spark):
+    from htmlparser2_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=3)
+    # With enough rounds the same chain converges to one component.
+    rows = {r["id"]: r["cluster_id"]
+            for r in duplicate_clusters(chain, max_iter=31).collect()}
+    assert set(rows.values()) == {0}

@@ -387,3 +387,113 @@ def test_resume_without_pause_is_noop():
     sp.resume()
     sp.end("<p>x</p>")
     assert any(e["$event"] == "text" for e in col.events)
+
+
+def test_pause_in_one_callback_resume_in_another():
+    """Reference-legal pattern: pause in onopentagname, resume in
+    onopentag — must not recurse or duplicate events."""
+    holder = {}
+
+    class H(EventCollector):
+        def on_open_tag_name(self, name):
+            super().on_open_tag_name(name)
+            holder["sp"].pause()
+
+        def on_open_tag(self, name, attrs, implied):
+            super().on_open_tag(name, attrs, implied)
+            holder["sp"].resume()
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.write("<p>a</p><b>x</b>")
+    sp.end()
+
+    whole = EventCollector()
+    p = Parser(whole)
+    whole.attach(p)
+    p.parse("<p>a</p><b>x</b>")
+    assert col.events == whole.events  # no duplicates, no recursion
+
+
+def test_write_from_callback_buffers_without_replay():
+    """A write() from inside a handler callback only buffers; the
+    injected data parses after the outer pass, never replaying
+    already-delivered constructs."""
+    holder = {"injected": False}
+
+    class H(EventCollector):
+        def on_open_tag(self, name, attrs, implied):
+            super().on_open_tag(name, attrs, implied)
+            if not holder["injected"]:
+                holder["injected"] = True
+                holder["sp"].write("<i>inj</i>")
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.write("<p>a</p>")
+    sp.end()
+    opens = [e["data"][0] for e in col.events if e["$event"] == "opentag"]
+    assert opens == ["p", "i"]  # each tag delivered exactly once
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert texts == ["a", "inj"]
+
+
+def test_end_while_paused_latches_done_state():
+    """Reference Parser.end sets ended even while paused: later
+    write()/end() calls are misuse (onerror), and their data must NOT
+    splice into the document."""
+    errors = []
+
+    class H(EventCollector):
+        def on_error(self, exc):
+            errors.append(str(exc))
+
+    col = H()
+    sp = StreamingParser(col)
+    col.attach(sp._parser)
+    sp.write("<p>a")
+    sp.pause()
+    sp.end("</p>")
+    sp.write("LATE")
+    sp.end("AGAIN")
+    assert errors == [".write() after done!", ".end() after done!"]
+    sp.resume()
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert texts == ["a"]  # no LATE/AGAIN in the document
+
+
+def test_pause_during_end_flush_suspends_and_resumes():
+    """pause() raised from a callback during the end() EOF flush stops
+    delivery at the construct boundary; resume() completes the parse."""
+    holder = {}
+
+    class H(EventCollector):
+        def on_open_tag(self, name, attrs, implied):
+            super().on_open_tag(name, attrs, implied)
+            if name == "b":
+                holder["sp"].pause()
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.pause()
+    sp.write("<p>a</p><b>x</b><i>t</i>")
+    sp.resume()  # everything parses in resume's pump... until <b> pauses
+    # the <i> element must not have been delivered yet
+    opens = [e["data"][0] for e in col.events if e["$event"] == "opentag"]
+    assert opens == ["p", "b"]
+    sp.end()  # deferred: still paused
+    sp.resume()
+    opens = [e["data"][0] for e in col.events if e["$event"] == "opentag"]
+    assert opens == ["p", "b", "i"]
+
+    whole = EventCollector()
+    p = Parser(whole)
+    whole.attach(p)
+    p.parse("<p>a</p><b>x</b><i>t</i>")
+    assert col.events == whole.events
