@@ -497,3 +497,37 @@ def test_pause_during_end_flush_suspends_and_resumes():
     whole.attach(p)
     p.parse("<p>a</p><b>x</b><i>t</i>")
     assert col.events == whole.events
+
+
+def test_pause_does_not_lose_data_reference_parity():
+    """Ported from the reference 'should not lose data when pausing'
+    (Tokenizer.spec.ts:271-304): pause on the first text delivery,
+    write more while paused, resume twice (idempotent), then end —
+    the full decoded text survives."""
+    holder = {}
+    first = {"done": False}
+
+    class H(EventCollector):
+        def on_text(self, data):
+            super().on_text(data)
+            if not first["done"]:
+                first["done"] = True
+                holder["sp"].pause()
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.write("&am")
+    sp.write("p; it up!")
+    sp.resume()
+    sp.resume()  # double-resume must be a no-op, like the reference
+    assert not sp._paused
+    sp.end()
+    # Deviation from the reference's timing: our entity guard defers
+    # the short buffer's delivery to the end() flush, so the handler's
+    # pause lands there and one more resume completes the flush. The
+    # contract under test — no data is lost across pause — holds.
+    sp.resume()
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert "".join(texts) == "& it up!"
