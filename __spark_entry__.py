@@ -373,16 +373,14 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic and dedup behavior are — window count = max(n_tokens-7,1)
     and identical docs must produce identical fingerprint arrays, so
     every injected exact duplicate pair shares its full array."""
-    from htmlparser2_spark.functions.textstats import rolling_fingerprints, tokens
+    from htmlparser2_spark.functions.textstats import rolling_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
     fp = docs.unionByName(dup).select(
-        "doc_id",
-        rolling_fingerprints("text").alias("fps"),
-        F.size(tokens("text")).alias("n_toks"),
+        "doc_id", rolling_fingerprints("text").alias("fps")
     )
     a = fp.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1_000_000))
     b = fp.filter(F.col("doc_id") >= 1_000_000).select(

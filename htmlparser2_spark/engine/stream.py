@@ -193,6 +193,11 @@ class StreamingParser:
             return
         if self._incremental and (self._started or self._buf):
             self._pump()
+            if self._end_pending and not self._paused:
+                # end() arrived from a callback during this pump (same
+                # handoff write() performs).
+                self._end_pending = False
+                self._finish()
 
     def reset(self) -> None:
         """Reuse the instance for a new document (Parser.ts:713-726)."""

@@ -199,8 +199,16 @@ class Tokenizer:
             # else: '<' stays literal text (sec still at '<'); rescan from i.
 
         # ------------- EOF epilogue (plain trailing text) -------------
+        # A pause() raised from the final construct's callback (or from
+        # the trailing-text callback itself) defers the rest of the
+        # epilogue — including on_end — until resume, like the
+        # reference's running flag gates finish().
+        if should_pause is not None and should_pause():
+            return sec
         if sec < n:
             cbs.on_text(sec, n)
+            if should_pause is not None and should_pause():
+                return n  # text delivered; on_end deferred to resume
         cbs.on_end()
         return None
 

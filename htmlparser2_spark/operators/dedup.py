@@ -303,7 +303,11 @@ def duplicate_clusters(
         "cluster_id", F.col("id")
     )
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # max_iter bounds the label-update rounds; one extra round is
+    # allowed so a diameter-max_iter component can still verify its
+    # fixpoint (the convergence check needs a round that changes
+    # nothing) instead of raising spuriously at the boundary.
+    for _ in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

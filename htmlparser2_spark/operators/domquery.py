@@ -255,7 +255,8 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
     # self-joins otherwise stack plans exponentially.
     doomed = doomed.localCheckpoint(eager=True)
     n_doomed = doomed.count()
-    for _ in range(20):
+    converged = False
+    for _ in range(21):  # 20 expansion rounds + 1 verification round
         child_hits = links.join(
             doomed, (links.rm_url == doomed.rm_url) & (links.rm_parent == doomed.rm_id)
         ).select(links.rm_url.alias("rm_url"), F.col("rm_child").alias("rm_id"))
@@ -265,8 +266,16 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
         n_new = new_doomed.count()
         doomed = new_doomed
         if n_new == n_doomed:
+            converged = True
             break
         n_doomed = n_new
+    if not converged:
+        # Silent truncation would leave deep descendants of removed
+        # elements alive in downstream extraction — fail loudly.
+        raise RuntimeError(
+            "remove_elements subtree expansion did not converge within 20 "
+            "rounds; a removed subtree is deeper than the cap"
+        )
     return nodes.join(
         doomed,
         (nodes.url == doomed.rm_url) & (nodes.node_id == doomed.rm_id),

@@ -531,3 +531,63 @@ def test_pause_does_not_lose_data_reference_parity():
     sp.resume()
     texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
     assert "".join(texts) == "& it up!"
+
+
+def test_end_from_callback_during_resume_pump_completes():
+    """An end() issued from a handler callback while resume()'s pump is
+    in flight must still flush the document — trailing text and on_end
+    included (regression: the deferred end was dropped on this path)."""
+    holder = {}
+    ends = []
+
+    class H(EventCollector):
+        def on_open_tag(self, name, attrs, implied):
+            super().on_open_tag(name, attrs, implied)
+            if name == "b":
+                holder["sp"].end()
+
+        def on_end(self):
+            ends.append(True)
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.pause()
+    sp.write("<p>a</p><b>x</b>trailing text")
+    sp.resume()
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert texts == ["a", "x", "trailing text"]
+    assert ends == [True]
+
+
+def test_pause_in_final_callback_defers_epilogue():
+    """pause() from the last construct's callback during the end()
+    flush defers trailing text and on_end until resume() (reference
+    finish() is gated by the running flag)."""
+    holder = {}
+    ends = []
+
+    class H(EventCollector):
+        def on_close_tag(self, name, implied):
+            super().on_close_tag(name, implied)
+            if name == "b":
+                holder["sp"].pause()
+
+        def on_end(self):
+            ends.append(True)
+
+    col = H()
+    sp = StreamingParser(col)
+    holder["sp"] = sp
+    col.attach(sp._parser)
+    sp.pause()
+    sp.write("<b>x</b>tail")
+    sp.resume()  # pump pauses again inside </b>'s callback
+    sp.end()     # deferred: paused
+    assert ends == []
+    assert all(e["data"] != ["tail"] for e in col.events)
+    sp.resume()
+    texts = [e["data"][0] for e in col.events if e["$event"] == "text"]
+    assert texts == ["x", "tail"]
+    assert ends == [True]
