@@ -367,6 +367,23 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, corpus, k=5, n_centroids=8, n_probe=8, iters=2)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals over structurally
+    synthesized documents: 'a b ' repeated m times + a unique tail +
+    k duplicated END lines, so the duplicate-line fraction and the
+    top-bigram coverage are exactly predictable from doc_id."""
+    from htmlparser2_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.expr("repeat('a b ', 2 + doc_id % 5)"),
+        F.lit("u"), ids, F.lit(" v"), ids,
+        F.expr("repeat('\\nEND', doc_id % 3)"),
+    )
+    return repetition_stats(docs.select("doc_id", text.alias("text")))
+
+
 def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling window fingerprints (content-defined-chunking building
     block): the xxhash64 values aren't SQL-expressible, but the window
@@ -770,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": _q_dup_clusters,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_repetition": _q_repetition,
         "q_rolling_fp": _q_rolling_fp,
         "q_url_canon": _q_url_canon,
         "q_image_meta": _q_image_meta,
@@ -1129,6 +1147,19 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS no_farther_than_control FROM documents "
             "WHERE doc_id % 10 = 0 "
             "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_repetition": (
+            # m = 2+doc_id%5 'a b' repeats, k = doc_id%3 duplicate END
+            # lines, L = digits in doc_id. Lines: 1 text line + k ENDs
+            # -> dup fraction (k-1)/(k+1) for k>=1 (0 otherwise); top
+            # bigram is 'a b' (m occurrences x 3 chars) over total
+            # length 4m + 2L + 3 + 4k.
+            "WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS m, doc_id % 3 AS k, "
+            "length(CAST(doc_id AS STRING)) AS L FROM documents) "
+            "SELECT doc_id, "
+            "round(CASE WHEN k = 2 THEN 1.0/3.0 ELSE 0 END, 4) AS dup_line_frac, "
+            "round(3.0 * m / (4*m + 2*L + 3 + 4*k), 4) AS top_bigram_frac "
+            "FROM p"
         ),
         "q_rolling_fp": (
             # Window count from token count; identical duplicate docs

@@ -621,3 +621,28 @@ def test_duplicate_clusters_raises_when_not_converged(spark):
     rows = {r["id"]: r["cluster_id"]
             for r in duplicate_clusters(chain, max_iter=31).collect()}
     assert set(rows.values()) == {0}
+
+
+def test_repetition_stats(spark):
+    from htmlparser2_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y unique tail"),      # 'x y' dominates
+            (2, "all words differ here fine"),    # no repeated bigram
+            (3, "l1\nl2\nl2\nl2"),               # 2 duplicate lines of 4
+            (4, "solo"),                          # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc1: top bigram 'x y' occurs 3x, 3 chars each, len(text)=23
+    assert rows[1]["top_bigram_frac"] == round(9 / 23, 4)
+    assert rows[1]["dup_line_frac"] == 0.0
+    # doc2: every bigram unique -> coverage = 1 occurrence of some bigram
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert 0 < rows[2]["top_bigram_frac"] < 0.5
+    # doc3: 4 lines, 2 distinct -> 0.5
+    assert rows[3]["dup_line_frac"] == 0.5
+    # doc4: no bigrams -> 0.0
+    assert rows[4]["top_bigram_frac"] == 0.0
