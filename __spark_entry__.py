@@ -384,6 +384,35 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs.select("doc_id", text.alias("text")))
 
 
+def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate over four synthesized document shapes
+    (clean prose / too short / symbol-spam / bullet-list boilerplate);
+    the first-failing-rule reject reason is exactly predictable per
+    doc_id variant."""
+    from htmlparser2_spark.operators.quality import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    good = F.expr(
+        "concat('the deal be great to see of and that have with us all year ',"
+        " repeat('sample words here again ', 15))"
+    )
+    short = F.lit("the of tiny")
+    symbols = F.expr(
+        "concat('the be to of and that have with ', repeat('### ', 60))"
+    )
+    bullets = F.expr(
+        "concat('the be of and that have with good words stay fine here',"
+        " repeat('\\n-itemword here', 60))"
+    )
+    text = (
+        F.when(F.col("doc_id") % 4 == 0, good)
+        .when(F.col("doc_id") % 4 == 1, short)
+        .when(F.col("doc_id") % 4 == 2, symbols)
+        .otherwise(bullets)
+    )
+    return gopher_filter(docs.select("doc_id", text.alias("text")))
+
+
 def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling window fingerprints (content-defined-chunking building
     block): the xxhash64 values aren't SQL-expressible, but the window
@@ -787,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": _q_dup_clusters,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_gopher": _q_gopher,
         "q_repetition": _q_repetition,
         "q_rolling_fp": _q_rolling_fp,
         "q_url_canon": _q_url_canon,
@@ -1147,6 +1177,13 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS no_farther_than_control FROM documents "
             "WHERE doc_id % 10 = 0 "
             "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_gopher": (
+            # First failing rule per synthesized variant.
+            "SELECT doc_id, doc_id % 4 = 0 AS keep, "
+            "CASE doc_id % 4 WHEN 0 THEN NULL WHEN 1 THEN 'too_few_words' "
+            "WHEN 2 THEN 'symbol_heavy' ELSE 'bullet_heavy' END "
+            "AS reject_reason FROM documents"
         ),
         "q_repetition": (
             # m = 2+doc_id%5 'a b' repeats, k = doc_id%3 duplicate END

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["repetition_stats"]
+__all__ = ["repetition_stats", "gopher_signals", "gopher_filter"]
 
 
 def repetition_stats(
@@ -71,4 +71,79 @@ def repetition_stats(
         F.round(
             F.coalesce(F.col("b.cov") / F.col("n_chars"), F.lit(0.0)), 4
         ).alias("top_bigram_frac"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Gopher-style document quality gate (thresholds from the public
+# literature: 50..100k words, mean word length 3..10, symbol-to-word
+# ratio < 0.1, >= 80% words with an alphabetic character, < 90% bullet
+# lines, < 30% ellipsis-ending lines, >= 2 distinct required stopwords).
+# All Catalyst expressions; the gate emits the FIRST failing rule as
+# reject_reason so lineage can histogram why documents fall out.
+
+_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+def gopher_signals(text):
+    """Dict of named signal Columns over a text Column/name."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.when(n_words > 0, total_len / n_words).otherwise(0.0)
+    n_symbols = (
+        F.size(F.split(col, "#", -1)) - 1
+        + F.size(F.split(col, r"\.\.\.", -1)) - 1
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(0.0)
+    lines = F.filter(F.split(col, "\n"), lambda l: l != F.lit(""))
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    stopword_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in _REQUIRED_STOPWORDS]),
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": F.when(n_words > 0, n_symbols / n_words).otherwise(0.0),
+        "alpha_frac": alpha_frac,
+        "bullet_frac": F.when(n_lines > 0, bullet / n_lines).otherwise(0.0),
+        "ellipsis_frac": F.when(n_lines > 0, ellipsis / n_lines).otherwise(0.0),
+        "n_stopword_kinds": stopword_hits,
+    }
+
+
+def gopher_filter(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, keep, reject_reason) per document — the classic web-corpus
+    quality gate. ``reject_reason`` is the first failing rule in a
+    fixed order (NULL when kept), so a groupBy over it yields the
+    filter-funnel histogram a pipeline reports per crawl batch."""
+    s = gopher_signals(text_col)
+    rules = [
+        ("too_few_words", s["n_words"] < 50),
+        ("too_many_words", s["n_words"] > 100_000),
+        ("word_length_out_of_range",
+         (s["mean_word_len"] < 3) | (s["mean_word_len"] > 10)),
+        ("symbol_heavy", s["symbol_ratio"] >= 0.1),
+        ("low_alpha_fraction", s["alpha_frac"] < 0.8),
+        ("bullet_heavy", s["bullet_frac"] >= 0.9),
+        ("ellipsis_heavy", s["ellipsis_frac"] >= 0.3),
+        ("too_few_stopwords", s["n_stopword_kinds"] < 2),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return df.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
     )

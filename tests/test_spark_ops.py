@@ -646,3 +646,34 @@ def test_repetition_stats(spark):
     assert rows[3]["dup_line_frac"] == 0.5
     # doc4: no bigrams -> 0.0
     assert rows[4]["top_bigram_frac"] == 0.0
+
+
+def test_gopher_filter_rules(spark):
+    from htmlparser2_spark.operators.quality import gopher_filter
+
+    prose = (
+        "the deal be great to see of and that have with us all year "
+        + "sample words here again " * 15
+    )
+    df = spark.createDataFrame(
+        [
+            (1, prose),                                     # keep
+            (2, "the of tiny"),                             # too_few_words
+            (3, "the be to of and that have with " + "### " * 60),
+            (4, "word " * 60),                              # too_few_stopwords
+            (5, prose.replace("words", "w" * 600)),         # long words
+            # Each line carries enough words that the '...' markers stay
+            # under the 0.1 symbol ratio; the line-level ellipsis rule
+            # is what fires.
+            (6, "more of the filling words come and go just fine zz...\n" * 10),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert rows[1]["keep"] and rows[1]["reject_reason"] is None
+    assert rows[2]["reject_reason"] == "too_few_words"
+    assert rows[3]["reject_reason"] == "symbol_heavy"
+    assert rows[4]["reject_reason"] == "too_few_stopwords"
+    assert rows[5]["reject_reason"] == "word_length_out_of_range"
+    assert rows[6]["reject_reason"] == "ellipsis_heavy"
+    assert all(not rows[i]["keep"] for i in range(2, 7))
