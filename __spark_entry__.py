@@ -384,6 +384,26 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs.select("doc_id", text.alias("text")))
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: synthesized emails/phones/IPs (doc_id-derived)
+    must redact to exactly the placeholder string the oracle predicts;
+    odd documents carry no PII and must pass through byte-identical."""
+    from htmlparser2_spark.functions.redact import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.lit("contact u"), ids, F.lit("@site"), ids,
+        F.lit(".com or call 555-01"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("-43"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ok"),
+    )
+    clean = F.concat(F.lit("no pii in doc "), ids)
+    text = F.when(F.col("doc_id") % 2 == 0, pii).otherwise(clean)
+    return docs.select("doc_id", redact_pii(text).alias("scrubbed"))
+
+
 def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate over four synthesized document shapes
     (clean prose / too short / symbol-spam / bullet-list boilerplate);
@@ -816,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": _q_dup_clusters,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
+        "q_redact": _q_redact,
         "q_gopher": _q_gopher,
         "q_repetition": _q_repetition,
         "q_rolling_fp": _q_rolling_fp,
@@ -1177,6 +1198,12 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS no_farther_than_control FROM documents "
             "WHERE doc_id % 10 = 0 "
             "AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)"
+        ),
+        "q_redact": (
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+            "THEN 'contact [EMAIL] or call [PHONE] from [IP] ok' "
+            "ELSE 'no pii in doc ' || CAST(doc_id AS STRING) END "
+            "AS scrubbed FROM documents"
         ),
         "q_gopher": (
             # First failing rule per synthesized variant.

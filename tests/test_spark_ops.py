@@ -677,3 +677,26 @@ def test_gopher_filter_rules(spark):
     assert rows[5]["reject_reason"] == "word_length_out_of_range"
     assert rows[6]["reject_reason"] == "ellipsis_heavy"
     assert all(not rows[i]["keep"] for i in range(2, 7))
+
+
+def test_redact_pii(spark):
+    from htmlparser2_spark.functions.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk today"),
+            (2, "call +44 20 7946 0958 or 555-123-4567 now"),
+            (3, "server at 192.168.0.1 responded"),
+            (4, "version 1.2.3.4.5 and id 20240101 stay intact"),
+            (5, "range 10-20 and date 2024-01 stay intact"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", redact_pii("text").alias("s")).collect()}
+    assert rows[1] == "mail me at [EMAIL] today"
+    assert rows[2] == "call [PHONE] or [PHONE] now"
+    assert rows[3] == "server at [IP] responded"
+    # Conservative patterns: versions/ids/dates survive untouched.
+    assert rows[4] == "version 1.2.3.4.5 and id 20240101 stay intact"
+    assert rows[5] == "range 10-20 and date 2024-01 stay intact"
