@@ -11,6 +11,14 @@ All operators are pure DataFrame compositions (JVM-side, shuffle-aware):
   banding: signature = min over shingle hashes under ``n_perm``
   universal-hash permutations; candidate pairs from band-bucket joins
 * :func:`simhash64`            — 64-bit SimHash fingerprint per doc
+
+MinHash and SimHash signatures are **map-only**: the per-document
+reduction (min over permuted shingle hashes / sign of per-bit sums)
+never needs cross-row state, so both are single ``aggregate``/
+``zip_with`` higher-order expressions over the in-row token array —
+zero shuffles, a pure ``Project`` over the scan (pinned by
+tests/test_plans.py). At 100 TB the signature stage streams through
+executors with no exchange; only the LSH band self-join shuffles.
 * :func:`embedding_dup_pairs`  — near-dup pairs by embedding cosine
 
 Scale notes: every self-join keys on a hash (shingle hash, band hash,
@@ -51,21 +59,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(df: DataFrame, *, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs of word n-grams, distinct per document."""
+def _shingle_array(text_col: str, n: int):
+    """Array expression of word n-gram shingles for one row (with
+    duplicates; order = document order)."""
     toks = F.split(F.col(text_col), " ")
     # Guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
     # explicit empty array instead.
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    shingle = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + off) for off in range(n)]
         ),
     )
+
+
+def word_shingles(df: DataFrame, *, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs of word n-grams, distinct per document."""
+    shingle = _shingle_array(text_col, n)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
         .distinct()
@@ -140,22 +154,44 @@ def minhash_signatures(
     """MinHash signatures: (id, sig array<long> of length n_perm).
 
     Base shingle hash is xxhash64 (JVM); permutations are universal
-    hashes ``(a*h + b) mod M61`` folded with ``min`` per document —
-    one shuffle (the groupBy), map-side combined.
+    hashes ``(a*h + b) mod M31`` folded with ``min`` per document.
+
+    **Map-only**: min over permuted hashes is a per-row reduction
+    (idempotent over duplicate shingles, so no ``distinct`` needed
+    either), expressed as one ``aggregate`` over the in-row shingle
+    array with a ``zip_with`` accumulator of length ``n_perm`` — the
+    whole signature stage is a single narrow ``Project``, zero
+    shuffles, zero Python. ``xxhash64`` runs once per shingle (it is
+    the aggregate's lambda variable, not re-derived per permutation).
+    Shingle-less documents yield an all-null signature (the
+    ``_MERSENNE`` sentinel never occurs as a real ``mod M`` value).
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     params = _perm_params(n_perm, seed)
-    mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = df.select(F.col(id_col).alias("id")).join(
-        sh.groupBy("id").agg(*mins), "id", "left"
+    param_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
     )
-    return sig.select(
-        "id", F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig")
+    hashes = F.transform(
+        _shingle_array(text_col, n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
     )
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), n_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            param_arr,
+            lambda cur, p: F.least(
+                cur, F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE))
+            ),
+        ),
+        lambda acc: F.transform(
+            acc, lambda x: F.when(x < F.lit(_MERSENNE), x)
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -210,29 +246,45 @@ def simhash64(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token
-    hash bits. Explode tokens -> posexplode bits is avoided; instead the
-    64 per-bit sums are aggregate expressions over token hashes (one
-    shuffle, map-side combined). Returns (id, simhash long)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    hash bits (+1/-1 per token occurrence — multiset, not set).
+
+    **Map-only**: the 64 per-bit sums are a per-row reduction, so the
+    whole fingerprint is one ``aggregate`` over the in-row token array
+    with a 64-slot ``zip_with`` accumulator — zero shuffles, a pure
+    ``Project`` over the scan. Bit tests use a literal mask array
+    (``1<<b``; two's-complement min-long for b=63) so ``xxhash64``
+    runs once per token. Documents with NULL text are dropped (the
+    pre-rewrite explode path had no rows for them). Returns
+    (id, simhash long)."""
+    toks = F.split(F.col(text_col), " ")
+    masks = F.array(
+        *[
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
     )
-    h = F.xxhash64("tok")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select("id", sim.alias("simhash"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.filter(toks.isNotNull()).select(
+        F.col(id_col).alias("id"), sim.alias("simhash")
+    )
 
 
 def embedding_dup_pairs(

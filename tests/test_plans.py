@@ -62,13 +62,25 @@ def test_extract_scan_prunes_columns(spark):
     assert "n_chars" not in p  # unused column pruned from the parquet scan
 
 
-def test_minhash_aggregation_is_partial(spark):
+def test_minhash_signatures_map_only(spark):
+    """The signature stage is a per-row reduction: its plan must be a
+    pure narrow Project over the scan — no shuffle, no aggregate."""
     from htmlparser2_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(minhash_signatures(docs, n_perm=8))
-    # Map-side combine: partial then final min aggregates.
-    assert "partial_min" in p or "HashAggregate" in p
+    assert "Exchange" not in p
+    assert "Aggregate" not in p
+
+
+def test_simhash_map_only(spark):
+    """SimHash is likewise one higher-order expression per row."""
+    from htmlparser2_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(simhash64(docs))
+    assert "Exchange" not in p
+    assert "Aggregate" not in p
 
 
 def test_ivf_broadcasts_probe_side_with_pushdown(spark):
