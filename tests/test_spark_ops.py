@@ -24,6 +24,38 @@ def test_extract_text_udf_matches_engine(spark):
     assert out[0]["t"] == "Hello world & more"
 
 
+def test_node_counts_matches_dom_nodes_histogram(spark):
+    """The tokenizer-only counting handler must reproduce the exploded
+    dom_nodes histogram exactly — including merged text runs (one node
+    per run), comments/cdata as null-name nodes, and PI names."""
+    from htmlparser2_spark.functions.udfs import dom_nodes_udf, node_counts_udf
+
+    docs = [
+        ("<!-- c --><p>a<b>x</b>tail</p><![CDATA[in]]><?xml pi?>text",),
+        ("a<!--x-->b<!--y-->c",),
+        ("<script>var x='<p>'</script><style>p{}</style>",),
+        ("",),
+        ("plain text only",),
+        ("<!DOCTYPE html><html><body><p>one</p><p>two</p></body></html>",),
+    ]
+    df = spark.createDataFrame(docs, "html string")
+    dom = (
+        df.select(F.explode(dom_nodes_udf()(F.col("html"))).alias("n"))
+        .groupBy(F.col("n.name").alias("name"))
+        .count()
+        .collect()
+    )
+    light = (
+        df.select(F.explode(node_counts_udf()(F.col("html"))).alias("nc"))
+        .groupBy(F.col("nc.name").alias("name"))
+        .agg(F.sum("nc.cnt").alias("cnt"))
+        .collect()
+    )
+    assert {r["name"]: r["count"] for r in dom} == {
+        r["name"]: r["cnt"] for r in light
+    }
+
+
 def test_dom_nodes_udf_schema(spark):
     from htmlparser2_spark.functions.udfs import dom_nodes_udf
 
