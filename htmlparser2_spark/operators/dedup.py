@@ -207,8 +207,20 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: docs sharing at least one identical band.
 
     Signature is split into ``bands`` bands of ``n_perm // bands`` rows;
-    banding keys are hashed and self-joined, so candidate generation is
+    banding keys are hashed and grouped, so candidate generation is
     linear in bucket sizes, never quadratic in corpus size.
+
+    Shape: explode bands -> ``groupBy (band, bh)`` collecting the
+    sorted id list per bucket -> expand each bucket's pairs **in-row**
+    with array higher-order functions -> ``distinct``. One scan and two
+    shuffles total. The earlier self-join shape computed the entire
+    (map-only, but still) signature stage twice — once per join side,
+    no ReusedExchange because of the pre-join renames — and shuffled
+    ``banded`` twice; at 100 TB that is a full extra pass over the
+    corpus. Bucket skew note: a bucket of k ids materializes a k-array
+    and k(k-1)/2 pairs — identical pair volume to the join shape. Run
+    :func:`exact_dedup` first so identical documents (the only source
+    of unboundedly large buckets) never reach LSH.
     """
     rows_per_band = n_perm // bands
     sig = minhash_signatures(
@@ -232,12 +244,28 @@ def minhash_lsh_pairs(
     banded = sig.select("id", F.explode(band_cols).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a = banded.withColumnsRenamed({"id": "id_a"})
-    b = banded.withColumnsRenamed({"id": "id_b"})
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    # All (ids[i], ids[j]) with i < j; the sort makes id_a < id_b by
+    # construction. slice() tolerates length past the array end.
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda b: F.struct(
+                    F.element_at(ids, i).alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
