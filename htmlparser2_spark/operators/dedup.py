@@ -11,6 +11,7 @@ All operators are pure DataFrame compositions (JVM-side, shuffle-aware):
   banding: signature = min over shingle hashes under ``n_perm``
   universal-hash permutations; candidate pairs from band-bucket joins
 * :func:`simhash64`            — 64-bit SimHash fingerprint per doc
+* :func:`embedding_dup_pairs`  — near-dup pairs by embedding cosine
 
 MinHash and SimHash signatures are **map-only**: the per-document
 reduction (min over permuted shingle hashes / sign of per-bit sums)
@@ -18,13 +19,18 @@ never needs cross-row state, so both are single ``aggregate``/
 ``zip_with`` higher-order expressions over the in-row token array —
 zero shuffles, a pure ``Project`` over the scan (pinned by
 tests/test_plans.py). At 100 TB the signature stage streams through
-executors with no exchange; only the LSH band self-join shuffles.
-* :func:`embedding_dup_pairs`  — near-dup pairs by embedding cosine
+executors with no exchange; only the LSH band bucket-groupBy shuffles.
 
 Scale notes: every self-join keys on a hash (shingle hash, band hash,
 bucket), so skew is bounded by real duplicate clusters; MinHash bands
-turn the quadratic pair space into per-bucket joins. ``groupBy`` paths
-get map-side partial aggregation from Catalyst for free.
+turn the quadratic pair space into per-bucket groups. ``groupBy``
+paths get map-side partial aggregation from Catalyst for free.
+``ngram_jaccard_pairs`` deliberately keeps its cached exploded-shingle
+table and size joins: a carried-size single-join variant (no cache,
+in-row ``array_distinct``) measured 2x SLOWER because the interpreted
+higher-order shingle pass then runs once per consumer — the cache is
+one codegen'd pass reused four times, and as the verify stage it runs
+on LSH candidates, not the full corpus.
 """
 
 from __future__ import annotations
