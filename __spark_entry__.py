@@ -293,6 +293,27 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).select("id", "cluster_id")
 
 
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline decision table over a corpus with injected
+    exact copies (+2M ids, doc_id % 7) and near-duplicates (+1M ids,
+    doc_id % 10): exact md5 dedup -> MinHash+LSH candidates over
+    survivors -> candidate-only Jaccard verify (>= 0.7) -> connected
+    components -> one (id, status, dup_of) row per input document.
+    The oracle recomputes exact groups, the full-corpus Jaccard truth
+    set, and components via a recursive CTE — so it also re-proves
+    LSH candidate recall end-to-end."""
+    from htmlparser2_spark.plans.dedup_job import run_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    inp = _near_dup_input(spark, sf_dir).unionByName(copies)
+    return run_dedup(inp, threshold=0.7)
+
+
 def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational textContent over the exploded nodes table must equal
     the golden text column (DomUtils surface, SURVEY.md §2.6)."""
@@ -846,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
         "q_dup_clusters": _q_dup_clusters,
+        "q_dedup_pipeline": _q_dedup_pipeline,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1201,6 +1223,46 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node) "
             "SELECT node AS id, CAST(min(lab) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
+        ),
+        "q_dedup_pipeline": (
+            # Independent recomputation of the whole pipeline: exact
+            # groups by md5, full-corpus jaccard >= 0.7 truth pairs
+            # over exact survivors, components via recursive CTE, then
+            # one (id, status, dup_of) row per input doc.
+            "WITH RECURSIVE uni AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, 'extra prefix words here ' || text "
+            "FROM documents WHERE doc_id % 10 = 0 "
+            "UNION ALL SELECT doc_id + 2000000, text "
+            "FROM documents WHERE doc_id % 7 = 0), "
+            "reps AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep "
+            "FROM uni), "
+            "surv AS (SELECT u.doc_id, u.text FROM uni u "
+            "JOIN reps r ON u.doc_id = r.doc_id WHERE r.doc_id = r.rep), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM surv)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM ("
+            "SELECT id_a, id_b, round(CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i), 4) AS j "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) WHERE j >= 0.7), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, lab) AS (SELECT src, src FROM edges "
+            "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), "
+            "clusters AS (SELECT node AS id, min(lab) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "dropped AS (SELECT doc_id AS id, 'exact_dup' AS status, rep AS dup_of "
+            "FROM reps WHERE doc_id != rep "
+            "UNION ALL SELECT id, 'near_dup' AS status, cluster_id AS dup_of "
+            "FROM clusters WHERE id != cluster_id) "
+            "SELECT u.doc_id AS id, coalesce(d.status, 'kept') AS status, "
+            "CAST(coalesce(d.dup_of, u.doc_id) AS BIGINT) AS dup_of "
+            "FROM uni u LEFT JOIN dropped d ON u.doc_id = d.id"
         ),
         "q_simhash": (
             # Locality contract: every injected near-dup lands within 16

@@ -42,6 +42,7 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "ngram_jaccard_pairs",
+    "jaccard_verify_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
@@ -133,6 +134,48 @@ def ngram_jaccard_pairs(
                 4,
             ),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for GIVEN candidate pairs — the verify stage that
+    follows LSH banding in a dedup pipeline.
+
+    Each side of a (id_a, id_b) candidate joins to its document's
+    in-row distinct shingle-hash set; intersection and union are then
+    array ops on the joined row. Cost is linear in candidate count
+    (two hash joins on id), with no explode and no self-join —
+    contrast :func:`ngram_jaccard_pairs`, which scores every
+    co-shingled pair in the corpus and exists as the ground-truth /
+    small-corpus variant. Values match it exactly on shared pairs
+    (same hash space, same rounding; pinned by test).
+
+    Returns (id_a, id_b, jaccard) for candidates meeting ``threshold``.
+    """
+    sets_ = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(_shingle_array(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("sh_set"),
+    )
+    a = sets_.withColumnsRenamed({"id": "id_a", "sh_set": "set_a"})
+    b = sets_.withColumnsRenamed({"id": "id_b", "sh_set": "set_b"})
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    n_union = F.size(F.array_union("set_a", "set_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(n_inter / n_union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -143,6 +143,47 @@ def test_ngram_jaccard_pairs(spark, dup_docs):
         assert 0.5 <= pairs[(i, i + 20_000)] < 1.0
 
 
+def test_jaccard_verify_matches_full_jaccard_on_pairs(spark, dup_docs):
+    """The candidate-only verify stage must produce the same jaccard
+    values as the full self-join operator on every shared pair."""
+    from htmlparser2_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    full = ngram_jaccard_pairs(dup_docs, n=3, threshold=0.3)
+    verified = jaccard_verify_pairs(
+        dup_docs, full.select("id_a", "id_b"), n=3, threshold=0.3
+    )
+    f = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+    v = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert f == v and len(f) > 0
+
+
+def test_run_dedup_statuses(spark):
+    """exact copies -> exact_dup of the min id; near dups -> near_dup
+    of the cluster representative; uniques -> kept."""
+    from htmlparser2_spark.plans.dedup_job import run_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                      # exact copy of 1
+        (3, "prefix words " + base),    # near dup of 1
+        (4, "totally different content with nothing shared at all here ok"),
+        (5, base),                      # second exact copy of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["status"], r["dup_of"]) for r in
+           run_dedup(df, threshold=0.5).collect()}
+    assert out[1] == ("kept", 1)
+    assert out[2] == ("exact_dup", 1)
+    assert out[5] == ("exact_dup", 1)
+    assert out[3] == ("near_dup", 1)
+    assert out[4] == ("kept", 4)
+    assert len(out) == 5
+
+
 def test_simhash_close_for_near_dups(spark, dup_docs):
     from htmlparser2_spark.operators.dedup import simhash64
 
