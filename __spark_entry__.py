@@ -206,6 +206,64 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (hash-threshold decision
+    function, map-only). Uses the md5-prefix portable hash so DuckDB
+    reproduces the decision arithmetic bit-for-bit."""
+    from htmlparser2_spark.operators.sampling import (
+        portable_hash,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs,
+        {"en": 0.5, "de": 1.0, "es": 0.25},
+        strata_col="lang",
+        key_col="doc_id",
+        hash_expr=portable_hash(F.col("doc_id")),
+    ).select("doc_id", "lang")
+
+
+def _q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(20, stratum size) docs per language, chosen by
+    deterministic hash order."""
+    from htmlparser2_spark.operators.sampling import (
+        portable_hash,
+        quota_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quota_sample(
+        docs,
+        20,
+        strata_col="lang",
+        key_col="doc_id",
+        hash_expr=portable_hash(F.col("doc_id")),
+    ).select("doc_id", "lang")
+
+
+def _q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: hashed groups, running-total shard
+    index inside each group (no global sort)."""
+    from htmlparser2_spark.operators.sampling import (
+        portable_hash,
+        token_budget_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return token_budget_shards(
+        docs,
+        tokens_col="n_tokens",
+        shard_tokens=500,
+        n_groups=8,
+        key_col="doc_id",
+        hash_expr=portable_hash(F.col("doc_id")),
+    ).select("doc_id", "grp", "shard")
+
+
 def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     near = (
@@ -868,6 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_dup_clusters": _q_dup_clusters,
         "q_dedup_pipeline": _q_dedup_pipeline,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_quota_sample": _q_quota_sample,
+        "q_token_shards": _q_token_shards,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1223,6 +1284,30 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node) "
             "SELECT node AS id, CAST(min(lab) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
+        ),
+        "q_stratified_sample": (
+            # Identical decision arithmetic: 60-bit md5-prefix hash,
+            # threshold = fraction * 1e6 per language, unlisted -> 0.
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "% 1000000 < CASE lang WHEN 'en' THEN 500000 "
+            "WHEN 'de' THEN 1000000 WHEN 'es' THEN 250000 ELSE 0 END"
+        ),
+        "q_quota_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "% 1000000 ASC, doc_id ASC) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        "q_token_shards": (
+            "WITH t AS (SELECT doc_id, "
+            "len(string_split(text, ' ')) AS n_tokens, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 "
+            "AS grp FROM documents) "
+            "SELECT doc_id, grp, CAST(floor((SUM(n_tokens) OVER ("
+            "PARTITION BY grp ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            "/ 500.0) AS BIGINT) AS shard FROM t"
         ),
         "q_dedup_pipeline": (
             # Independent recomputation of the whole pipeline: exact

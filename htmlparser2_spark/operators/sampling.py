@@ -1,0 +1,168 @@
+"""Deterministic corpus sampling and shard-packing operators.
+
+Training-data pipelines sample by *decision function*, not by RNG:
+whether a document is kept must depend only on the document (so reruns,
+retries, different partitionings, and growing corpora never flip
+membership — ``df.sample()`` guarantees none of these). Every operator
+here keys its decision on a hash of a stable id:
+
+* :func:`hash_sample`        — deterministic Bernoulli-style fraction
+  (map-only, no shuffle)
+* :func:`stratified_sample`  — per-stratum fractions, e.g. language
+  rebalancing (map-only, no shuffle)
+* :func:`quota_sample`       — exactly min(n, count) rows per stratum,
+  chosen by hash order (one shuffle on the stratum key)
+* :func:`token_budget_shards`— pack documents into ~fixed-token
+  training shards inside hashed packing groups (each group sorts
+  independently, so no global sort at any corpus size)
+
+The default hash is ``xxhash64`` (JVM-side, fastest). Each operator
+accepts ``hash_expr`` to override it; the oracle queries in
+``__spark_entry__.py`` pass an md5-hex-prefix hash that DuckDB can
+compute bit-identically, so the decision arithmetic itself is
+hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "quota_sample",
+    "token_budget_shards",
+    "portable_hash",
+]
+
+# Decision space: h mod _M compared against fraction * _M. 1e6 keeps
+# fraction resolution at 1e-6 while staying far from long overflow.
+_M = 1_000_000
+
+
+def portable_hash(key: Column) -> Column:
+    """60-bit hash computable bit-identically in Spark and DuckDB
+    (first 15 hex chars of md5 of the key's string form). Slower than
+    xxhash64 — used where cross-engine reproducibility matters more
+    than speed (oracle checks, cross-system handoffs)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _h(df_key: Column, hash_expr: Column | None) -> Column:
+    h = F.xxhash64(df_key) if hash_expr is None else hash_expr
+    return F.pmod(h, F.lit(_M))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    key_col: str = "doc_id",
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Keep rows with ``hash(key) mod 1e6 < fraction * 1e6``.
+
+    Map-only: the filter is a pure predicate over the scan, so it
+    pushes ahead of downstream shuffles and costs one hash per row at
+    any corpus size. Membership is a function of the key alone.
+    """
+    return df.filter(_h(F.col(key_col), hash_expr) < int(fraction * _M))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    hash_expr: Column | None = None,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic fractions (language rebalancing: keep
+    e.g. 10% of the dominant language, 100% of the rare ones).
+
+    Strata absent from ``fractions`` get ``default_fraction`` (0.0 =
+    dropped — explicit beats silent pass-through for quota curation).
+    Map-only like :func:`hash_sample`; the per-stratum threshold is a
+    literal map lookup, no join.
+    """
+    thresholds = F.create_map(
+        *[
+            lit
+            for k, v in fractions.items()
+            for lit in (F.lit(k), F.lit(int(v * _M)))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)], F.lit(int(default_fraction * _M))
+    )
+    return df.filter(_h(F.col(key_col), hash_expr) < thr)
+
+
+def quota_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, stratum size)`` rows per stratum,
+    deterministically chosen by hash order (ties broken by key).
+
+    One shuffle on the stratum key; skew is bounded by the largest
+    stratum — for web corpora that is the dominant language, so at
+    extreme scale pre-filter it with :func:`stratified_sample` to an
+    over-quota fraction first, then take the exact quota here.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _h(F.col(key_col), hash_expr).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def token_budget_shards(
+    df: DataFrame,
+    *,
+    tokens_col: str = "n_tokens",
+    shard_tokens: int = 1_000_000,
+    n_groups: int = 1024,
+    key_col: str = "doc_id",
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Assign each document to a training shard of ~``shard_tokens``
+    tokens: ``(grp, shard)`` where ``grp = hash(key) mod n_groups`` and
+    ``shard`` is the running-token-total bucket within the group
+    (ordered by key; a document starting at offset t lands in shard
+    ``floor(t / shard_tokens)``).
+
+    Scale shape: there is NO global sort — each of the ``n_groups``
+    packing groups sorts independently (one shuffle on ``grp``), so a
+    100 TB corpus packs as 1024 parallel ~100 GB window scans; size
+    ``n_groups`` so a group's rows fit an executor's spill budget.
+    Shard fill is approximate at group boundaries (a doc straddling
+    the budget stays in the shard it started in — standard doc-level
+    packing; token-level splitting is a tokenizer concern, not a
+    corpus-layout one).
+    """
+    grp = F.pmod(
+        F.xxhash64(F.col(key_col)) if hash_expr is None else hash_expr,
+        F.lit(n_groups),
+    )
+    out = df.withColumn("grp", grp)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return out.withColumn(
+        "shard", F.floor(start / F.lit(shard_tokens)).cast("long")
+    )

@@ -83,6 +83,21 @@ def test_simhash_map_only(spark):
     assert "Aggregate" not in p
 
 
+def test_sampling_is_map_only(spark):
+    """Deterministic sampling is a pure filter over the scan — no
+    shuffle at any corpus size."""
+    from htmlparser2_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in plan(hash_sample(docs, 0.5))
+    assert "Exchange" not in plan(
+        stratified_sample(docs, {"en": 0.5}, strata_col="lang")
+    )
+
+
 def test_ivf_broadcasts_probe_side_with_pushdown(spark):
     """IVF cell join must broadcast the (small) probe side and keep the
     corpus scan's vec_id predicate pushed into parquet."""

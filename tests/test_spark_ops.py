@@ -773,3 +773,96 @@ def test_redact_pii(spark):
     # Conservative patterns: versions/ids/dates survive untouched.
     assert rows[4] == "version 1.2.3.4.5 and id 20240101 stay intact"
     assert rows[5] == "range 10-20 and date 2024-01 stay intact"
+
+
+# ---------------------------- sampling ----------------------------
+
+def test_hash_sample_deterministic_and_stable(spark):
+    """Membership is a pure function of the key: same rows across
+    repeated runs and across repartitionings, fraction approximately
+    honored."""
+    from htmlparser2_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(7), 0.3).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4
+    # Growing the corpus never flips earlier decisions.
+    grown = {r["doc_id"] for r in
+             hash_sample(spark.range(0, 4000).withColumnRenamed("id", "doc_id"), 0.3).collect()}
+    assert a == {x for x in grown if x < 2000}
+
+
+def test_stratified_sample_fractions_and_default_drop(spark):
+    from htmlparser2_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "yo"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, {"en": 1.0, "de": 0.5}, strata_col="lang")
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["en"] == 1000            # fraction 1.0 keeps all
+    assert 350 < counts["de"] < 650        # ~0.5
+    assert "yo" not in counts              # unlisted stratum dropped
+
+
+def test_quota_sample_exact_counts(spark):
+    from htmlparser2_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(910)],
+        "doc_id long, lang string",
+    )
+    out = quota_sample(df, 50, strata_col="lang")
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"big": 50, "small": 10}  # min(n, stratum size)
+    # Deterministic: a second run picks the identical ids.
+    again = quota_sample(df, 50, strata_col="lang")
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+def test_token_budget_shards_invariants(spark):
+    """Start-offset packing invariants: a shard never exceeds
+    budget + one max-size doc (the straddler), every non-final shard's
+    cumulative token total crosses its budget boundary, shard ids are
+    contiguous from 0 (doc sizes < budget here), and assignment is
+    deterministic."""
+    import pyspark.sql.functions as SF
+    from htmlparser2_spark.operators.sampling import token_budget_shards
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(2000)],
+        "doc_id long, n_tokens int",
+    )
+    out = token_budget_shards(
+        df, tokens_col="n_tokens", shard_tokens=1000, n_groups=4
+    )
+    per_shard = (
+        out.groupBy("grp", "shard")
+        .agg(SF.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    by_group: dict[int, dict[int, int]] = {}
+    for r in per_shard:
+        by_group.setdefault(r["grp"], {})[r["shard"]] = r["total"]
+    max_doc = 99
+    for g, shards in by_group.items():
+        mx = max(shards)
+        assert sorted(shards) == list(range(mx + 1))  # contiguous from 0
+        cum = 0
+        for k in range(mx + 1):
+            assert shards[k] <= 1000 + max_doc
+            cum += shards[k]
+            if k < mx:
+                # the shard's last doc crosses the (k+1)*budget line
+                assert cum >= (k + 1) * 1000
+    again = token_budget_shards(
+        df, tokens_col="n_tokens", shard_tokens=1000, n_groups=4
+    )
+    assert {(r["doc_id"], r["grp"], r["shard"]) for r in out.collect()} == {
+        (r["doc_id"], r["grp"], r["shard"]) for r in again.collect()
+    }
