@@ -162,7 +162,16 @@ def jaccard_verify_pairs(
 
     Returns (id_a, id_b, jaccard) for candidates meeting ``threshold``.
     """
-    sets_ = docs.select(
+    # Only pair members need shingle sets: semi-filter the corpus to
+    # candidate ids first (candidates ≪ corpus after LSH), so the
+    # shingle pass runs over the candidate subset — not the full
+    # corpus twice. AQE broadcasts the id list when it is small.
+    ids_needed = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_ = docs.join(ids_needed, id_col, "left_semi").select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(_shingle_array(text_col, n), lambda s: F.xxhash64(s))
