@@ -264,6 +264,22 @@ def _q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "grp", "shard")
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination hits: every training doc sharing an
+    8-gram with a (simulated leaked) benchmark item. The benchmark is
+    every 50th document verbatim, so each flags at least itself; the
+    oracle recomputes the shared-shingle counts exactly."""
+    from htmlparser2_spark.operators.contamination import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.expr("doc_id div 50").alias("bench_id"), "text"
+    )
+    return contamination_hits(docs, bench, n=8)
+
+
 def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     near = (
@@ -929,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_quota_sample": _q_quota_sample,
         "q_token_shards": _q_token_shards,
+        "q_contamination": _q_contamination,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1308,6 +1325,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_contamination": (
+            # Shared distinct 8-gram counts between each doc and each
+            # benchmark item (benchmark = every 50th doc verbatim).
+            "WITH dsh AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+            "toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || "
+            "toks[i+6] || ' ' || toks[i+7] "
+            "for i in generate_series(1, len(toks) - 7)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents)), "
+            "bsh AS (SELECT doc_id // 50 AS bench_id, shingle "
+            "FROM dsh WHERE doc_id % 50 = 0) "
+            "SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM dsh d JOIN bsh b USING (shingle) GROUP BY 1, 2"
         ),
         "q_dedup_pipeline": (
             # Independent recomputation of the whole pipeline: exact

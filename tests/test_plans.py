@@ -155,3 +155,17 @@ def test_url_canon_is_pure_projection(spark):
     assert "Exchange" not in p
     assert "Python" not in p  # no row-at-a-time UDF snuck in
     assert ") Project" in p and ") Scan parquet" in p  # scan -> project only
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The tiny benchmark shingle table must broadcast; the corpus is
+    scanned once and never self-joined."""
+    from htmlparser2_spark.operators.contamination import contamination_hits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id div 50 AS bench_id", "text"
+    )
+    p = plan(contamination_hits(docs, bench, n=8))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -866,3 +866,32 @@ def test_token_budget_shards_invariants(spark):
     assert {(r["doc_id"], r["grp"], r["shard"]) for r in out.collect()} == {
         (r["doc_id"], r["grp"], r["shard"]) for r in again.collect()
     }
+
+
+# ---------------------------- contamination ----------------------------
+
+def test_contamination_hits_and_decontaminate(spark):
+    from htmlparser2_spark.operators.contamination import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words nothing shared with any benchmark at all here"),
+            (2, "prefix stuff " + leak + " suffix stuff"),  # contains the 8-grams
+            (3, leak),                                       # verbatim leak
+            (4, "alpha beta gamma delta only four shared words not eight"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "bench_id long, text string")
+    hits = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_hits(docs, bench, n=8).collect()
+    }
+    assert set(hits) == {(2, 100), (3, 100)}
+    assert hits[(3, 100)] == 3  # 10 tokens -> 3 distinct 8-grams
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {1, 4}  # short overlap (< 8-gram) survives
