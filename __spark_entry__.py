@@ -280,6 +280,34 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=8)
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline's stage funnel: quality gate ->
+    dedup -> benchmark decontamination -> stratified sampling, with
+    per-stage survivor counts. Uses the SQL-portable quality predicate
+    and hash so DuckDB replays every stage decision exactly (the
+    Gopher-gate default is exercised by q_gopher separately)."""
+    from htmlparser2_spark.operators.sampling import portable_hash
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.expr("doc_id div 50").alias("bench_id"), "text"
+    )
+    _, funnel = run_curation(
+        docs,
+        bench=bench,
+        quality_pred=F.size(F.split("text", " ")) >= 40,
+        dedup_threshold=0.7,
+        contam_n=8,
+        fractions={"en": 0.5, "de": 1.0, "es": 0.25},
+        strata_col="lang",
+        hash_expr=portable_hash(F.col("doc_id")),
+    )
+    return funnel
+
+
 def _near_dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     near = (
@@ -946,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quota_sample": _q_quota_sample,
         "q_token_shards": _q_token_shards,
         "q_contamination": _q_contamination,
+        "q_curation_funnel": _q_curation_funnel,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1340,6 +1369,69 @@ def oracle_sql() -> dict[str, str]:
             "FROM dsh WHERE doc_id % 50 = 0) "
             "SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared "
             "FROM dsh d JOIN bsh b USING (shingle) GROUP BY 1, 2"
+        ),
+        "q_curation_funnel": (
+            # Replays every stage decision: token-count quality gate,
+            # exact+near dedup (recursive-CTE components over the
+            # jaccard >= 0.7 truth set), 8-gram decontamination against
+            # every-50th-doc benchmark, md5-hash stratified sampling.
+            "WITH RECURSIVE "
+            "q AS (SELECT doc_id, text, lang FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 40), "
+            "reps AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep "
+            "FROM q), "
+            "surv AS (SELECT u.doc_id, u.text FROM q u "
+            "JOIN reps r ON u.doc_id = r.doc_id WHERE r.doc_id = r.rep), "
+            "sh AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+            "for i in generate_series(1, len(toks) - 2)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM surv)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM ("
+            "SELECT id_a, id_b, round(CAST(n_i AS DOUBLE) / (sa.n + sb.n - n_i), 4) AS j "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b) WHERE j >= 0.7), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, lab) AS (SELECT src, src FROM edges "
+            "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), "
+            "clusters AS (SELECT node AS id, min(lab) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "dedup_kept AS (SELECT doc_id FROM surv WHERE doc_id NOT IN "
+            "(SELECT id FROM clusters WHERE id != cluster_id)), "
+            "dsh8 AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+            "toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || "
+            "toks[i+6] || ' ' || toks[i+7] "
+            "for i in generate_series(1, len(toks) - 7)])) AS shingle "
+            "FROM (SELECT d.doc_id, string_split(d.text, ' ') AS toks "
+            "FROM documents d JOIN dedup_kept k USING (doc_id))), "
+            "bsh8 AS (SELECT doc_id, unnest(list_distinct("
+            "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+            "toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || "
+            "toks[i+6] || ' ' || toks[i+7] "
+            "for i in generate_series(1, len(toks) - 7)])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents WHERE doc_id % 50 = 0)), "
+            "contaminated AS (SELECT DISTINCT d.doc_id "
+            "FROM dsh8 d JOIN bsh8 b USING (shingle)), "
+            "decon AS (SELECT doc_id FROM dedup_kept WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM contaminated)), "
+            "samp AS (SELECT d.doc_id FROM decon dc "
+            "JOIN documents d ON d.doc_id = dc.doc_id "
+            "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "% 1000000 < CASE d.lang WHEN 'en' THEN 500000 "
+            "WHEN 'de' THEN 1000000 WHEN 'es' THEN 250000 ELSE 0 END) "
+            "SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, n_docs FROM ("
+            "SELECT 0 AS stage_idx, 'ingest' AS stage, "
+            "(SELECT count(*) FROM documents) AS n_docs "
+            "UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q) "
+            "UNION ALL SELECT 2, 'dedup', (SELECT count(*) FROM dedup_kept) "
+            "UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM decon) "
+            "UNION ALL SELECT 4, 'sampled', (SELECT count(*) FROM samp))"
         ),
         "q_dedup_pipeline": (
             # Independent recomputation of the whole pipeline: exact

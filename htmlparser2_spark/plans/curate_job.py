@@ -1,0 +1,105 @@
+"""End-to-end training-corpus curation plan.
+
+Composes the pipeline a web-scale pretraining corpus actually goes
+through, in the canonical order (cheap drops first so every later,
+more expensive stage sees a smaller corpus):
+
+1. **quality** — per-document gate (default: the Gopher rules from
+   ``operators/quality.py``; pass ``quality_pred`` to override with
+   any boolean Column). Map-only.
+2. **dedup** — :func:`~htmlparser2_spark.plans.dedup_job.run_dedup`
+   (exact md5 -> LSH candidates -> candidate-only Jaccard verify ->
+   components); only ``kept`` rows continue.
+3. **decontaminate** — drop documents sharing word n-grams with a
+   benchmark set (broadcast probe; skipped when ``bench`` is None).
+4. **sample** — deterministic per-stratum fractions (skipped when
+   ``fractions`` is None).
+
+Returns ``(corpus, funnel)``: the curated DataFrame plus a
+``(stage_idx, stage, n_docs)`` funnel table — the per-stage survivor
+counts an operations dashboard tracks per crawl batch. The funnel is
+built lazily (one action computes all stage counts); nothing collects
+to the driver inside the plan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.contamination import decontaminate
+from ..operators.quality import gopher_filter
+from ..operators.sampling import stratified_sample
+from .dedup_job import run_dedup
+
+__all__ = ["run_curation"]
+
+
+def run_curation(
+    docs: DataFrame,
+    *,
+    bench: DataFrame | None = None,
+    quality_pred: Column | None = None,
+    dedup_threshold: float = 0.7,
+    contam_n: int = 8,
+    fractions: dict[str, float] | None = None,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_expr: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Curate ``docs``; see module docstring for the stage order.
+
+    ``quality_pred=None`` uses the Gopher gate; a non-None Column
+    (e.g. a simple token-count window) replaces it — useful where the
+    decision must be reproducible outside Spark.
+    """
+    stages: list[tuple[str, DataFrame]] = [("ingest", docs)]
+
+    if quality_pred is None:
+        verdicts = gopher_filter(docs, text_col=text_col, id_col=id_col)
+        keep_ids = verdicts.filter(F.col("keep")).select(id_col)
+        cur = docs.join(keep_ids, id_col, "left_semi")
+    else:
+        cur = docs.filter(quality_pred)
+    stages.append(("quality", cur))
+
+    statuses = run_dedup(
+        cur, threshold=dedup_threshold, text_col=text_col, id_col=id_col
+    )
+    kept_ids = statuses.filter(F.col("status") == "kept").select(
+        F.col("id").alias(id_col)
+    )
+    cur = cur.join(kept_ids, id_col, "left_semi")
+    stages.append(("dedup", cur))
+
+    if bench is not None:
+        cur = decontaminate(
+            cur, bench, n=contam_n, text_col=text_col, id_col=id_col
+        )
+        stages.append(("decontaminated", cur))
+
+    if fractions is not None:
+        cur = stratified_sample(
+            cur,
+            fractions,
+            strata_col=strata_col,
+            key_col=id_col,
+            hash_expr=hash_expr,
+        )
+        stages.append(("sampled", cur))
+
+    funnel = reduce(
+        DataFrame.unionByName,
+        [
+            df.agg(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            for i, (name, df) in enumerate(stages)
+        ],
+    )
+    return cur, funnel

@@ -895,3 +895,50 @@ def test_contamination_hits_and_decontaminate(spark):
     assert hits[(3, 100)] == 3  # 10 tokens -> 3 distinct 8-grams
     kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
     assert kept == {1, 4}  # short overlap (< 8-gram) survives
+
+
+def test_run_curation_funnel_monotone_and_consistent(spark):
+    """Stage counts decrease monotonically, the final corpus count
+    equals the last funnel row, and stages compose in order."""
+    import pyspark.sql.functions as SF
+    from htmlparser2_spark.operators.sampling import portable_hash
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet" if False else
+                              "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    bench = docs.filter(SF.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id div 50 AS bench_id", "text"
+    )
+    corpus, funnel = run_curation(
+        docs,
+        bench=bench,
+        quality_pred=SF.size(SF.split("text", " ")) >= 40,
+        fractions={"en": 0.5, "de": 1.0, "es": 0.25},
+        hash_expr=portable_hash(SF.col("doc_id")),
+    )
+    rows = sorted(funnel.collect(), key=lambda r: r["stage_idx"])
+    names = [r["stage"] for r in rows]
+    counts = [r["n_docs"] for r in rows]
+    assert names == ["ingest", "quality", "dedup", "decontaminated", "sampled"]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone funnel
+    assert counts[0] > counts[-1] > 0
+    assert corpus.count() == counts[-1]
+
+
+def test_run_curation_default_gopher_gate(spark):
+    """With no quality_pred the Gopher rules gate stage 1."""
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["the quick brown fox and some words here ok"] * 10), "en"),
+            (2, "short", "en"),  # too_few_words -> dropped at quality
+        ],
+        "doc_id long, text string, lang string",
+    )
+    corpus, funnel = run_curation(docs)
+    counts = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert counts["ingest"] == 2 and counts["quality"] == 1
+    assert {r["doc_id"] for r in corpus.collect()} == {1}
