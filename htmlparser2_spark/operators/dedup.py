@@ -307,23 +307,24 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    ids = F.col("ids")
     # All (ids[i], ids[j]) with i < j; the sort makes id_a < id_b by
-    # construction. slice() tolerates length past the array end.
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.slice(ids, i + 1, F.size(ids)),
-                lambda b: F.struct(
-                    F.element_at(ids, i).alias("id_a"), b.alias("id_b")
-                ),
-            ),
-        )
-    )
+    # construction. Two-level explode: the first explode emits one row
+    # per left index, the second explodes that row's suffix slice — so
+    # no single row ever materializes a bucket's full k(k-1)/2 pair
+    # array (a one-level flatten would OOM on a pathological bucket;
+    # here the largest row holds one bucket's id list). slice()
+    # tolerates length past the array end.
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        buckets.select(
+            "ids",
+            F.explode(F.sequence(F.lit(1), F.size("ids") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("ids", F.col("i")).alias("id_a"),
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 1, F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 

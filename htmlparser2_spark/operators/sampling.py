@@ -122,9 +122,9 @@ def quota_sample(
         _h(F.col(key_col), hash_expr).asc(), F.col(key_col).asc()
     )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
+        df.withColumn("__quota_rn", F.row_number().over(w))
+        .filter(F.col("__quota_rn") <= n_per_stratum)
+        .drop("__quota_rn")
     )
 
 
