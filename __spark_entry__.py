@@ -416,6 +416,39 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup(inp, threshold=0.7)
 
 
+def _q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descendant-axis DOM queries over the ancestors column: per url,
+    how many li sit inside a ul and how many td inside a table — both
+    exactly predictable from the page template variant."""
+    from htmlparser2_spark.operators.domquery import (
+        elements_inside,
+        explode_nodes,
+    )
+
+    pages = build_pages(spark, sf_dir)
+    nodes = explode_nodes(pages, with_ancestors=True)
+    li = (
+        elements_inside(nodes, "ul", "li")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_li_in_ul"))
+    )
+    td = (
+        elements_inside(nodes, "table", "td")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_td_in_table"))
+    )
+    return (
+        pages.select("url")
+        .join(li, "url", "left")
+        .join(td, "url", "left")
+        .select(
+            "url",
+            F.coalesce("n_li_in_ul", F.lit(0)).alias("n_li_in_ul"),
+            F.coalesce("n_td_in_table", F.lit(0)).alias("n_td_in_table"),
+        )
+    )
+
+
 def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational textContent over the exploded nodes table must equal
     the golden text column (DomUtils surface, SURVEY.md §2.6)."""
@@ -975,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_shards": _q_token_shards,
         "q_contamination": _q_contamination,
         "q_curation_funnel": _q_curation_funnel,
+        "q_descendants": _q_descendants,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1354,6 +1388,15 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_descendants": (
+            # Variant 1 pages have exactly 2 li inside the ul; variant 2
+            # exactly 2 td inside the table; others none.
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) "
+            "AS n_li_in_ul, "
+            "CAST(CASE doc_id % 3 WHEN 2 THEN 2 ELSE 0 END AS BIGINT) "
+            "AS n_td_in_table FROM pages"
         ),
         "q_contamination": (
             # Shared distinct 8-gram counts between each doc and each

@@ -53,9 +53,18 @@ class DomArrayHandler:
     which point all of its descendants are in ``self.nodes``.
     """
 
-    def __init__(self, with_indices: bool = True, element_callback=None) -> None:
+    def __init__(
+        self,
+        with_indices: bool = True,
+        element_callback=None,
+        with_ancestors: bool = False,
+    ) -> None:
         self._with_indices = with_indices
         self._element_callback = element_callback
+        # with_ancestors adds an ``ancestors`` list (open-element node
+        # ids, root-first) to every node — the descendant axis for
+        # relational DOM queries without per-doc transitive closure.
+        self._with_ancestors = with_ancestors
         self.parser: Parser | None = None
         self._init_state()
 
@@ -96,6 +105,8 @@ class DomArrayHandler:
             "start_index": self.parser.start_index if self._with_indices else None,
             "end_index": self.parser.end_index if self._with_indices else None,
         }
+        if self._with_ancestors:
+            node["ancestors"] = list(self._stack)
         self.nodes.append(node)
         return node_id
 

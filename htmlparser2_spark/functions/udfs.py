@@ -249,13 +249,26 @@ NODE_SCHEMA = ArrayType(
 )
 
 
-def dom_nodes_udf(**options):
-    @F.pandas_udf(NODE_SCHEMA)
+NODE_ANC_SCHEMA = ArrayType(
+    StructType(
+        list(NODE_SCHEMA.elementType.fields)
+        + [StructField("ancestors", ArrayType(IntegerType()))]
+    )
+)
+
+
+def dom_nodes_udf(with_ancestors: bool = False, **options):
+    """``with_ancestors=True`` adds an ``ancestors array<int>`` field
+    (open-element node ids, root-first) — the descendant axis for
+    relational DOM queries (operators/domquery.py elements_inside)."""
+    schema = NODE_ANC_SCHEMA if with_ancestors else NODE_SCHEMA
+
+    @F.pandas_udf(schema)
     def _nodes(html: pd.Series) -> pd.Series:
         # Batch-level reuse is safe for the returned node lists:
         # on_parser_init binds a *fresh* list per document, so a
         # previously returned list is never mutated by the next parse.
-        handler = DomArrayHandler()
+        handler = DomArrayHandler(with_ancestors=with_ancestors)
         parser = _make_parser(handler, options)
 
         def one(value):

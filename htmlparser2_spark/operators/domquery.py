@@ -30,6 +30,7 @@ __all__ = [
     "children_of",
     "siblings_of",
     "element_siblings",
+    "elements_inside",
     "get_attribute_value",
     "text_content_per_doc",
     "outer_html",
@@ -136,6 +137,31 @@ def element_siblings(nodes: DataFrame) -> DataFrame:
             "prev_element": F.lag("name").over(w),
             "next_element": F.lead("name").over(w),
         }
+    )
+
+
+def elements_inside(
+    nodes: DataFrame, outer_name: str, inner_name: str,
+    key_col: str = "url",
+) -> DataFrame:
+    """Descendant axis: inner elements having an ancestor element named
+    ``outer_name`` at any depth (CSS ``outer inner``), with the
+    matching ancestor's node_id as ``ancestor_id``.
+
+    Requires a nodes table built with ``with_ancestors=True``
+    (explode_nodes forwards it): the ancestor test is then an in-row
+    array membership after a within-document equi-join on ``key_col``
+    — no per-document transitive closure, no recursive join. An inner
+    element nested under k matching ancestors yields k rows
+    (``.drop_duplicates(subset=[key_col, "node_id"])`` for
+    element-distinct semantics).
+    """
+    inner = nodes.filter(F.col("name") == inner_name)
+    outer = nodes.filter(F.col("name") == outer_name).select(
+        key_col, F.col("node_id").alias("ancestor_id")
+    )
+    return inner.join(outer, key_col).filter(
+        F.array_contains("ancestors", F.col("ancestor_id"))
     )
 
 

@@ -181,3 +181,29 @@ def test_inner_html_of():
     assert inner_html_of(nodes, p["node_id"]) == "a &amp; b"
     # Whole document via the root sentinel keeps getOuterHTML semantics.
     assert inner_html_of(nodes, -1) == '<div id="x"><p>a &amp; b</p><br>tail</div>'
+
+
+def test_ancestors_option():
+    """with_ancestors records the open-element id stack, root-first."""
+    from htmlparser2_spark.engine.dom import DomArrayHandler
+    from htmlparser2_spark.engine.parser import Parser
+
+    h = DomArrayHandler(with_indices=False, with_ancestors=True)
+    p = Parser(h)
+    p.parse("<div><ul><li>a</li><li>b</li></ul></div><p>c</p>")
+    by_id = {n["node_id"]: n for n in h.nodes}
+    names = {n["node_id"]: n["name"] for n in h.nodes}
+    li_ids = [i for i, n in names.items() if n == "li"]
+    div_id = next(i for i, n in names.items() if n == "div")
+    ul_id = next(i for i, n in names.items() if n == "ul")
+    for li in li_ids:
+        assert by_id[li]["ancestors"] == [div_id, ul_id]
+    p_id = next(i for i, n in names.items() if n == "p")
+    assert by_id[p_id]["ancestors"] == []
+    # text node under li inherits the li in its stack
+    text_a = next(n for n in h.nodes if n["data"] == "a")
+    assert text_a["ancestors"] == [div_id, ul_id, li_ids[0]]
+    # default handler emits no ancestors key at all
+    h2 = DomArrayHandler(with_indices=False)
+    Parser(h2).parse("<p>x</p>")
+    assert "ancestors" not in h2.nodes[0]

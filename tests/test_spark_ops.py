@@ -942,3 +942,27 @@ def test_run_curation_default_gopher_gate(spark):
     counts = {r["stage"]: r["n_docs"] for r in funnel.collect()}
     assert counts["ingest"] == 2 and counts["quality"] == 1
     assert {r["doc_id"] for r in corpus.collect()} == {1}
+
+
+def test_elements_inside_descendant_axis(spark):
+    """li inside ul counts at any depth; a stray li outside any ul
+    does not; matches are per matching ancestor."""
+    from htmlparser2_spark.operators.domquery import (
+        elements_inside,
+        explode_nodes,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<div><ul><li>a</li><div><li>deep</li></div></ul></div>"),
+            ("u2", "<li>stray</li><table><tr><td>x</td></tr></table>"),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+    li = elements_inside(nodes, "ul", "li")
+    per_url = {r["url"]: r["n"] for r in
+               li.groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_url == {"u1": 2}  # both li (one nested deeper), no stray
+    td = elements_inside(nodes, "table", "td")
+    assert {r["url"] for r in td.collect()} == {"u2"}
