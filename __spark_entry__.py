@@ -1508,8 +1508,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), "
             "clusters AS (SELECT node AS id, min(lab) AS cluster_id "
             "FROM reach GROUP BY node), "
-            "dropped AS (SELECT doc_id AS id, 'exact_dup' AS status, rep AS dup_of "
-            "FROM reps WHERE doc_id != rep "
+            # exact reps that themselves drop as near dups remap to the
+            # cluster representative (mirrors run_dedup).
+            "dropped AS (SELECT r.doc_id AS id, 'exact_dup' AS status, "
+            "coalesce(c.cluster_id, r.rep) AS dup_of "
+            "FROM reps r LEFT JOIN clusters c ON c.id = r.rep "
+            "WHERE r.doc_id != r.rep "
             "UNION ALL SELECT id, 'near_dup' AS status, cluster_id AS dup_of "
             "FROM clusters WHERE id != cluster_id) "
             "SELECT u.doc_id AS id, coalesce(d.status, 'kept') AS status, "

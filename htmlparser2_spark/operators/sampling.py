@@ -56,6 +56,13 @@ def _h(df_key: Column, hash_expr: Column | None) -> Column:
     return F.pmod(h, F.lit(_M))
 
 
+def _threshold(fraction: float) -> int:
+    # round, not truncate: 0.29 * 1e6 is 289999.99999999994 in floats,
+    # and int() would shave the boundary key (and disagree with a SQL
+    # engine's rounding of the same literal).
+    return int(round(fraction * _M))
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,
@@ -69,7 +76,7 @@ def hash_sample(
     pushes ahead of downstream shuffles and costs one hash per row at
     any corpus size. Membership is a function of the key alone.
     """
-    return df.filter(_h(F.col(key_col), hash_expr) < int(fraction * _M))
+    return df.filter(_h(F.col(key_col), hash_expr) < _threshold(fraction))
 
 
 def stratified_sample(
@@ -93,11 +100,11 @@ def stratified_sample(
         *[
             lit
             for k, v in fractions.items()
-            for lit in (F.lit(k), F.lit(int(v * _M)))
+            for lit in (F.lit(k), F.lit(_threshold(v)))
         ]
     )
     thr = F.coalesce(
-        thresholds[F.col(strata_col)], F.lit(int(default_fraction * _M))
+        thresholds[F.col(strata_col)], F.lit(_threshold(default_fraction))
     )
     return df.filter(_h(F.col(key_col), hash_expr) < thr)
 

@@ -49,13 +49,28 @@ def run_curation(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_expr: Column | None = None,
+    checkpoint_stages: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Curate ``docs``; see module docstring for the stage order.
 
     ``quality_pred=None`` uses the Gopher gate; a non-None Column
     (e.g. a simple token-count window) replaces it — useful where the
     decision must be reproducible outside Spark.
+
+    ``checkpoint_stages=True`` lazily ``localCheckpoint``s each
+    stage's survivor frame: the funnel counts plus the returned corpus
+    would otherwise re-execute every upstream stage once per
+    evaluation (stage k's lineage contains stages 0..k-1). The
+    truncation costs one executor-local materialization per stage —
+    the standard trade for multi-consumer pipelines; disable it to
+    keep pure lineage (e.g. when writing the corpus exactly once and
+    skipping the funnel).
     """
+    maybe_ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint_stages
+        else (lambda df: df)
+    )
     stages: list[tuple[str, DataFrame]] = [("ingest", docs)]
 
     if quality_pred is None:
@@ -64,6 +79,7 @@ def run_curation(
         cur = docs.join(keep_ids, id_col, "left_semi")
     else:
         cur = docs.filter(quality_pred)
+    cur = maybe_ckpt(cur)
     stages.append(("quality", cur))
 
     statuses = run_dedup(
@@ -72,12 +88,14 @@ def run_curation(
     kept_ids = statuses.filter(F.col("status") == "kept").select(
         F.col("id").alias(id_col)
     )
-    cur = cur.join(kept_ids, id_col, "left_semi")
+    cur = maybe_ckpt(cur.join(kept_ids, id_col, "left_semi"))
     stages.append(("dedup", cur))
 
     if bench is not None:
-        cur = decontaminate(
-            cur, bench, n=contam_n, text_col=text_col, id_col=id_col
+        cur = maybe_ckpt(
+            decontaminate(
+                cur, bench, n=contam_n, text_col=text_col, id_col=id_col
+            )
         )
         stages.append(("decontaminated", cur))
 

@@ -62,7 +62,14 @@ def run_dedup(
     candidate recall, never which verified pairs pass.
     """
     ids = F.col(id_col)
-    keyed = docs.select(ids.alias("id"), F.md5(F.col(text_col)).alias("h"))
+    # NULL text (fetch failures) hashes to the empty-string group
+    # instead of silently bypassing the join on a NULL key — such rows
+    # dedup against each other and empty documents rather than all
+    # surviving as distinct 'kept' rows.
+    keyed = docs.select(
+        ids.alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("h"),
+    )
     exact = keyed.join(
         keyed.groupBy("h").agg(F.min("id").alias("rep")), "h"
     ).select("id", "rep")
@@ -90,10 +97,20 @@ def run_dedup(
     )
     clusters = duplicate_clusters(verified, max_iter=max_iter)
 
-    exact_dups = exact.filter(F.col("id") != F.col("rep")).select(
-        "id",
-        F.lit("exact_dup").alias("status"),
-        F.col("rep").alias("dup_of"),
+    # An exact rep can itself drop as a near_dup; remap through the
+    # cluster labels so dup_of ALWAYS names a retained representative
+    # (the cluster's min id is kept by construction).
+    rep_map = clusters.withColumnsRenamed(
+        {"id": "rep", "cluster_id": "rep_final"}
+    )
+    exact_dups = (
+        exact.filter(F.col("id") != F.col("rep"))
+        .join(rep_map, "rep", "left")
+        .select(
+            "id",
+            F.lit("exact_dup").alias("status"),
+            F.coalesce("rep_final", F.col("rep")).alias("dup_of"),
+        )
     )
     near_dups = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         "id",

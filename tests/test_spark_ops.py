@@ -966,3 +966,40 @@ def test_elements_inside_descendant_axis(spark):
     assert per_url == {"u1": 2}  # both li (one nested deeper), no stray
     td = elements_inside(nodes, "table", "td")
     assert {r["url"] for r in td.collect()} == {"u2"}
+
+
+def test_run_dedup_remaps_exact_rep_dropped_as_near_dup(spark):
+    """If an exact group's representative itself drops as a near_dup,
+    exact_dup rows must point at the final retained representative."""
+    from htmlparser2_spark.plans.dedup_job import run_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),                    # near-dup cluster representative
+        (5, "prefix words " + base),  # near dup of 1 AND exact rep of 6
+        (6, "prefix words " + base),  # exact copy of 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["status"], r["dup_of"]) for r in
+           run_dedup(df, threshold=0.5).collect()}
+    assert out[1] == ("kept", 1)
+    assert out[5] == ("near_dup", 1)
+    assert out[6] == ("exact_dup", 1)  # remapped through 5's cluster
+
+
+def test_run_dedup_null_text_joins_empty_group(spark):
+    """NULL-text rows dedup against each other and empty docs instead
+    of silently surviving as distinct kept rows."""
+    from htmlparser2_spark.plans.dedup_job import run_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None),
+         (4, "real content words here about nothing shared elsewhere ok")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["status"], r["dup_of"]) for r in
+           run_dedup(df).collect()}
+    assert out[1] == ("kept", 1)          # min id of the empty group
+    assert out[2] == ("exact_dup", 1)
+    assert out[3] == ("exact_dup", 1)
+    assert out[4] == ("kept", 4)
