@@ -449,6 +449,41 @@ def _q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest roundtrip: synthesize a response record per page,
+    parse it back with warc_record_udf, and emit (a) the parsed fields
+    against their predicted values and (b) md5 of the record bytes —
+    which the oracle recomputes from its OWN dual-dialect synthesis,
+    pinning both the parser and byte-identical record construction."""
+    from htmlparser2_spark.sources.warc import (
+        warc_pages_expr,
+        warc_record_udf,
+    )
+
+    pages = build_pages(spark, sf_dir)
+    recs = pages.selectExpr(
+        "url", "warc_ts", "html", f"{warc_pages_expr('spark')} AS rec"
+    )
+    w = recs.select(
+        "url", "warc_ts", "html",
+        F.md5("rec").alias("rec_md5"),
+        warc_record_udf()(F.col("rec")).alias("w"),
+    )
+    return w.select(
+        F.col("w.target_uri").alias("url_out"),
+        F.col("w.warc_type").alias("warc_type"),
+        F.col("w.http_status").alias("http_status"),
+        F.col("w.http_content_type").alias("http_content_type"),
+        "rec_md5",
+        (F.col("w.target_uri") == F.col("url")).alias("uri_ok"),
+        F.col("w.payload").eqNullSafe(F.col("html")).alias("payload_ok"),
+        (
+            F.col("w.warc_date")
+            == F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("date_ok"),
+    )
+
+
 def _q_dom_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational textContent over the exploded nodes table must equal
     the golden text column (DomUtils surface, SURVEY.md §2.6)."""
@@ -1009,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": _q_contamination,
         "q_curation_funnel": _q_curation_funnel,
         "q_descendants": _q_descendants,
+        "q_warc_roundtrip": _q_warc_roundtrip,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1075,6 +1111,9 @@ _ANN_TOPK_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from htmlparser2_spark.sources.warc import warc_pages_expr
+
+    warc_rec = warc_pages_expr("duckdb")
     tag_values = ", ".join(f"('{n}', {v}, {k})" for n, v, k in _TAG_COUNTS)
     sib_values = ", ".join(
         f"('{n}', '{nxt}', {v}, {k})" for n, nxt, v, k in _SIBLING_PAIRS
@@ -1388,6 +1427,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_warc_roundtrip": (
+            # The oracle re-synthesizes the record in DuckDB's dialect
+            # and md5s it — byte-identity with Spark's record — while
+            # the parsed fields have template-predicted values.
+            f"WITH {_PAGES_CTE} SELECT url AS url_out, "
+            "'response' AS warc_type, 200 AS http_status, "
+            "'text/html; charset=utf-8' AS http_content_type, "
+            f"md5({warc_rec}) AS rec_md5, "
+            "TRUE AS uri_ok, TRUE AS payload_ok, TRUE AS date_ok "
+            "FROM pages"
         ),
         "q_descendants": (
             # Variant 1 pages have exactly 2 li inside the ul; variant 2

@@ -1,0 +1,152 @@
+"""WARC (Web ARChive) record parsing — the raw Common-Crawl ingest step.
+
+A crawl delivers WARC records: a ``WARC/1.0`` version line, CRLF
+header block, blank line, then the content block (for ``response``
+records, an HTTP response envelope whose body is the page payload).
+:func:`warc_record_udf` parses one record per row into typed columns +
+the raw payload bytes, Arrow-batched, with the same NULL-on-failure
+contract as the media codecs (a malformed record yields NULL fields,
+never a task failure — at crawl scale some records are always
+corrupt).
+
+No external warc library: the format is a few dozen lines of byte
+splitting, and staying dependency-free keeps the UDF shippable via
+``--py-files``. Synthesis (:func:`warc_pages_expr`) builds
+byte-identical records from the pages table in BOTH SQL dialects, so
+the parse is oracle-checked end-to-end (q_warc_roundtrip).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["WARC_RECORD_SCHEMA", "warc_record_udf", "warc_pages_expr"]
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+_EMPTY = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(b"\r\n"):
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def _parse_record(rec) -> dict:
+    if rec is None:
+        return dict(_EMPTY)
+    try:
+        data = bytes(rec)
+        head, sep, rest = data.partition(b"\r\n\r\n")
+        if not sep or not head.startswith(b"WARC/"):
+            return dict(_EMPTY)
+        version, _, header_block = head.partition(b"\r\n")
+        h = _parse_headers(header_block)
+        out = dict(_EMPTY)
+        out["warc_type"] = (h.get(b"warc-type") or b"").decode("ascii", "replace") or None
+        out["target_uri"] = (h.get(b"warc-target-uri") or b"").decode("utf-8", "replace") or None
+        out["warc_date"] = (h.get(b"warc-date") or b"").decode("ascii", "replace") or None
+        out["content_type"] = (h.get(b"content-type") or b"").decode("ascii", "replace") or None
+        # Content-Length bounds the block (records are concatenated in
+        # real WARC files; a single-record row may also carry trailing
+        # CRLFCRLF separators).
+        try:
+            clen = int(h.get(b"content-length", b""))
+            block = rest[:clen]
+        except ValueError:
+            block = rest
+        if out["warc_type"] == "response" and block.startswith(b"HTTP/"):
+            http_head, sep2, body = block.partition(b"\r\n\r\n")
+            if sep2:
+                status_line, _, http_headers = http_head.partition(b"\r\n")
+                parts = status_line.split(None, 2)
+                try:
+                    out["http_status"] = int(parts[1])
+                except (IndexError, ValueError):
+                    out["http_status"] = None
+                hh = _parse_headers(http_headers)
+                out["http_content_type"] = (
+                    (hh.get(b"content-type") or b"").decode("ascii", "replace")
+                    or None
+                )
+                out["payload"] = body
+            else:
+                out["payload"] = None
+        else:
+            out["payload"] = block
+        return out
+    except Exception:
+        return dict(_EMPTY)
+
+
+def warc_record_udf():
+    """binary WARC record -> struct (see WARC_RECORD_SCHEMA)."""
+
+    @F.pandas_udf(WARC_RECORD_SCHEMA)
+    def _parse(rec: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_parse_record(r) for r in rec])
+
+    return _parse
+
+
+def warc_pages_expr(dialect: str) -> str:
+    """SQL expression building a WARC response record from the pages
+    columns (url, warc_ts, html/page_str) — identical bytes in both
+    dialects, so DuckDB can replay the synthesis and the roundtrip
+    oracle pins byte identity via md5.
+
+    'spark' yields BINARY (headers encoded + the html bytes); 'duckdb'
+    yields VARCHAR (the page content is valid UTF-8, so the string's
+    UTF-8 bytes ARE the record bytes — and DuckDB's md5 hashes
+    exactly those)."""
+    crlf = "chr(13) || chr(10)"
+    if dialect == "spark":
+        date = "date_format(warc_ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+        olen = "octet_length({s})"
+        payload_len = "octet_length(html)"
+    elif dialect == "duckdb":
+        date = "strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')"
+        olen = "octet_length(encode({s}))"
+        payload_len = "octet_length(encode(page_str))"
+    else:
+        raise ValueError(dialect)
+    http_head = (
+        f"'HTTP/1.1 200 OK' || {crlf} || "
+        f"'Content-Type: text/html; charset=utf-8' || {crlf} || {crlf}"
+    )
+    # Content-Length covers the HTTP block: head + body bytes.
+    block_len = f"({olen.format(s=http_head)} + {payload_len})"
+    warc_head = (
+        f"'WARC/1.0' || {crlf} || "
+        f"'WARC-Type: response' || {crlf} || "
+        f"'WARC-Target-URI: ' || url || {crlf} || "
+        f"'WARC-Date: ' || {date} || {crlf} || "
+        f"'Content-Type: application/http; msgtype=response' || {crlf} || "
+        f"'Content-Length: ' || CAST({block_len} AS STRING) || "
+        f"{crlf} || {crlf}"
+    )
+    if dialect == "spark":
+        return f"encode({warc_head} || {http_head}, 'utf-8') || html"
+    return f"{warc_head} || {http_head} || page_str"

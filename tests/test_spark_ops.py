@@ -1003,3 +1003,37 @@ def test_run_dedup_null_text_joins_empty_group(spark):
     assert out[2] == ("exact_dup", 1)
     assert out[3] == ("exact_dup", 1)
     assert out[4] == ("kept", 4)
+
+
+# ---------------------------- WARC ingest ----------------------------
+
+def test_warc_record_udf_parses_and_rejects(spark):
+    from htmlparser2_spark.sources.warc import warc_record_udf
+
+    body = b"<html><body>hi</body></html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            b"\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.example/a\r\n"
+           b"WARC-Date: 2024-01-01T00:00:07Z\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")  # trailing record separator
+    rows = spark.createDataFrame(
+        [(1, rec), (2, b"not a warc record"), (3, None),
+         (4, b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\nabc")],
+        "i long, rec binary",
+    )
+    out = {r["i"]: r["w"] for r in rows.select(
+        "i", warc_record_udf()(F.col("rec")).alias("w")).collect()}
+    good = out[1]
+    assert good["warc_type"] == "response"
+    assert good["target_uri"] == "https://x.example/a"
+    assert good["warc_date"] == "2024-01-01T00:00:07Z"
+    assert good["http_status"] == 200
+    assert good["http_content_type"] == "text/html; charset=utf-8"
+    assert bytes(good["payload"]) == body  # separator trimmed by length
+    assert out[2]["warc_type"] is None and out[2]["payload"] is None
+    assert out[3]["warc_type"] is None
+    assert out[4]["warc_type"] == "warcinfo"
+    assert bytes(out[4]["payload"]) == b"abc"
