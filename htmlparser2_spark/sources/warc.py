@@ -21,6 +21,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     StringType,
@@ -28,7 +29,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["WARC_RECORD_SCHEMA", "warc_record_udf", "warc_pages_expr"]
+__all__ = [
+    "WARC_RECORD_SCHEMA",
+    "warc_record_udf",
+    "warc_file_records_udf",
+    "warc_pages_expr",
+]
 
 WARC_RECORD_SCHEMA = StructType(
     [
@@ -59,6 +65,11 @@ def _parse_record(rec) -> dict:
         return dict(_EMPTY)
     try:
         data = bytes(rec)
+        if data[:2] == b"\x1f\x8b":
+            # Common Crawl ships one gzip member per record.
+            import gzip
+
+            data = gzip.decompress(data)
         head, sep, rest = data.partition(b"\r\n\r\n")
         if not sep or not head.startswith(b"WARC/"):
             return dict(_EMPTY)
@@ -102,13 +113,64 @@ def _parse_record(rec) -> dict:
 
 
 def warc_record_udf():
-    """binary WARC record -> struct (see WARC_RECORD_SCHEMA)."""
+    """binary WARC record (plain or a gzip member) -> struct (see
+    WARC_RECORD_SCHEMA)."""
 
     @F.pandas_udf(WARC_RECORD_SCHEMA)
     def _parse(rec: pd.Series) -> pd.DataFrame:
         return pd.DataFrame([_parse_record(r) for r in rec])
 
     return _parse
+
+
+def _split_warc_file(data: bytes) -> list[bytes]:
+    """Split a concatenated WARC file into records by walking
+    Content-Length (the format's framing — no scanning for magic
+    strings, which may legally occur inside payloads). Stops at the
+    first frame whose header block does not parse; a gzipped file
+    (one member per record, as Common Crawl ships) is decompressed
+    whole first."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    records: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data.startswith(b"\r\n", pos):  # inter-record separators
+            pos += 2
+            continue
+        if not data.startswith(b"WARC/", pos):
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        h = _parse_headers(data[pos:head_end])
+        try:
+            clen = int(h.get(b"content-length", b""))
+        except ValueError:
+            break
+        rec_end = min(head_end + 4 + clen, n)
+        records.append(data[pos:rec_end])
+        pos = rec_end
+    return records
+
+
+def warc_file_records_udf():
+    """binary WARC *file* (many records, optionally gzipped) ->
+    array<binary> of individual records, ready for ``explode`` +
+    :func:`warc_record_udf`. Pairs with ``spark.read.format
+    ("binaryFile")`` for raw-crawl ingestion; a corrupt tail yields
+    the records before it rather than failing the task."""
+
+    @F.pandas_udf(ArrayType(BinaryType()))
+    def _split(files: pd.Series) -> pd.Series:
+        return files.map(
+            lambda d: [] if d is None else _split_warc_file(bytes(d))
+        )
+
+    return _split
 
 
 def warc_pages_expr(dialect: str) -> str:

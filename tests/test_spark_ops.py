@@ -1037,3 +1037,39 @@ def test_warc_record_udf_parses_and_rejects(spark):
     assert out[3]["warc_type"] is None
     assert out[4]["warc_type"] == "warcinfo"
     assert bytes(out[4]["payload"]) == b"abc"
+
+
+def test_warc_file_split_and_gzip_members(spark):
+    """A concatenated (and a gzipped) WARC file splits into records by
+    Content-Length framing; gzip members parse transparently."""
+    import gzip
+    from htmlparser2_spark.sources.warc import (
+        warc_file_records_udf,
+        warc_record_udf,
+    )
+
+    def rec(uri, body):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+                + http)
+    f = rec(b"https://a.example/", b"<p>WARC/1.0 inside payload</p>") + b"\r\n\r\n" \
+        + rec(b"https://b.example/", b"<p>two</p>") + b"\r\n\r\n"
+    df = spark.createDataFrame(
+        [(1, f), (2, gzip.compress(f)), (3, b"garbage")], "i long, data binary"
+    )
+    recs = df.select(
+        "i", F.explode(warc_file_records_udf()(F.col("data"))).alias("rec")
+    )
+    parsed = recs.select("i", warc_record_udf()(F.col("rec")).alias("w"))
+    uris = sorted((r["i"], r["w"]["target_uri"]) for r in parsed.collect())
+    assert uris == [(1, "https://a.example/"), (1, "https://b.example/"),
+                    (2, "https://a.example/"), (2, "https://b.example/")]
+    # gzipped single record parses directly too
+    single = spark.createDataFrame(
+        [(gzip.compress(rec(b"https://c.example/", b"x")),)], "rec binary"
+    )
+    got = single.select(warc_record_udf()(F.col("rec")).alias("w")).collect()[0]["w"]
+    assert got["target_uri"] == "https://c.example/"
