@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import dom_nodes_udf
+from ..functions.udfs import _to_str, dom_nodes_udf
 
 __all__ = [
     "explode_nodes",
@@ -41,15 +41,31 @@ __all__ = [
 
 def explode_nodes(pages: DataFrame, html_col: str = "html", key_col: str = "url",
                   **parser_options) -> DataFrame:
-    """pages -> relational nodes table (one row per DOM node)."""
+    """pages -> relational nodes table (one row per DOM node).
+
+    Contract: a document whose html is NULL or parses to zero nodes
+    has NO rows here — per-document consumers that must see every url
+    (e.g. exists-style checks, empty-document textContent "") should
+    left-join their result back to the pages table."""
     return pages.select(
         key_col, F.explode(dom_nodes_udf(**parser_options)(F.col(html_col))).alias("node")
     ).select(key_col, "node.*")
 
 
 def get_elements_by_tag_name(nodes: DataFrame, name: str, *, limit: int | None = None) -> DataFrame:
+    """Matching elements; ``limit`` is per document in document order
+    (reference getElementsByTagName limit applies per tree), so
+    limit=0 returns no rows and limit=1 returns each document's first
+    match."""
     out = nodes.filter(F.col("name") == name)
-    return out.limit(limit) if limit else out
+    if limit is None:
+        return out
+    w = Window.partitionBy("url").orderBy("node_id")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn")
+    )
 
 
 def get_elements_by_tag_type(nodes: DataFrame, node_type: str) -> DataFrame:
@@ -214,10 +230,7 @@ def outer_html(pages: DataFrame, html_col: str = "html", **parser_options) -> Da
         parser = Parser(handler, ParserOptions(**parser_options))
 
         def one(value):
-            raw = bytes(value).decode("utf-8", "replace") if isinstance(
-                value, (bytes, bytearray)
-            ) else (value or "")
-            parser.parse(raw)
+            parser.parse(_to_str(value))
             return serialize(handler.nodes, xml_mode=xml_mode)
 
         return html.map(one)
@@ -245,10 +258,7 @@ def inner_html(pages: DataFrame, *, tag: str = "body", html_col: str = "html",
         parser = Parser(handler, ParserOptions(**parser_options))
 
         def one(value):
-            raw = bytes(value).decode("utf-8", "replace") if isinstance(
-                value, (bytes, bytearray)
-            ) else (value or "")
-            parser.parse(raw)
+            parser.parse(_to_str(value))
             target = next(
                 (n for n in handler.nodes if n["name"] == tag), None
             )
@@ -276,25 +286,30 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
         F.col("node_id").alias("rm_child"),
     )
     # Iterate: children of removed nodes become removed (max ~20 levels
-    # covers real-world DOM depth; loop ends early when stable). Each
-    # round truncates lineage with localCheckpoint — iterative
-    # self-joins otherwise stack plans exponentially.
+    # covers real-world DOM depth; loop ends when the frontier empties).
+    # Each round joins only the FRONTIER (nodes discovered last round)
+    # — re-joining the whole accumulated set would redo O(depth x
+    # |doomed|) work for chain-shaped subtrees. localCheckpoint per
+    # round truncates lineage — iterative self-joins otherwise stack
+    # plans exponentially.
     doomed = doomed.localCheckpoint(eager=True)
-    n_doomed = doomed.count()
+    frontier = doomed
     converged = False
-    for _ in range(21):  # 20 expansion rounds + 1 verification round
+    for _ in range(21):
         child_hits = links.join(
-            doomed, (links.rm_url == doomed.rm_url) & (links.rm_parent == doomed.rm_id)
+            frontier,
+            (links.rm_url == frontier.rm_url)
+            & (links.rm_parent == frontier.rm_id),
         ).select(links.rm_url.alias("rm_url"), F.col("rm_child").alias("rm_id"))
-        new_doomed = doomed.unionByName(child_hits).distinct().localCheckpoint(
-            eager=True
+        frontier = (
+            child_hits.join(doomed, ["rm_url", "rm_id"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        n_new = new_doomed.count()
-        doomed = new_doomed
-        if n_new == n_doomed:
+        if frontier.count() == 0:
             converged = True
             break
-        n_doomed = n_new
+        doomed = doomed.unionByName(frontier).localCheckpoint(eager=True)
     if not converged:
         # Silent truncation would leave deep descendants of removed
         # elements alive in downstream extraction — fail loudly.

@@ -85,6 +85,8 @@ def _parse_record(rec) -> dict:
         # CRLFCRLF separators).
         try:
             clen = int(h.get(b"content-length", b""))
+            if clen < 0:
+                return dict(_EMPTY)  # corrupt framing, not a record
             block = rest[:clen]
         except ValueError:
             block = rest
@@ -150,6 +152,10 @@ def _split_warc_file(data: bytes) -> list[bytes]:
         try:
             clen = int(h.get(b"content-length", b""))
         except ValueError:
+            break
+        if clen < 0:
+            # A negative length would make rec_end == pos and loop
+            # forever emitting empty records — corrupt tail, stop.
             break
         rec_end = min(head_end + 4 + clen, n)
         records.append(data[pos:rec_end])

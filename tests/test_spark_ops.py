@@ -1073,3 +1073,36 @@ def test_warc_file_split_and_gzip_members(spark):
     )
     got = single.select(warc_record_udf()(F.col("rec")).alias("w")).collect()[0]["w"]
     assert got["target_uri"] == "https://c.example/"
+
+
+def test_warc_negative_content_length_rejected(spark):
+    """Corrupt negative framing must not hang the splitter or yield a
+    truncated payload — both paths treat it as unparseable."""
+    from htmlparser2_spark.sources.warc import (
+        _split_warc_file,
+        warc_record_udf,
+    )
+
+    bad = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+           b"Content-Length: -54\r\n\r\nABCDEFGH")
+    assert _split_warc_file(bad) == []
+    df = spark.createDataFrame([(bad,)], "rec binary")
+    row = df.select(warc_record_udf()(F.col("rec")).alias("w")).collect()[0]["w"]
+    assert row["warc_type"] is None and row["payload"] is None
+
+
+def test_get_elements_by_tag_name_limit_per_document(spark):
+    from htmlparser2_spark.operators.domquery import (
+        explode_nodes,
+        get_elements_by_tag_name,
+    )
+
+    pages = spark.createDataFrame(
+        [("u1", "<p>a</p><p>b</p>"), ("u2", "<p>c</p>")],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages)
+    one_each = get_elements_by_tag_name(nodes, "p", limit=1)
+    assert sorted((r["url"]) for r in one_each.collect()) == ["u1", "u2"]
+    assert get_elements_by_tag_name(nodes, "p", limit=0).count() == 0
+    assert get_elements_by_tag_name(nodes, "p").count() == 3
