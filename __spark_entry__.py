@@ -449,6 +449,38 @@ def _q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSS selectors compiled to relational plans: per url, match
+    counts for a descendant selector with a class filter
+    ('html p.c3'), a child selector ('ul > li'), and an attribute
+    selector ('a[href]') — all template-predictable."""
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = build_pages(spark, sf_dir)
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def count_of(sel: str, alias: str) -> DataFrame:
+        return (
+            css_select(nodes, sel)
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return (
+        pages.select("url")
+        .join(count_of("html p.c3", "n_p_c3"), "url", "left")
+        .join(count_of("ul > li", "n_ul_li"), "url", "left")
+        .join(count_of("a[href]", "n_href"), "url", "left")
+        .select(
+            "url",
+            F.coalesce("n_p_c3", F.lit(0)).alias("n_p_c3"),
+            F.coalesce("n_ul_li", F.lit(0)).alias("n_ul_li"),
+            F.coalesce("n_href", F.lit(0)).alias("n_href"),
+        )
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest roundtrip: synthesize a response record per page,
     parse it back with warc_record_udf, and emit (a) the parsed fields
@@ -1045,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_funnel": _q_curation_funnel,
         "q_descendants": _q_descendants,
         "q_warc_roundtrip": _q_warc_roundtrip,
+        "q_css_select": _q_css_select,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1427,6 +1460,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_css_select": (
+            # Variant 0 (doc_id%3=0): one p with class c{doc_id%7} and
+            # one a[href]; variant 1: two li under ul.
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 3 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS n_p_c3, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS BIGINT) "
+            "AS n_ul_li, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_href FROM pages"
         ),
         "q_warc_roundtrip": (
             # The oracle re-synthesizes the record in DuckDB's dialect

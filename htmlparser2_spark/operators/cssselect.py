@@ -1,0 +1,122 @@
+"""CSS selector queries over the relational nodes table.
+
+The reference ecosystem pairs htmlparser2's DOM with the css-select
+package; here a selector compiles to DataFrame operations instead of
+an in-memory tree walk:
+
+* a **compound** (``p``, ``.cls``, ``#id``, ``[attr=v]``, ``*``) is a
+  pushdown-friendly filter on the nodes table,
+* the **child** combinator (``>``) is a within-document equi-join on
+  ``parent_id``,
+* the **descendant** combinator (whitespace) is a within-document
+  equi-join plus in-row membership in the ``ancestors`` column (so the
+  nodes table must be built ``with_ancestors=True``; no recursive
+  closure ever runs).
+
+Supported grammar (the high-traffic subset)::
+
+    selector   := compound ( ( '>' | ' ' ) compound )*
+    compound   := [ tag | '*' ] ( '#id' | '.class' | '[attr]' | '[attr=value]' )*
+
+Anything else (sibling combinators, pseudo-classes, :nth-*) raises
+``ValueError`` loudly rather than silently matching wrong rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["css_select"]
+
+_ELEMENT_TYPES = ("tag", "script", "style")
+_TOKEN = re.compile(r">|[^\s>]+")
+_COMPOUND = re.compile(
+    r"^(?P<tag>[A-Za-z*][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)$"
+)
+_SIMPLE = re.compile(r"[#.][\w-]+|\[[^\]]+\]")
+
+
+def _compound_pred(compound: str) -> Column:
+    m = _COMPOUND.match(compound)
+    if not m or (not m.group("tag") and not m.group("rest")):
+        raise ValueError(f"unsupported CSS compound: {compound!r}")
+    pred = F.col("type").isin(*_ELEMENT_TYPES)
+    tag = m.group("tag")
+    if tag and tag != "*":
+        pred = pred & (F.col("name") == tag.lower())
+    consumed = len(tag or "")
+    for simple in _SIMPLE.findall(m.group("rest")):
+        consumed += len(simple)
+        if simple.startswith("#"):
+            pred = pred & (F.col("attrs")["id"] == simple[1:])
+        elif simple.startswith("."):
+            # class attribute is whitespace-separated tokens
+            pred = pred & F.array_contains(
+                F.split(F.coalesce(F.col("attrs")["class"], F.lit("")), r"\s+"),
+                simple[1:],
+            )
+        else:
+            inner = simple[1:-1]
+            if "=" in inner:
+                attr, _, value = inner.partition("=")
+                value = value.strip("\"'")
+                pred = pred & (F.col("attrs")[attr.strip()] == value)
+            else:
+                pred = pred & F.col("attrs")[inner.strip()].isNotNull()
+    if consumed != len(compound):
+        raise ValueError(f"unsupported CSS compound: {compound!r}")
+    return pred
+
+
+def css_select(
+    nodes: DataFrame, selector: str, *, key_col: str = "url"
+) -> DataFrame:
+    """Rows of ``nodes`` matching ``selector`` (distinct per element).
+
+    Chain cost: one within-document join per combinator, each keyed on
+    ``key_col`` — candidate sets shrink left-to-right, and nothing is
+    quadratic in document count or corpus size.
+    """
+    tokens = _TOKEN.findall(selector)
+    if not tokens or tokens[0] == ">" or tokens[-1] == ">":
+        raise ValueError(f"unsupported CSS selector: {selector!r}")
+    ctx: DataFrame | None = None
+    combinator = None
+    expect_compound = True
+    for tok in tokens:
+        if tok == ">":
+            if expect_compound:
+                raise ValueError(f"unsupported CSS selector: {selector!r}")
+            combinator = "child"
+            expect_compound = True
+            continue
+        matches = nodes.filter(_compound_pred(tok))
+        if ctx is None:
+            ctx = matches
+        else:
+            anchors = ctx.select(
+                key_col, F.col("node_id").alias("__anchor")
+            ).distinct()
+            joined = matches.join(anchors, key_col)
+            if combinator == "child":
+                joined = joined.filter(
+                    F.col("parent_id") == F.col("__anchor")
+                )
+            else:
+                if "ancestors" not in matches.columns:
+                    raise ValueError(
+                        "descendant combinator needs a nodes table built "
+                        "with dom_nodes_udf(with_ancestors=True)"
+                    )
+                joined = joined.filter(
+                    F.array_contains("ancestors", F.col("__anchor"))
+                )
+            ctx = joined.drop("__anchor").drop_duplicates(
+                [key_col, "node_id"]
+            )
+        combinator = "descendant"
+        expect_compound = False
+    return ctx

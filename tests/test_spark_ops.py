@@ -1106,3 +1106,39 @@ def test_get_elements_by_tag_name_limit_per_document(spark):
     assert sorted((r["url"]) for r in one_each.collect()) == ["u1", "u2"]
     assert get_elements_by_tag_name(nodes, "p", limit=0).count() == 0
     assert get_elements_by_tag_name(nodes, "p").count() == 3
+
+
+# ---------------------------- CSS selectors ----------------------------
+
+def test_css_select_compounds_and_combinators(spark):
+    import pytest as _pytest
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<div id="main" class="wrap outer">'
+                   '<ul><li class="item">a</li><li>b</li></ul>'
+                   '<p><span data-x="1">deep</span></p></div>'
+                   '<span>shallow</span>'),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def names(sel):
+        return sorted(
+            (r["name"], r["node_id"]) for r in css_select(nodes, sel).collect()
+        )
+
+    assert len(names("li")) == 2
+    assert len(names("ul > li")) == 2
+    assert len(names("#main li.item")) == 1
+    assert len(names("div.wrap span")) == 1          # deep only
+    assert len(names("div > span")) == 0             # span is not a direct child
+    assert len(names("[data-x=1]")) == 1
+    assert len(names("*")) == 7                      # all elements
+    assert len(names(".outer .item")) == 1
+    for bad in ("p:first-child", "a ~ b", ">p", "p >"):
+        with _pytest.raises(ValueError):
+            css_select(nodes, bad).collect()
