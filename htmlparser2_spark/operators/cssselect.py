@@ -15,8 +15,10 @@ an in-memory tree walk:
 
 Supported grammar (the high-traffic subset)::
 
-    selector   := compound ( ( '>' | ' ' ) compound )*
-    compound   := [ tag | '*' ] ( '#id' | '.class' | '[attr]' | '[attr=value]' )*
+    selector-list := selector ( ',' selector )*           -- union
+    selector      := compound ( ( '>' | ' ' ) compound )*
+    compound      := [ tag | '*' ] ( '#id' | '.class' | attr-test )*
+    attr-test     := '[attr]' | '[attr=v]' | '[attr^=v]' | '[attr$=v]' | '[attr*=v]'
 
 Anything else (sibling combinators, pseudo-classes, :nth-*) raises
 ``ValueError`` loudly rather than silently matching wrong rows.
@@ -62,8 +64,19 @@ def _compound_pred(compound: str) -> Column:
             inner = simple[1:-1]
             if "=" in inner:
                 attr, _, value = inner.partition("=")
+                op = "="
+                if attr and attr[-1] in "^$*":
+                    attr, op = attr[:-1], attr[-1] + "="
                 value = value.strip("\"'")
-                pred = pred & (F.col("attrs")[attr.strip()] == value)
+                col = F.col("attrs")[attr.strip()]
+                if op == "=":
+                    pred = pred & (col == value)
+                elif op == "^=":
+                    pred = pred & col.startswith(value)
+                elif op == "$=":
+                    pred = pred & col.endswith(value)
+                else:  # *=
+                    pred = pred & col.contains(value)
             else:
                 pred = pred & F.col("attrs")[inner.strip()].isNotNull()
     if consumed != len(compound):
@@ -78,8 +91,17 @@ def css_select(
 
     Chain cost: one within-document join per combinator, each keyed on
     ``key_col`` — candidate sets shrink left-to-right, and nothing is
-    quadratic in document count or corpus size.
+    quadratic in document count or corpus size. A selector list
+    (comma) unions its branches and de-duplicates per element.
     """
+    if "," in selector:
+        parts = [p.strip() for p in selector.split(",")]
+        if not all(parts):
+            raise ValueError(f"unsupported CSS selector: {selector!r}")
+        out = css_select(nodes, parts[0], key_col=key_col)
+        for part in parts[1:]:
+            out = out.unionByName(css_select(nodes, part, key_col=key_col))
+        return out.drop_duplicates([key_col, "node_id"])
     tokens = _TOKEN.findall(selector)
     if not tokens or tokens[0] == ">" or tokens[-1] == ">":
         raise ValueError(f"unsupported CSS selector: {selector!r}")

@@ -1139,6 +1139,31 @@ def test_css_select_compounds_and_combinators(spark):
     assert len(names("[data-x=1]")) == 1
     assert len(names("*")) == 7                      # all elements
     assert len(names(".outer .item")) == 1
-    for bad in ("p:first-child", "a ~ b", ">p", "p >"):
+    for bad in ("p:first-child", "a ~ b", ">p", "p >", "p,, q"):
         with _pytest.raises(ValueError):
             css_select(nodes, bad).collect()
+
+
+def test_css_select_attr_operators_and_groups(spark):
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<a href="https://x.example/a">s</a>'
+                   '<a href="http://y.example/b.png">t</a>'
+                   '<img src="pic.png"><img src="pic.jpg">'
+                   '<div class="outer wrap">d</div>'),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def n(sel):
+        return css_select(nodes, sel).count()
+
+    assert n("[href^=https]") == 1
+    assert n("[src$=.png]") == 1
+    assert n("[class*=ou]") == 1
+    assert n("a, img") == 4
+    assert n("a[href^=http], [src]") == 4  # union dedups per element
