@@ -74,9 +74,8 @@ def main() -> None:
     from htmlparser2_spark.functions.udfs import doc_stats_udf, node_counts_udf
     from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
     from htmlparser2_spark.operators.similarity import brute_force_topk
-    from htmlparser2_spark.plans.extract_job import parse_pages, partition_metrics
+    from htmlparser2_spark.plans.extract_job import parse_pages
     from htmlparser2_spark.session import get_spark
-    from htmlparser2_spark.sources.pages import build_pages
 
     # ---- corpora built in a throwaway JVM (untimed; see build_corpora) ----
     build = subprocess.run(

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..engine.dom import DomArrayHandler, clean_text, inner_text, text_content
+from ..engine.dom import DomArrayHandler, clean_text, inner_text
 from ..engine.feed import get_feed
 from ..engine.parser import Parser, ParserOptions
 

@@ -19,7 +19,6 @@
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, Window
