@@ -449,6 +449,25 @@ def _q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: every doc gets two shared
+    footer lines appended; lines recurring in >= 2 docs are stripped
+    (including any organically duplicated body text). The oracle
+    recomputes frequencies and reassembly in SQL."""
+    from htmlparser2_spark.operators.dedup import frequent_line_removal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("(c) example footer"),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    )
+    return frequent_line_removal(docs, min_docs=2)
+
+
 def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSS selectors compiled to relational plans: per url, match
     counts for a descendant selector with a class filter
@@ -1078,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_descendants": _q_descendants,
         "q_warc_roundtrip": _q_warc_roundtrip,
         "q_css_select": _q_css_select,
+        "q_line_dedup": _q_line_dedup,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1460,6 +1480,27 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_line_dedup": (
+            # Full recomputation: line frequencies across docs, strip
+            # lines in >= 2 docs, reassemble in document order.
+            "WITH multi AS (SELECT doc_id, text || chr(10) || "
+            "'(c) example footer' || chr(10) || 'all rights reserved' "
+            "AS text FROM documents), "
+            "lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ("
+            "SELECT doc_id, unnest([{'pos': i, 'line': parts[i]} "
+            "for i in generate_series(1, len(parts))]) AS u "
+            "FROM (SELECT doc_id, string_split(text, chr(10)) AS parts "
+            "FROM multi))), "
+            "freq AS (SELECT line FROM (SELECT line, "
+            "count(DISTINCT doc_id) AS n FROM lines GROUP BY 1) "
+            "WHERE n >= 2), "
+            "kept AS (SELECT * FROM lines WHERE line NOT IN "
+            "(SELECT line FROM freq)) "
+            "SELECT m.doc_id AS id, coalesce(k.t, '') AS clean_text "
+            "FROM multi m LEFT JOIN (SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY pos) AS t "
+            "FROM kept GROUP BY doc_id) k ON k.doc_id = m.doc_id"
         ),
         "q_css_select": (
             # Variant 0 (doc_id%3=0): one p with class c{doc_id%7} and

@@ -48,6 +48,7 @@ __all__ = [
     "simhash64",
     "embedding_dup_pairs",
     "duplicate_clusters",
+    "frequent_line_removal",
 ]
 
 # 31-bit Mersenne prime: (a*h + b) stays under 2^62, no long overflow
@@ -405,6 +406,53 @@ def embedding_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def frequent_line_removal(
+    df: DataFrame,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-level line dedup: rebuild each document's text
+    without lines that occur in at least ``min_docs`` distinct
+    documents (boilerplate footers, cookie banners, nav text).
+
+    The frequency threshold makes removal deterministic and
+    order-independent — unlike keep-first-occurrence, which depends on
+    scan order. Plan: posexplode lines -> distinct-doc counts per line
+    hash (map-side combined; one shuffle) -> anti-join the frequent
+    set -> per-doc ordered reassembly (one groupBy). Lines join on
+    their xxhash64 (8-byte key; same collision stance as the shingle
+    operators). Documents whose every line was frequent come back as
+    ''. Returns (id, clean_text).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    frequent = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(frequent, "lh", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select("id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )
 
 

@@ -1167,3 +1167,24 @@ def test_css_select_attr_operators_and_groups(spark):
     assert n("[class*=ou]") == 1
     assert n("a, img") == 4
     assert n("a[href^=http], [src]") == 4  # union dedups per element
+
+
+def test_frequent_line_removal(spark):
+    from htmlparser2_spark.operators.dedup import frequent_line_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique line one\nshared footer\nmore unique"),
+            (2, "different body\nshared footer"),
+            (3, "shared footer"),
+            (4, "only unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["clean_text"] for r in
+           frequent_line_removal(docs, min_docs=2).collect()}
+    assert out[1] == "unique line one\nmore unique"
+    assert out[2] == "different body"
+    assert out[3] == ""          # every line was frequent
+    assert out[4] == "only unique content here"
+    assert len(out) == 4
