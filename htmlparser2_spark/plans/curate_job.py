@@ -7,6 +7,9 @@ more expensive stage sees a smaller corpus):
 1. **quality** — per-document gate (default: the Gopher rules from
    ``operators/quality.py``; pass ``quality_pred`` to override with
    any boolean Column). Map-only.
+1b. **line_dedup** (optional, ``line_dedup_min_docs``) — strip lines
+   recurring across documents (C4-style) before whole-document dedup;
+   a transform stage, drops nothing.
 2. **dedup** — :func:`~htmlparser2_spark.plans.dedup_job.run_dedup`
    (exact md5 -> LSH candidates -> candidate-only Jaccard verify ->
    components); only ``kept`` rows continue.
@@ -30,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.contamination import decontaminate
+from ..operators.dedup import frequent_line_removal
 from ..operators.quality import gopher_filter
 from ..operators.sampling import stratified_sample
 from .dedup_job import run_dedup
@@ -42,6 +46,7 @@ def run_curation(
     *,
     bench: DataFrame | None = None,
     quality_pred: Column | None = None,
+    line_dedup_min_docs: int | None = None,
     dedup_threshold: float = 0.7,
     contam_n: int = 8,
     fractions: dict[str, float] | None = None,
@@ -81,6 +86,22 @@ def run_curation(
         cur = docs.filter(quality_pred)
     cur = maybe_ckpt(cur)
     stages.append(("quality", cur))
+
+    if line_dedup_min_docs is not None:
+        # Transform stage (rewrites text, drops nothing): strip lines
+        # recurring across >= N docs BEFORE whole-doc dedup, so
+        # boilerplate doesn't glue otherwise-distinct documents into
+        # near-dup clusters.
+        cleaned = frequent_line_removal(
+            cur, min_docs=line_dedup_min_docs,
+            text_col=text_col, id_col=id_col,
+        ).withColumnsRenamed({"id": id_col})
+        cur = maybe_ckpt(
+            cur.drop(text_col).join(cleaned, id_col).withColumnRenamed(
+                "clean_text", text_col
+            )
+        )
+        stages.append(("line_dedup", cur))
 
     statuses = run_dedup(
         cur, threshold=dedup_threshold, text_col=text_col, id_col=id_col

@@ -1188,3 +1188,63 @@ def test_frequent_line_removal(spark):
     assert out[3] == ""          # every line was frequent
     assert out[4] == "only unique content here"
     assert len(out) == 4
+
+
+def test_warc_framing_fuzz_roundtrip(spark):
+    """200 records with adversarial binary payloads (embedded
+    CRLFCRLF, 'WARC/' magic, gzip magic, NULs) must split and parse
+    back byte-identically — framing is length-based, never content
+    scanning."""
+    import random
+    from htmlparser2_spark.sources.warc import (
+        _split_warc_file,
+        warc_record_udf,
+    )
+
+    rng = random.Random(7)
+    evil = [b"\r\n\r\n", b"WARC/1.0\r\n", b"\x1f\x8b", b"\x00", b"HTTP/1.1 "]
+    bodies = []
+    for i in range(200):
+        parts = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))]
+        for _ in range(rng.randrange(0, 4)):
+            parts.append(rng.choice(evil))
+            parts.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 20))))
+        bodies.append(b"".join(parts))
+
+    def rec(i, body):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: x\r\n\r\n" + body
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://f.example/" + str(i).encode() + b"\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http)
+
+    f = b"\r\n\r\n".join(rec(i, b) for i, b in enumerate(bodies)) + b"\r\n\r\n"
+    recs = _split_warc_file(f)
+    assert len(recs) == 200
+    df = spark.createDataFrame([(r,) for r in recs], "rec binary")
+    parsed = df.select(warc_record_udf()(F.col("rec")).alias("w")).collect()
+    got = {int(r["w"]["target_uri"].rsplit("/", 1)[1]): bytes(r["w"]["payload"])
+           for r in parsed}
+    assert got == {i: b for i, b in enumerate(bodies)}
+
+
+def test_run_curation_optional_line_dedup_stage(spark):
+    from pyspark.sql import functions as SF
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique body one\nshared footer line", "en"),
+            (2, "unique body two\nshared footer line", "en"),
+            (3, "another distinct body here\nshared footer line", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    corpus, funnel = run_curation(
+        docs, quality_pred=SF.lit(True), line_dedup_min_docs=2
+    )
+    names = [r["stage"] for r in sorted(funnel.collect(),
+                                        key=lambda r: r["stage_idx"])]
+    assert names == ["ingest", "quality", "line_dedup", "dedup"]
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert len(texts) == 3
+    assert all("footer" not in t for t in texts.values())
