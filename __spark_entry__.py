@@ -1493,7 +1493,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, string_split(text, chr(10)) AS parts "
             "FROM multi))), "
             "freq AS (SELECT line FROM (SELECT line, "
-            "count(DISTINCT doc_id) AS n FROM lines GROUP BY 1) "
+            "count(DISTINCT doc_id) AS n FROM lines "
+            "WHERE trim(line) <> '' GROUP BY 1) "
             "WHERE n >= 2), "
             "kept AS (SELECT * FROM lines WHERE line NOT IN "
             "(SELECT line FROM freq)) "

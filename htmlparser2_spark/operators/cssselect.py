@@ -36,9 +36,10 @@ __all__ = ["css_select"]
 _ELEMENT_TYPES = ("tag", "script", "style")
 _TOKEN = re.compile(r">|[^\s>]+")
 _COMPOUND = re.compile(
-    r"^(?P<tag>[A-Za-z*][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)$"
+    r"^(?P<tag>\*|[A-Za-z][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)$"
 )
 _SIMPLE = re.compile(r"[#.][\w-]+|\[[^\]]+\]")
+_ATTR_TEST = re.compile(r"^([\w-]+)(?:([\^$*]?=)(.*))?$")
 
 
 def _compound_pred(compound: str) -> Column:
@@ -49,9 +50,7 @@ def _compound_pred(compound: str) -> Column:
     tag = m.group("tag")
     if tag and tag != "*":
         pred = pred & (F.col("name") == tag.lower())
-    consumed = len(tag or "")
     for simple in _SIMPLE.findall(m.group("rest")):
-        consumed += len(simple)
         if simple.startswith("#"):
             pred = pred & (F.col("attrs")["id"] == simple[1:])
         elif simple.startswith("."):
@@ -61,26 +60,26 @@ def _compound_pred(compound: str) -> Column:
                 simple[1:],
             )
         else:
-            inner = simple[1:-1]
-            if "=" in inner:
-                attr, _, value = inner.partition("=")
-                op = "="
-                if attr and attr[-1] in "^$*":
-                    attr, op = attr[:-1], attr[-1] + "="
-                value = value.strip("\"'")
-                col = F.col("attrs")[attr.strip()]
-                if op == "=":
-                    pred = pred & (col == value)
-                elif op == "^=":
-                    pred = pred & col.startswith(value)
-                elif op == "$=":
-                    pred = pred & col.endswith(value)
-                else:  # *=
-                    pred = pred & col.contains(value)
-            else:
-                pred = pred & F.col("attrs")[inner.strip()].isNotNull()
-    if consumed != len(compound):
-        raise ValueError(f"unsupported CSS compound: {compound!r}")
+            # ~=, |=, != etc. must NOT silently compile to a garbage
+            # attribute-name lookup — reject anything but the
+            # supported operators explicitly.
+            am = _ATTR_TEST.match(simple[1:-1].strip())
+            if not am:
+                raise ValueError(f"unsupported attribute test: {simple!r}")
+            attr, op, value = am.group(1), am.group(2), am.group(3)
+            col = F.col("attrs")[attr]
+            if op is None:
+                pred = pred & col.isNotNull()
+                continue
+            value = value.strip("\"'")
+            if op == "=":
+                pred = pred & (col == value)
+            elif op == "^=":
+                pred = pred & col.startswith(value)
+            elif op == "$=":
+                pred = pred & col.endswith(value)
+            else:  # *=
+                pred = pred & col.contains(value)
     return pred
 
 

@@ -281,6 +281,13 @@ def minhash_lsh_pairs(
     :func:`exact_dedup` first so identical documents (the only source
     of unboundedly large buckets) never reach LSH.
     """
+    if bands < 1 or n_perm % bands != 0:
+        # A non-divisible combination would silently discard the
+        # trailing signature rows (recall loss the caller never asked
+        # for); bands > n_perm would build empty band keys.
+        raise ValueError(
+            f"n_perm ({n_perm}) must be a positive multiple of bands ({bands})"
+        )
     rows_per_band = n_perm // bands
     sig = minhash_signatures(
         df, n=n, n_perm=n_perm, seed=seed, text_col=text_col, id_col=id_col
@@ -426,15 +433,21 @@ def frequent_line_removal(
     hash (map-side combined; one shuffle) -> anti-join the frequent
     set -> per-doc ordered reassembly (one groupBy). Lines join on
     their xxhash64 (8-byte key; same collision stance as the shingle
-    operators). Documents whose every line was frequent come back as
-    ''. Returns (id, clean_text).
+    operators). Blank/whitespace-only lines are never removed
+    (paragraph structure, not boilerplate). Documents whose every
+    line was frequent come back as ''. Returns (id, clean_text).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("lh", F.xxhash64("line"))
+    # Blank/whitespace-only lines are paragraph structure, not
+    # boilerplate: two documents that each contain a paragraph break
+    # must not make "" corpus-frequent and strip every break. They are
+    # excluded from the frequent set (and therefore always kept).
     frequent = (
-        lines.groupBy("lh")
+        lines.filter(F.trim("line") != "")
+        .groupBy("lh")
         .agg(F.count_distinct("id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("lh")

@@ -1248,3 +1248,41 @@ def test_run_curation_optional_line_dedup_stage(spark):
     texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
     assert len(texts) == 3
     assert all("footer" not in t for t in texts.values())
+
+
+def test_frequent_line_removal_preserves_blank_lines(spark):
+    from htmlparser2_spark.operators.dedup import frequent_line_removal
+
+    docs = spark.createDataFrame(
+        [(1, "para one\n\npara two\nshared"), (2, "intro\n\nbody\nshared")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["clean_text"] for r in
+           frequent_line_removal(docs, min_docs=2).collect()}
+    assert out[1] == "para one\n\npara two"  # break kept, footer gone
+    assert out[2] == "intro\n\nbody"
+
+
+def test_css_select_rejects_unsupported_attr_ops(spark):
+    import pytest as _pytest
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    nodes = explode_nodes(
+        spark.createDataFrame([("u1", "<a rel='noopener x'>t</a>")],
+                              "url string, html string"),
+        with_ancestors=True,
+    )
+    for bad in ("a[rel~=noopener]", "a[rel|=x]", "a[rel!=y]", "*p"):
+        with _pytest.raises(ValueError):
+            css_select(nodes, bad).collect()
+
+
+def test_minhash_lsh_rejects_non_divisible_bands(spark, dup_docs):
+    import pytest as _pytest
+    from htmlparser2_spark.operators.dedup import minhash_lsh_pairs
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(dup_docs, n_perm=32, bands=5)
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(dup_docs, n_perm=32, bands=33)
