@@ -6,12 +6,16 @@ All operators are pure DataFrame compositions (JVM-side, shuffle-aware):
 * :func:`word_shingles`        — word n-gram shingling (built-in
   ``split``/``transform``/``sequence``; no UDF)
 * :func:`ngram_jaccard_pairs`  — exact Jaccard over shingle sets via
-  explode + self-join (the verify stage of MinHash pipelines)
+  explode + self-join (ground truth / small corpora)
+* :func:`jaccard_verify_pairs` — exact Jaccard for GIVEN candidate
+  pairs (the verify stage after LSH; linear in candidate count)
 * :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
   banding: signature = min over shingle hashes under ``n_perm``
-  universal-hash permutations; candidate pairs from band-bucket joins
+  universal-hash permutations; candidate pairs from band buckets
 * :func:`simhash64`            — 64-bit SimHash fingerprint per doc
 * :func:`embedding_dup_pairs`  — near-dup pairs by embedding cosine
+* :func:`duplicate_clusters`   — connected components over dup pairs
+* :func:`frequent_line_removal` — C4-style corpus-level line dedup
 
 MinHash and SimHash signatures are **map-only**: the per-document
 reduction (min over permuted shingle hashes / sign of per-bit sums)
