@@ -449,6 +449,28 @@ def _q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with a LOSSLESS configuration: the
+    codebooks contain every corpus sub-vector verbatim, so encoding
+    reconstructs each vector exactly and the ADC ranking must equal
+    the exact euclidean ranking — which the oracle computes with
+    DuckDB's list_distance. (Trained/compressed codebooks are covered
+    by the recall tests; this query pins the encode/ADC arithmetic.)"""
+    from htmlparser2_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    m, dim = 8, 64
+    subdim = dim // m
+    vecs = [list(r["embedding"]) for r in corpus.orderBy("vec_id").collect()]
+    codebooks = [
+        [v[sub * subdim:(sub + 1) * subdim] for v in vecs] for sub in range(m)
+    ]
+    coded = pq_encode(corpus, codebooks)
+    return pq_topk(queries, coded, codebooks, k=5)
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level line dedup: every doc gets two shared
     footer lines appended; lines recurring in >= 2 docs are stripped
@@ -1098,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": _q_warc_roundtrip,
         "q_css_select": _q_css_select,
         "q_line_dedup": _q_line_dedup,
+        "q_pq_topk": _q_pq_topk,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1480,6 +1503,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_pq_topk": (
+            # Lossless-codebook PQ must reproduce the exact euclidean
+            # ranking.
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id < 10), "
+            "c AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id >= 10), "
+            "d AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, "
+            "list_distance(q.embedding, c.embedding) AS dist "
+            "FROM q CROSS JOIN c) "
+            "SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, "
+            "round(dist, 4) AS dist FROM ("
+            "SELECT query_id, corpus_id, dist, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY dist ASC, corpus_id) AS rank "
+            "FROM d) WHERE rank <= 5"
         ),
         "q_line_dedup": (
             # Full recomputation: line frequencies across docs, strip

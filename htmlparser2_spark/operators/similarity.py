@@ -31,6 +31,9 @@ __all__ = [
     "ivf_fit_centroids",
     "ivf_assign",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -114,19 +117,22 @@ def hyperplane_lsh_buckets(
     )
 
 
-def _nearest_cells(vec_col, centroids: list[list[float]], n: int):
-    """Column of the ``n`` nearest centroid ids by cosine similarity.
+def _nearest_cells(vec_col, centroids: list[list[float]], n: int,
+                   metric: str = "cosine"):
+    """Column of the ``n`` nearest centroid ids (cosine or euclidean).
 
     Struct ordering trick: Spark sorts struct arrays lexicographically,
-    so ``array_sort`` over ``struct(-sim, cell)`` yields cells in
-    descending-similarity order — all JVM-side, no UDF.
+    so ``array_sort`` over ``struct(sort_key, cell)`` (negated sim for
+    cosine, squared distance for l2) yields cells in nearest-first
+    order — all JVM-side, no UDF.
     """
     v = _as_double(vec_col)
     ranked = []
     for cell, centroid in enumerate(centroids):
         c = F.array(*[F.lit(float(x)) for x in centroid])
+        key = -_cosine(v, c) if metric == "cosine" else _l2(v, c)
         ranked.append(
-            F.struct((-_cosine(v, c)).alias("neg_sim"), F.lit(cell).alias("cell"))
+            F.struct(key.alias("key"), F.lit(cell).alias("cell"))
         )
     return F.slice(F.array_sort(F.array(*ranked)), 1, n)
 
@@ -168,6 +174,7 @@ def ivf_fit_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Fit k-means centroids with distributed Lloyd iterations.
 
@@ -200,7 +207,9 @@ def ivf_fit_centroids(
         # Two projections: Spark's generator rewrite drops struct field
         # names when posexplode shares a select with the getField chain.
         assigned = corpus.select(
-            _nearest_cells(F.col(vec_col), centroids, 1)[0]["cell"].alias("cell"),
+            _nearest_cells(F.col(vec_col), centroids, 1, metric)[0][
+                "cell"
+            ].alias("cell"),
             _as_double(F.col(vec_col)).alias("v"),
         ).select("cell", F.posexplode(F.col("v")).alias("pos", "val"))
         means = (
@@ -325,4 +334,168 @@ def lsh_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int"), F.round("sim", 4).alias("sim"))
+    )
+
+
+# ------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression path for vector
+# search at corpus scale. A dim-d float vector (d*4 bytes) becomes m
+# uint8-sized codes (one per subspace), so a 100 TB embedding table
+# shuffles/stores ~d*4/m times smaller; distances are computed
+# asymmetrically (ADC): exact query sub-vectors against the coded
+# corpus's reconstructed centroids.
+
+
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_geometry(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    m = len(codebooks)
+    k = len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    return m, k, subdim
+
+
+def _codebook_lit(codebooks: list[list[list[float]]]):
+    """Nested literal array: cb[sub][code] = centroid (array<double>)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in code])
+                    for code in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split vectors into ``m`` subspaces and fit
+    ``k`` k-means centroids per subspace (reusing the distributed
+    Lloyd fit — each subspace trains over a sliced view of the corpus;
+    only the m x k x (dim/m) codebook matrix reaches the driver).
+
+    The Lloyd assignment runs with the euclidean metric (``metric=
+    'l2'``) to match PQ's L2 encoding — cosine cells on low-dim
+    sub-vectors of arbitrary norm misplace codewords (measured on
+    clustered data: imperfect cluster retrieval vs all-from-cluster
+    top-k with l2; intra-cluster fine ranking is below quantization
+    resolution either way)."""
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    subdim = dim // m
+    codebooks = []
+    for sub in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(
+                _as_double(F.col(vec_col)), sub * subdim + 1, subdim
+            ).alias(vec_col),
+        )
+        codebooks.append(
+            ivf_fit_centroids(
+                sliced, n_centroids=k, iters=iters,
+                id_col=id_col, vec_col=vec_col, metric="l2",
+            )
+        )
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach ``code_col`` (array<int>, length m): per subspace, the
+    index of the nearest codeword by L2. Pure JVM expressions — the
+    argmin is ``array_min`` over (distance, code) structs (lexicographic
+    struct ordering; ties resolve to the lowest code, matching a
+    first-minimum scan). The original vector column is untouched;
+    storage-conscious callers drop it after encoding."""
+    m, k, subdim = _pq_geometry(codebooks)
+    v = _as_double(F.col(vec_col))
+    codes = []
+    for sub in range(m):
+        subv = F.slice(v, sub * subdim + 1, subdim)
+        candidates = [
+            F.struct(
+                _l2(
+                    subv, F.array(*[F.lit(float(x)) for x in codeword])
+                ).alias("d"),
+                F.lit(code).alias("c"),
+            )
+            for code, codeword in enumerate(codebooks[sub])
+        ]
+        codes.append(F.array_min(F.array(*candidates))["c"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate L2 top-k by asymmetric distance (ADC): the query's
+    exact sub-vectors against each corpus row's reconstructed
+    codewords. The (small) query side broadcasts; the coded corpus —
+    m ints per row instead of dim floats — stays partitioned, and the
+    final per-query top-k is a window over (distance, id).
+
+    Returns (query_id, rank, corpus_id, dist) with rank 1..k, ``dist``
+    the euclidean (sqrt) distance rounded to 4 decimals (ranking uses
+    the unrounded value; ties break by corpus id).
+    """
+    m, _, subdim = _pq_geometry(codebooks)
+    cb = _codebook_lit(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("corpus_id"), F.col(code_col).alias("codes")
+    )
+    dist = None
+    for sub in range(m):
+        qsub = F.slice(F.col("qv"), sub * subdim + 1, subdim)
+        codeword = F.element_at(
+            F.element_at(cb, sub + 1), F.col("codes")[sub] + 1
+        )
+        d = _l2(qsub, codeword)
+        dist = d if dist is None else dist + d
+    scored = c.join(F.broadcast(q)).withColumn("dist", F.sqrt(dist))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int"),
+            "corpus_id",
+            F.round("dist", 4).alias("dist"),
+        )
     )

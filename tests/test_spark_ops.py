@@ -1286,3 +1286,66 @@ def test_minhash_lsh_rejects_non_divisible_bands(spark, dup_docs):
         minhash_lsh_pairs(dup_docs, n_perm=32, bands=5)
     with _pytest.raises(ValueError):
         minhash_lsh_pairs(dup_docs, n_perm=32, bands=33)
+
+
+# ---------------------------- product quantization ----------------------------
+
+def test_pq_lossless_roundtrip_matches_exact_ranking(spark):
+    """Codebooks containing every corpus sub-vector make PQ exact:
+    ADC top-k equals brute-force euclidean top-k."""
+    import math
+    import random
+    from htmlparser2_spark.operators.similarity import pq_encode, pq_topk
+
+    rng = random.Random(3)
+    dim, m = 16, 4
+    sub = dim // m
+    corpus = [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+              for i in range(20)]
+    queries = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(3)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    codebooks = [
+        [v[s * sub:(s + 1) * sub] for _, v in corpus] for s in range(m)
+    ]
+    out = pq_topk(qdf, pq_encode(cdf, codebooks), codebooks, k=4).collect()
+    got = {(r["query_id"], r["rank"]): (r["corpus_id"], r["dist"])
+           for r in out}
+    for qid, qv in queries:
+        exact = sorted(
+            (math.dist(qv, cv), cid) for cid, cv in corpus
+        )[:4]
+        for rank, (d, cid) in enumerate(exact, 1):
+            gcid, gdist = got[(qid, rank)]
+            assert gcid == cid
+            assert abs(gdist - round(d, 4)) < 1e-9
+
+
+def test_pq_trained_cluster_retrieval(spark):
+    """Trained (compressed) codebooks: PQ's guarantee is cluster-level
+    retrieval — every top-5 neighbor must come from the query's own
+    cluster. (Intra-cluster fine ranking is below the quantization
+    resolution by design; the lossless test covers exact ranking.)"""
+    import random
+    from htmlparser2_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(11)
+    dim, m = 16, 4
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(5)]
+    corpus = []
+    for i in range(200):
+        c = centers[i % 5]
+        corpus.append((100 + i, [x + rng.gauss(0, 0.05) for x in c]))
+    queries = [(i, [x + rng.gauss(0, 0.05) for x in centers[i]])
+               for i in range(3)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    codebooks = pq_train(cdf, m=m, k=8, iters=2, dim=dim)
+    out = pq_topk(qdf, pq_encode(cdf, codebooks), codebooks, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert (r["corpus_id"] - 100) % 5 == r["query_id"]
