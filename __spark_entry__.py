@@ -471,6 +471,42 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, coded, codebooks, k=5)
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with full probing and lossless residual codebooks: since
+    l2(q - cent, v - cent) == l2(q, v), the ADC ranking must equal the
+    exact euclidean ranking (same oracle as q_pq_topk). Probe pruning
+    and trained codebooks are covered by unit tests."""
+    from htmlparser2_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 40))
+    # Lossless codebooks hold every (vector, cell) residual, so the
+    # expression count is |corpus| * n_cells * m literal L2 terms —
+    # sized here (30 * 2 * 4 = 240) to keep the driver-side plan small;
+    # production codebooks are k=256 trained codewords, not lossless.
+    m, dim, n_cells = 4, 64, 2
+    subdim = dim // m
+    vecs = [list(r["embedding"]) for r in corpus.orderBy("vec_id").collect()]
+    # Deterministic coarse grid (training isn't SQL-replicable; the
+    # lossless property holds for ANY coarse centroids).
+    coarse = [[0.5 * c] * dim for c in range(n_cells)]
+    residuals = [
+        [x - y for x, y in zip(v, c)] for v in vecs for c in coarse
+    ]
+    codebooks = [
+        [r[sub * subdim:(sub + 1) * subdim] for r in residuals]
+        for sub in range(m)
+    ]
+    coded = ivfpq_encode(corpus, coarse, codebooks)
+    return ivfpq_topk(
+        queries, coded, coarse, codebooks, n_probe=n_cells, k=5
+    )
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level line dedup: every doc gets two shared
     footer lines appended; lines recurring in >= 2 docs are stripped
@@ -1121,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_css_select": _q_css_select,
         "q_line_dedup": _q_line_dedup,
         "q_pq_topk": _q_pq_topk,
+        "q_ivfpq_topk": _q_ivfpq_topk,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
         "q_langid": _q_langid,
         "q_redact": _q_redact,
@@ -1503,6 +1540,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY grp ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             "/ 500.0) AS BIGINT) AS shard FROM t"
+        ),
+        "q_ivfpq_topk": (
+            # Same exact-ranking contract as q_pq_topk: full probe +
+            # lossless residual codebooks == exact euclidean top-k.
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id < 5), "
+            "c AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id >= 10 AND vec_id < 40), "
+            "d AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, "
+            "list_distance(q.embedding, c.embedding) AS dist "
+            "FROM q CROSS JOIN c) "
+            "SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, "
+            "round(dist, 4) AS dist FROM ("
+            "SELECT query_id, corpus_id, dist, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY dist ASC, corpus_id) AS rank "
+            "FROM d) WHERE rank <= 5"
         ),
         "q_pq_topk": (
             # Lossless-codebook PQ must reproduce the exact euclidean

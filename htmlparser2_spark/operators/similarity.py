@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,6 +35,8 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_encode",
+    "ivfpq_topk",
 ]
 
 
@@ -417,24 +420,18 @@ def pq_train(
     return codebooks
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: list[list[list[float]]],
-    *,
-    vec_col: str = "embedding",
-    code_col: str = "pq_code",
-) -> DataFrame:
-    """Attach ``code_col`` (array<int>, length m): per subspace, the
-    index of the nearest codeword by L2. Pure JVM expressions — the
-    argmin is ``array_min`` over (distance, code) structs (lexicographic
+def _pq_codes_expr(vec_expr, codebooks: list[list[list[float]]]):
+    """array<int> of per-subspace nearest-codeword indices (L2 argmin
+    via ``array_min`` over (distance, code) structs — lexicographic
     struct ordering; ties resolve to the lowest code, matching a
-    first-minimum scan). The original vector column is untouched;
-    storage-conscious callers drop it after encoding."""
+    first-minimum scan). ``vec_expr`` should be a plain column
+    reference: the expression replicates it per (sub, code) pair, so
+    materialize computed vectors (e.g. residuals) in a projection
+    first."""
     m, k, subdim = _pq_geometry(codebooks)
-    v = _as_double(F.col(vec_col))
     codes = []
     for sub in range(m):
-        subv = F.slice(v, sub * subdim + 1, subdim)
+        subv = F.slice(vec_expr, sub * subdim + 1, subdim)
         candidates = [
             F.struct(
                 _l2(
@@ -445,7 +442,50 @@ def pq_encode(
             for code, codeword in enumerate(codebooks[sub])
         ]
         codes.append(F.array_min(F.array(*candidates))["c"])
-    return df.withColumn(code_col, F.array(*codes))
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    max_expr_codewords: int = 512,
+) -> DataFrame:
+    """Attach ``code_col`` (array<int>, length m): per subspace, the
+    index of the nearest codeword by L2.
+
+    Two engines, chosen by codebook size: small codebooks compile to
+    pure JVM expressions (zero Python), but the expression tree grows
+    as m*k literal L2 terms and a production k=256 codebook OOMs the
+    driver at plan-build time — above ``max_expr_codewords`` total
+    codewords the encode switches to an Arrow-batched numpy argmin
+    (vectorized over the batch; codebooks ship once per worker in the
+    UDF closure). Ties resolve to the lowest code in both engines
+    (numpy argmin takes the first minimum). The original vector column
+    is untouched; storage-conscious callers drop it after encoding."""
+    m, k, subdim = _pq_geometry(codebooks)
+    if m * k <= max_expr_codewords:
+        return df.withColumn(
+            code_col, _pq_codes_expr(_as_double(F.col(vec_col)), codebooks)
+        )
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, subdim)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        arr = np.asarray(list(vecs), dtype=np.float64)  # (n, dim)
+        subs = arr.reshape(len(arr), m, subdim)  # (n, m, subdim)
+        # (n, m, k): squared distance of each sub-vector to each codeword
+        d = ((subs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d.argmin(axis=2).astype("int32")  # first minimum on ties
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, _codes(F.col(vec_col)))
 
 
 def pq_topk(
@@ -486,6 +526,116 @@ def pq_topk(
         d = _l2(qsub, codeword)
         dist = d if dist is None else dist + d
     scored = c.join(F.broadcast(q)).withColumn("dist", F.sqrt(dist))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int"),
+            "corpus_id",
+            F.round("dist", 4).alias("dist"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# IVF-PQ: the standard billion-scale index shape. A coarse quantizer
+# partitions the corpus into cells; PQ encodes each vector's RESIDUAL
+# (vector minus its cell centroid), which is far smaller in magnitude
+# than the raw vector and quantizes more accurately. Queries probe
+# only their n_probe nearest cells via a per-cell equi-join — never a
+# corpus-wide cross join — and score by ADC on the residuals
+# (l2(q - cent, v - cent) == l2(q, v), so full probing with lossless
+# codebooks reproduces the exact ranking; the oracle pins this).
+
+
+def _centroid_lit(centroids: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, pq_code) per corpus vector: nearest coarse cell by
+    L2, then PQ codes of the residual. Two projections so the residual
+    materializes once (the code argmin replicates its input per
+    (sub, code) pair)."""
+    coarse = _centroid_lit(coarse_centroids)
+    v = _as_double(F.col(vec_col))
+    cell = _nearest_cells(F.col(vec_col), coarse_centroids, 1, "l2")[0]["cell"]
+    with_res = corpus.select(
+        F.col(id_col).alias("id"),
+        cell.alias("cell"),
+        F.zip_with(
+            v,
+            F.element_at(coarse, cell + 1),
+            lambda x, y: x - y,
+        ).alias("residual"),
+    )
+    return with_res.select(
+        "id", "cell", _pq_codes_expr(F.col("residual"), codebooks).alias("pq_code")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    n_probe: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate euclidean top-k over an :func:`ivfpq_encode`'d
+    corpus. Each query explodes into its ``n_probe`` nearest cells and
+    equi-joins the coded corpus on ``cell`` (query side broadcast), so
+    scan cost is ~|corpus| * n_probe / n_cells per query and the big
+    side never cross-joins. ADC distance is computed on residuals.
+
+    Returns (query_id, rank, corpus_id, dist) like :func:`pq_topk`.
+    """
+    m, _, subdim = _pq_geometry(codebooks)
+    coarse = _centroid_lit(coarse_centroids)
+    cb = _codebook_lit(codebooks)
+    probes = _nearest_cells(F.col(vec_col), coarse_centroids, n_probe, "l2")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(
+            F.transform(probes, lambda s: s["cell"])
+        ).alias("cell"),
+    ).withColumn(
+        "q_res",
+        F.zip_with(
+            F.col("qv"),
+            F.element_at(coarse, F.col("cell") + 1),
+            lambda x, y: x - y,
+        ),
+    )
+    c = corpus_codes.select(
+        F.col("id").alias("corpus_id"), "cell", F.col("pq_code").alias("codes")
+    )
+    dist = None
+    for sub in range(m):
+        qsub = F.slice(F.col("q_res"), sub * subdim + 1, subdim)
+        codeword = F.element_at(
+            F.element_at(cb, sub + 1), F.col("codes")[sub] + 1
+        )
+        d = _l2(qsub, codeword)
+        dist = d if dist is None else dist + d
+    scored = c.join(F.broadcast(q), "cell").withColumn("dist", F.sqrt(dist))
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("corpus_id").asc()
     )

@@ -1349,3 +1349,97 @@ def test_pq_trained_cluster_retrieval(spark):
     assert len(out) == 15
     for r in out:
         assert (r["corpus_id"] - 100) % 5 == r["query_id"]
+
+
+def test_ivfpq_lossless_full_probe_matches_exact_ranking(spark):
+    """Full probing with lossless residual codebooks must reproduce
+    the exact euclidean ranking (l2(q-cent, v-cent) == l2(q, v))."""
+    import math
+    import random
+    from htmlparser2_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(5)
+    dim, m, n_cells = 16, 4, 3
+    sub = dim // m
+    coarse = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_cells)]
+    corpus = [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+              for i in range(30)]
+    queries = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(3)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+
+    # lossless codebooks: every possible residual sub-vector (per cell)
+    def residual(v, c):
+        return [x - y for x, y in zip(v, c)]
+    residuals = [residual(v, c) for _, v in corpus for c in coarse]
+    codebooks = [
+        [r[s * sub:(s + 1) * sub] for r in residuals] for s in range(m)
+    ]
+    coded = ivfpq_encode(cdf, coarse, codebooks)
+    out = ivfpq_topk(qdf, coded, coarse, codebooks, n_probe=n_cells, k=4)
+    got = {(r["query_id"], r["rank"]): r["corpus_id"] for r in out.collect()}
+    for qid, qv in queries:
+        exact = sorted((math.dist(qv, cv), cid) for cid, cv in corpus)[:4]
+        for rank, (_, cid) in enumerate(exact, 1):
+            assert got[(qid, rank)] == cid
+
+
+def test_ivfpq_probe_pruning(spark):
+    """n_probe=1 scores only the query's own cell: every returned
+    neighbor shares the query's nearest coarse cell, and the scored
+    candidate set is smaller than the corpus."""
+    import random
+    from htmlparser2_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(9)
+    dim, m = 16, 4
+    sub = dim // m
+    coarse = [[4.0 * (c == j) for j in range(dim)] for c in range(4)]
+    corpus = []
+    for i in range(80):
+        c = coarse[i % 4]
+        corpus.append((100 + i, [x + rng.gauss(0, 0.1) for x in c]))
+    queries = [(i, [x + rng.gauss(0, 0.1) for x in coarse[i]])
+               for i in range(2)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    residuals = [[x - y for x, y in zip(v, coarse[(cid - 100) % 4])]
+                 for cid, v in corpus]
+    codebooks = [
+        [r[s * sub:(s + 1) * sub] for r in residuals] for s in range(m)
+    ]
+    coded = ivfpq_encode(cdf, coarse, codebooks)
+    out = ivfpq_topk(qdf, coded, coarse, codebooks, n_probe=1, k=5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r["corpus_id"] - 100) % 4 == r["query_id"]  # own cell only
+
+
+def test_pq_encode_numpy_engine_matches_expression_engine(spark):
+    """Above the expression-size cap pq_encode switches to the Arrow/
+    numpy argmin path; codes must be identical to the JVM path."""
+    import random
+    from htmlparser2_spark.operators.similarity import pq_encode
+
+    rng = random.Random(21)
+    dim, m, k = 16, 4, 6
+    sub = dim // m
+    codebooks = [
+        [[rng.uniform(-1, 1) for _ in range(sub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    expr_codes = {r["vec_id"]: list(r["pq_code"]) for r in
+                  pq_encode(df, codebooks).collect()}
+    np_codes = {r["vec_id"]: list(r["pq_code"]) for r in
+                pq_encode(df, codebooks, max_expr_codewords=1).collect()}
+    assert expr_codes == np_codes and len(expr_codes) == 50
