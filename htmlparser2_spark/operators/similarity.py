@@ -45,6 +45,10 @@ def _as_double(col):
 
 
 def _cosine(a, b):
+    """Cosine similarity; 0.0 (not NULL / DIVIDE_BY_ZERO) when either
+    vector has zero norm — an all-zero embedding (empty document)
+    should rank as unrelated, not poison the top-k with NULL sims or
+    abort the job under ANSI mode."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -54,7 +58,8 @@ def _cosine(a, b):
     norm_b = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    return dot / (norm_a * norm_b)
+    denom = norm_a * norm_b
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
 
 
 def brute_force_topk(
@@ -234,9 +239,11 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_probe: int = 1,
     cell_col: str = "cell",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Attach nearest-centroid cell id(s); ``n_probe > 1`` explodes."""
-    cells = _nearest_cells(F.col(vec_col), centroids, n_probe)
+    """Attach nearest-centroid cell id(s); ``n_probe > 1`` explodes.
+    ``metric`` must match how the centroids were fit."""
+    cells = _nearest_cells(F.col(vec_col), centroids, n_probe, metric)
     if n_probe == 1:
         return df.withColumn(cell_col, cells[0]["cell"])
     return df.withColumn(
@@ -255,6 +262,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index.
 
@@ -262,7 +270,10 @@ def ivf_topk(
     ``n_probe`` nearest cells, so the candidate join touches only those
     partitions of the corpus. Pass pre-fit ``centroids`` to amortize the
     fit across query batches (the production pattern: fit once per
-    corpus snapshot, reuse for every query stream).
+    corpus snapshot, reuse for every query stream). ``metric`` governs
+    both the fit and cell assignment — centroids fit with one metric
+    and assigned with another silently degrade recall, so the same
+    value threads through everywhere.
     """
     if centroids is None:
         centroids = ivf_fit_centroids(
@@ -271,6 +282,7 @@ def ivf_topk(
             iters=iters,
             id_col=id_col,
             vec_col=vec_col,
+            metric=metric,
         )
     cb = ivf_assign(
         corpus.select(
@@ -278,6 +290,7 @@ def ivf_topk(
         ),
         centroids,
         vec_col="cv",
+        metric=metric,
     )
     qb = ivf_assign(
         queries.select(
@@ -286,6 +299,7 @@ def ivf_topk(
         centroids,
         vec_col="qv",
         n_probe=n_probe,
+        metric=metric,
     )
     sims = cb.join(F.broadcast(qb), "cell").select(
         "query_id",
@@ -403,21 +417,28 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     subdim = dim // m
-    codebooks = []
-    for sub in range(m):
+
+    def fit_sub(sub: int) -> list[list[float]]:
         sliced = corpus.select(
             F.col(id_col),
             F.slice(
                 _as_double(F.col(vec_col)), sub * subdim + 1, subdim
             ).alias(vec_col),
         )
-        codebooks.append(
-            ivf_fit_centroids(
-                sliced, n_centroids=k, iters=iters,
-                id_col=id_col, vec_col=vec_col, metric="l2",
-            )
+        return ivf_fit_centroids(
+            sliced, n_centroids=k, iters=iters,
+            id_col=id_col, vec_col=vec_col, metric="l2",
         )
-    return codebooks
+
+    # The m subspace fits are independent; submit them from driver
+    # threads so their Spark jobs interleave instead of serializing
+    # m*(iters+1) corpus scans back-to-back (Spark's scheduler is
+    # thread-safe for concurrent job submission; results stay
+    # deterministic because each fit only depends on its own slice).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(fit_sub, range(m)))
 
 
 def _pq_codes_expr(vec_expr, codebooks: list[list[list[float]]]):
@@ -508,8 +529,6 @@ def pq_topk(
     the euclidean (sqrt) distance rounded to 4 decimals (ranking uses
     the unrounded value; ties break by corpus id).
     """
-    m, _, subdim = _pq_geometry(codebooks)
-    cb = _codebook_lit(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
@@ -517,15 +536,32 @@ def pq_topk(
     c = corpus_codes.select(
         F.col(id_col).alias("corpus_id"), F.col(code_col).alias("codes")
     )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "dist", F.sqrt(_adc_dist(F.col("qv"), F.col("codes"), codebooks))
+    )
+    return _dist_topk(scored, k)
+
+
+def _adc_dist(query_vec_col, codes_col, codebooks: list[list[list[float]]]):
+    """Asymmetric squared distance: exact query (sub-)vectors against
+    the codewords named by ``codes_col``."""
+    m, _, subdim = _pq_geometry(codebooks)
+    cb = _codebook_lit(codebooks)
     dist = None
     for sub in range(m):
-        qsub = F.slice(F.col("qv"), sub * subdim + 1, subdim)
+        qsub = F.slice(query_vec_col, sub * subdim + 1, subdim)
         codeword = F.element_at(
-            F.element_at(cb, sub + 1), F.col("codes")[sub] + 1
+            F.element_at(cb, sub + 1), codes_col[sub] + 1
         )
         d = _l2(qsub, codeword)
         dist = d if dist is None else dist + d
-    scored = c.join(F.broadcast(q)).withColumn("dist", F.sqrt(dist))
+    return dist
+
+
+def _dist_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared epilogue of the distance-ranked top-k operators:
+    (query_id, rank, corpus_id, dist), ascending distance, ties by
+    corpus id, dist rounded to 4 (ranking on the unrounded value)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("corpus_id").asc()
     )
@@ -565,25 +601,35 @@ def ivfpq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    code_col: str = "pq_code",
 ) -> DataFrame:
-    """(id, cell, pq_code) per corpus vector: nearest coarse cell by
-    L2, then PQ codes of the residual. Two projections so the residual
-    materializes once (the code argmin replicates its input per
-    (sub, code) pair)."""
+    """(``id_col``, cell, ``code_col``) per corpus vector: nearest
+    coarse cell by L2, then PQ codes of the residual. Three
+    projections so the nearest-cell expression and the residual each
+    materialize ONCE — higher-order expressions are CodegenFallback
+    and excluded from subexpression elimination, so an inline reuse
+    would re-scan the centroid list per reference."""
     coarse = _centroid_lit(coarse_centroids)
-    v = _as_double(F.col(vec_col))
-    cell = _nearest_cells(F.col(vec_col), coarse_centroids, 1, "l2")[0]["cell"]
-    with_res = corpus.select(
-        F.col(id_col).alias("id"),
-        cell.alias("cell"),
+    with_cell = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+        _nearest_cells(F.col(vec_col), coarse_centroids, 1, "l2")[0][
+            "cell"
+        ].alias("cell"),
+    )
+    with_res = with_cell.select(
+        F.col(id_col),
+        "cell",
         F.zip_with(
-            v,
-            F.element_at(coarse, cell + 1),
+            F.col("__v"),
+            F.element_at(coarse, F.col("cell") + 1),
             lambda x, y: x - y,
         ).alias("residual"),
     )
     return with_res.select(
-        "id", "cell", _pq_codes_expr(F.col("residual"), codebooks).alias("pq_code")
+        F.col(id_col),
+        "cell",
+        _pq_codes_expr(F.col("residual"), codebooks).alias(code_col),
     )
 
 
@@ -597,18 +643,19 @@ def ivfpq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    code_col: str = "pq_code",
 ) -> DataFrame:
     """Approximate euclidean top-k over an :func:`ivfpq_encode`'d
-    corpus. Each query explodes into its ``n_probe`` nearest cells and
-    equi-joins the coded corpus on ``cell`` (query side broadcast), so
-    scan cost is ~|corpus| * n_probe / n_cells per query and the big
-    side never cross-joins. ADC distance is computed on residuals.
+    corpus (``corpus_codes`` must carry ``id_col``/``cell``/
+    ``code_col`` as that function emits them). Each query explodes
+    into its ``n_probe`` nearest cells and equi-joins the coded corpus
+    on ``cell`` (query side broadcast), so scan cost is ~|corpus| *
+    n_probe / n_cells per query and the big side never cross-joins.
+    ADC distance is computed on residuals.
 
     Returns (query_id, rank, corpus_id, dist) like :func:`pq_topk`.
     """
-    m, _, subdim = _pq_geometry(codebooks)
     coarse = _centroid_lit(coarse_centroids)
-    cb = _codebook_lit(codebooks)
     probes = _nearest_cells(F.col(vec_col), coarse_centroids, n_probe, "l2")
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -625,27 +672,11 @@ def ivfpq_topk(
         ),
     )
     c = corpus_codes.select(
-        F.col("id").alias("corpus_id"), "cell", F.col("pq_code").alias("codes")
+        F.col(id_col).alias("corpus_id"),
+        "cell",
+        F.col(code_col).alias("codes"),
     )
-    dist = None
-    for sub in range(m):
-        qsub = F.slice(F.col("q_res"), sub * subdim + 1, subdim)
-        codeword = F.element_at(
-            F.element_at(cb, sub + 1), F.col("codes")[sub] + 1
-        )
-        d = _l2(qsub, codeword)
-        dist = d if dist is None else dist + d
-    scored = c.join(F.broadcast(q), "cell").withColumn("dist", F.sqrt(dist))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("corpus_id").asc()
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "dist", F.sqrt(_adc_dist(F.col("q_res"), F.col("codes"), codebooks))
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("rank").cast("int"),
-            "corpus_id",
-            F.round("dist", 4).alias("dist"),
-        )
-    )
+    return _dist_topk(scored, k)
