@@ -885,6 +885,25 @@ def _q_node_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the extracted link graph (anchors plus
+    embedded resources, so relative ``img src`` references become host
+    self-loops and per-host transition probabilities vary with the
+    corpus mix). Fixed 3-iteration power method with dangling-mass
+    redistribution; the oracle unrolls the identical iterations as
+    DuckDB CTEs from the synthesis arithmetic."""
+    from htmlparser2_spark.operators.linkgraph import host_edges, pagerank
+
+    nodes = _nodes_df(spark, sf_dir)
+    links = nodes.filter(F.col("name").isin("a", "img")).select(
+        "url",
+        F.coalesce(F.col("attrs")["href"], F.col("attrs")["src"]).alias("href"),
+    )
+    edges = host_edges(links, drop_self_loops=False)
+    ranks = pagerank(edges, iters=3)
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
 def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getOuterHTML coverage: parse -> serialize -> reparse -> extract
     must still be byte-identical to the golden text."""
@@ -1171,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inner_html": _q_inner_html,
         "q_prev_siblings": _q_prev_siblings,
         "q_node_types": _q_node_types,
+        "q_host_rank": _q_host_rank,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -1209,6 +1229,42 @@ _TAG_COUNTS = [
     ("html", 2, 1), ("body", 2, 1), ("table", 2, 1), ("tr", 2, 2),
     ("td", 2, 2), ("textarea", 2, 1), ("div", 2, 1),
 ]
+
+
+def _host_rank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: edge list from the synthesis
+    arithmetic (V0 anchors -> example.com, V1 relative img -> self
+    loop), then ``iters`` power-method CTE rounds mirroring
+    operators/linkgraph.pagerank exactly (same dangling handling)."""
+    host = (
+        "'host' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0 "
+        "ELSE doc_id % 41 END AS STRING) || '.example'"
+    )
+    sql = (
+        f"WITH links AS (SELECT {host} AS src, "
+        f"CASE WHEN doc_id % 3 = 0 THEN 'example.com' ELSE {host} END AS dst "
+        "FROM documents WHERE doc_id % 3 IN (0, 1)), "
+        "edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w "
+        "FROM links GROUP BY 1, 2), "
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges), "
+        "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1), "
+        "trans AS (SELECT src, dst, w / ow AS p FROM edges JOIN outw USING (src)), "
+        "prm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS (SELECT host, 1.0 / (SELECT n FROM prm) AS r FROM nodes)"
+    )
+    base = f"{1.0 - damping!r} / (SELECT n FROM prm)"
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += (
+            f", d{p} AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r{p} "
+            "WHERE host NOT IN (SELECT src FROM outw))"
+            f", c{k} AS (SELECT t.dst AS host, SUM(t.p * r.r) AS c "
+            f"FROM trans t JOIN r{p} r ON r.host = t.src GROUP BY 1)"
+            f", r{k} AS (SELECT n.host, {base} + {damping!r} * "
+            f"(COALESCE(c.c, 0) + (SELECT dm FROM d{p}) / (SELECT n FROM prm)) AS r "
+            f"FROM nodes n LEFT JOIN c{k} c ON c.host = n.host)"
+        )
+    return sql + f" SELECT host, round(r, 6) AS rank FROM r{iters}"
 
 
 _ANN_TOPK_SQL = (
@@ -1323,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
         ),
+        "q_host_rank": _host_rank_sql(),
         "q_serialize_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages"
         ),
