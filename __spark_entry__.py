@@ -904,6 +904,27 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: word-bigram model trained on the
+    even-doc_id half of the corpus, every document scored by average
+    ln-likelihood (odd docs hit the out-of-vocabulary floor, so both
+    scoring branches are oracle-checked). ppl is deliberately excluded
+    here: exp() magnifies cross-engine ULP noise past the rounding
+    guard, while avg_logp compares exactly at 4dp."""
+    from htmlparser2_spark.operators.lm_score import (
+        lm_doc_scores,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm_doc_scores(docs, lm).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logp", 4).alias("avg_logp"),
+    )
+
+
 def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getOuterHTML coverage: parse -> serialize -> reparse -> extract
     must still be byte-identical to the golden text."""
@@ -1191,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prev_siblings": _q_prev_siblings,
         "q_node_types": _q_node_types,
         "q_host_rank": _q_host_rank,
+        "q_lm_score": _q_lm_score,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -1380,6 +1402,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
         ),
         "q_host_rank": _host_rank_sql(),
+        "q_lm_score": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] "
+            "for i in generate_series(1, len(t) - 1)]) AS bigram FROM toks), "
+            "dbg AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), "
+            "c2 AS (SELECT bigram, SUM(cnt) AS c2 FROM dbg "
+            "WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, bigram, c2 FROM c2), "
+            "c1 AS (SELECT w1, SUM(c2) AS c1 FROM ctx GROUP BY 1), "
+            "lm AS (SELECT bigram, ln(CAST(c2 AS DOUBLE) / c1) AS logp "
+            "FROM ctx JOIN c1 USING (w1)), "
+            "sc AS (SELECT doc_id, SUM(cnt) AS n_bigrams, "
+            "SUM(cnt * COALESCE(logp, ln(1e-6))) / SUM(cnt) AS avg "
+            "FROM dbg LEFT JOIN lm USING (bigram) GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "round(avg, 4) AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id)"
+        ),
         "q_serialize_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages"
         ),

@@ -1,0 +1,146 @@
+"""N-gram language-model quality scoring (CCNet-style perplexity filter).
+
+The standard web-corpus curation step after rule-based gates: score
+every document under a language model trained on trusted text and drop
+the high-perplexity tail (CCNet does this with a KenLM 5-gram; the
+published recipe is LM scoring + bucket thresholds). This module is the
+relational re-expression: a word-bigram model with MLE conditionals and
+a fixed out-of-vocabulary floor, trained and applied as pure DataFrame
+aggregations/joins so DuckDB can replay the arithmetic exactly.
+
+Scale design (10^12 docs):
+
+* Training is two groupBy passes over exploded bigrams — both
+  map-side combined, shuffled on the bigram/context key. ``min_count``
+  prunes the long tail before the model ever materializes (the
+  standard KenLM pruning knob), bounding model size.
+* Scoring pre-aggregates each document's bigrams to (doc, bigram,
+  cnt) *before* the model join, so the join input is bounded by
+  distinct bigrams per doc, not token count. The join is keyed on the
+  bigram string: the model side has unique keys (a hash-join build
+  side), and hot bigrams ("of the") fan out on the probe side only —
+  no skew amplification. A pruned model that fits executors gets
+  broadcast by AQE automatically.
+* No Python anywhere: token split, bigram assembly, log arithmetic
+  are all Catalyst expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["doc_bigrams", "train_bigram_lm", "lm_doc_scores"]
+
+DEFAULT_OOV_LOGP = math.log(1e-6)
+
+
+def _bigram_array(text_col: Column) -> Column:
+    """Array of 'w1 w2' bigram strings over lowercased space-split
+    tokens (empty tokens dropped; mirrors the q_token_stats split
+    convention so the DuckDB oracle reproduces it verbatim)."""
+    toks = F.filter(
+        F.split(F.lower(text_col), " "), lambda x: x != F.lit("")
+    )
+    nt = F.size(toks)
+    idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+
+
+def doc_bigrams(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bigram, cnt) per document — the shared explode+combine
+    stage for both training and scoring."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_bigram_array(F.col(text_col))).alias("bigram"),
+        )
+        .groupBy("id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """(bigram, logp) — MLE conditional ln P(w2 | w1).
+
+    ``min_count`` drops bigrams rarer than the threshold *after*
+    context totals are computed, so pruning changes coverage, not the
+    surviving estimates (exactly KenLM's pruning semantics).
+    """
+    bg = (
+        doc_bigrams(corpus, text_col=text_col, id_col=id_col)
+        .groupBy("bigram")
+        .agg(F.sum("cnt").alias("c2"))
+    )
+    with_ctx = bg.withColumn(
+        "w1", F.substring_index(F.col("bigram"), " ", 1)
+    )
+    ctx = with_ctx.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        with_ctx.join(ctx, "w1")
+        .filter(F.col("c2") >= min_count)
+        .select("bigram", F.log(F.col("c2") / F.col("c1")).alias("logp"))
+    )
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    lm: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = DEFAULT_OOV_LOGP,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp, ppl) per document.
+
+    ``avg_logp`` is the token-weighted mean ln-likelihood under the
+    model (OOV bigrams take the fixed floor); ``ppl = exp(-avg_logp)``
+    is the conventional perplexity presentation. Documents with fewer
+    than two tokens have no bigrams: n_bigrams 0, NULL scores — they
+    carry no LM evidence, and mapping them to a fake-neutral number
+    would silently pass them through a perplexity gate.
+    """
+    scored = (
+        doc_bigrams(docs, text_col=text_col, id_col=id_col)
+        .join(lm, "bigram", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("cnt")
+                    * F.coalesce(F.col("logp"), F.lit(oov_logp))
+                )
+                / F.sum("cnt")
+            ).alias("avg_logp"),
+        )
+    )
+    # Bigram-less docs never reach the explode; join them back in so
+    # the output covers every input row.
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Bigram LM quality-score tests: exact hand-computed MLE
+probabilities, OOV floor, pruning semantics, and degenerate docs.
+Corpus-level parity with DuckDB is covered by q_lm_score in
+tests/test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _dfs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_mle_probabilities_exact(spark):
+    from htmlparser2_spark.operators.lm_score import train_bigram_lm
+
+    # Bigrams: "a b" x2, "b a" x1, "a c" x1 -> contexts: a:3, b:1.
+    corpus = _dfs(spark, [(1, "a b a b"), (2, "a c")])
+    lm = {r["bigram"]: r["logp"] for r in train_bigram_lm(corpus).collect()}
+    assert lm["a b"] == pytest.approx(math.log(2 / 3))
+    assert lm["b a"] == pytest.approx(math.log(1 / 1))
+    assert lm["a c"] == pytest.approx(math.log(1 / 3))
+    assert set(lm) == {"a b", "b a", "a c"}
+
+
+def test_scores_and_oov(spark):
+    from htmlparser2_spark.operators.lm_score import (
+        DEFAULT_OOV_LOGP,
+        lm_doc_scores,
+        train_bigram_lm,
+    )
+
+    corpus = _dfs(spark, [(1, "a b a b"), (2, "a c")])
+    lm = train_bigram_lm(corpus)
+    docs = _dfs(spark, [(10, "a b"), (11, "x y"), (12, "a b z q")])
+    got = {r["id"]: r for r in lm_doc_scores(docs, lm).collect()}
+    assert got[10]["avg_logp"] == pytest.approx(math.log(2 / 3))
+    assert got[10]["ppl"] == pytest.approx(3 / 2)
+    # Every bigram OOV -> the floor.
+    assert got[11]["avg_logp"] == pytest.approx(DEFAULT_OOV_LOGP)
+    # Mixed: ("a b", "b z", "z q") -> (log(2/3) + 2*floor) / 3.
+    want = (math.log(2 / 3) + 2 * DEFAULT_OOV_LOGP) / 3
+    assert got[12]["avg_logp"] == pytest.approx(want)
+    assert got[12]["n_bigrams"] == 3
+
+
+def test_case_fold_and_empty_docs(spark):
+    from htmlparser2_spark.operators.lm_score import (
+        lm_doc_scores,
+        train_bigram_lm,
+    )
+
+    corpus = _dfs(spark, [(1, "A b a B"), (2, "a c")])
+    lm = train_bigram_lm(corpus)
+    docs = _dfs(spark, [(10, "a  B"), (11, ""), (12, "solo")])
+    got = {r["id"]: r for r in lm_doc_scores(docs, lm).collect()}
+    # Double space collapses via empty-token filter; case folds.
+    assert got[10]["avg_logp"] == pytest.approx(math.log(2 / 3))
+    for bigramless in (11, 12):
+        assert got[bigramless]["n_bigrams"] == 0
+        assert got[bigramless]["avg_logp"] is None
+        assert got[bigramless]["ppl"] is None
+
+
+def test_min_count_prunes_after_context_totals(spark):
+    from htmlparser2_spark.operators.lm_score import train_bigram_lm
+
+    corpus = _dfs(spark, [(1, "a b a b a c")])
+    lm = {
+        r["bigram"]: r["logp"]
+        for r in train_bigram_lm(corpus, min_count=2).collect()
+    }
+    # "a c" (count 1) pruned; "a b" keeps denominator 3 (not 2):
+    # pruning changes coverage, not surviving estimates.
+    assert set(lm) == {"a b", "b a"}
+    assert lm["a b"] == pytest.approx(math.log(2 / 3))
