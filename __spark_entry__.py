@@ -1258,14 +1258,11 @@ def _host_rank_sql(iters: int = 3, damping: float = 0.85) -> str:
     arithmetic (V0 anchors -> example.com, V1 relative img -> self
     loop), then ``iters`` power-method CTE rounds mirroring
     operators/linkgraph.pagerank exactly (same dangling handling)."""
-    host = (
-        "'host' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0 "
-        "ELSE doc_id % 41 END AS STRING) || '.example'"
-    )
+    host = "regexp_extract(url, 'https://([^/]+)', 1)"
     sql = (
-        f"WITH links AS (SELECT {host} AS src, "
+        f"WITH {_PAGES_CTE}, links AS (SELECT {host} AS src, "
         f"CASE WHEN doc_id % 3 = 0 THEN 'example.com' ELSE {host} END AS dst "
-        "FROM documents WHERE doc_id % 3 IN (0, 1)), "
+        "FROM pages WHERE doc_id % 3 IN (0, 1)), "
         "edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w "
         "FROM links GROUP BY 1, 2), "
         "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges), "

@@ -16,9 +16,10 @@ Scale design (10^12 docs => ~10^8 hosts, ~10^10 host edges):
   (2 cols x n_hosts) is orders of magnitude smaller than the edge
   list, so AQE broadcasts it below the threshold; above it the join
   is sort-merge on the same key the previous iteration shuffled on.
-* Iterative DataFrame plans grow per iteration; ``checkpoint_every``
-  truncates lineage with ``localCheckpoint`` so 20+ iterations don't
-  build a 20-join megaplan (driver OOM / planner blowup at scale).
+* Iterative DataFrame plans grow per iteration; the per-iteration
+  eager ``localCheckpoint`` of the (tiny) rank vector truncates
+  lineage so 20+ iterations don't build a 20-join megaplan (driver
+  OOM / planner blowup at scale) and each iteration runs exactly once.
 * Dangling mass (hosts with no outlinks) is redistributed uniformly
   each iteration — the standard correction; skipping it deflates
   total mass and is the classic subtle PageRank bug. The dangling
@@ -34,13 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["host_of", "host_edges", "pagerank"]
+from ..functions.urls import url_host, url_scheme
 
-
-def host_of(url_col):
-    """Host component of an http(s) URL column (empty string if none)."""
-    col = url_col if not isinstance(url_col, str) else F.col(url_col)
-    return F.regexp_extract(col, r"^https?://([^/]+)", 1)
+__all__ = ["host_edges", "pagerank"]
 
 
 def host_edges(
@@ -52,14 +49,40 @@ def host_edges(
 ) -> DataFrame:
     """Weighted host->host edges from a (page url, link href) table.
 
-    ``weight`` counts the anchors between the host pair. Relative
-    hrefs (no scheme/host) resolve to the source host, matching how a
-    crawler would attribute them. One shuffle, map-side combined.
+    ``weight`` counts the anchors between the host pair. Host keys
+    come from :func:`~htmlparser2_spark.functions.urls.url_host`
+    (lowercased, port/userinfo stripped) so case/port variants of one
+    host collapse to one graph node. Href resolution follows crawler
+    attribution rules:
+
+    * absolute http(s) -> its own host;
+    * protocol-relative ``//host/...`` -> that host;
+    * other schemes (``mailto:``, ``javascript:``, ``ftp:``...) ->
+      no edge;
+    * scheme-less (relative) -> the source host;
+    * NULL href, or an unparseable source/target host -> no edge
+      (a NULL graph node would silently leak rank mass: joins on the
+      NULL key never match, breaking the ranks-sum-to-1 invariant).
+
+    One shuffle, map-side combined.
     """
-    src = host_of(F.col(src_url))
-    raw_dst = host_of(F.col(dst_url))
-    dst = F.when(raw_dst == "", src).otherwise(raw_dst)
-    edges = links.select(src.alias("src"), dst.alias("dst"))
+    href = F.col(dst_url)
+    src = url_host(F.col(src_url))
+    dst = (
+        F.when(
+            href.startswith("//"),
+            url_host(F.concat(F.lit("http:"), href)),
+        )
+        .when(url_scheme(href).isin("http", "https"), url_host(href))
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None))
+        .otherwise(src)
+    )
+    edges = links.filter(href.isNotNull()).select(
+        src.alias("src"), dst.alias("dst")
+    )
+    edges = edges.filter(
+        F.col("dst").isNotNull() & (F.col("dst") != "") & (F.col("src") != "")
+    )
     if drop_self_loops:
         edges = edges.filter(F.col("src") != F.col("dst"))
     return edges.groupBy("src", "dst").agg(F.count("*").alias("weight"))
@@ -70,7 +93,6 @@ def pagerank(
     *,
     iters: int = 3,
     damping: float = 0.85,
-    checkpoint_every: int = 0,
     rank_col: str = "rank",
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over an (src, dst, weight)
@@ -78,18 +100,31 @@ def pagerank(
 
     Fixed iteration count (not convergence-tested) keeps the job
     deterministic and restartable: a resumed run re-executes the same
-    DAG. ``checkpoint_every=k`` localCheckpoints the rank vector every
-    k iterations to truncate lineage on long runs.
+    DAG. Each iteration's rank vector is eagerly localCheckpointed —
+    it is tiny (2 cols x n_hosts) and the checkpoint both truncates
+    the iterative lineage (no N-join megaplan for the planner) and
+    guarantees every iteration executes exactly once: the dangling
+    collect, the next iteration's join, and the caller's final action
+    all read the materialized vector instead of replaying history
+    (the O(iters^2) recompute trap of a purely lazy loop).
+
+    Non-positive edge weights are dropped up front: a source whose
+    weights sum to zero has no meaningful transition distribution and
+    would otherwise divide by zero under ANSI mode.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    edges = edges.select(
+    edges = edges.filter(F.col("weight") > 0).select(
         "src", "dst", F.col("weight").cast("double").alias("weight")
     )
+    # nodes/trans/dangling are re-read every iteration — persist them
+    # so the loop doesn't re-run the edge scan + distinct per round
+    # (MEMORY_AND_DISK: spills rather than recomputes at scale).
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
+        .persist()
     )
     # Out-weight per source, pre-divided into per-edge transition
     # probabilities once (not per iteration).
@@ -97,20 +132,20 @@ def pagerank(
     trans = edges.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
-    # The transition table is reused every iteration — persist it so
-    # iterations don't re-run the edge aggregation (at scale this is
-    # the big table; MEMORY_AND_DISK spills rather than recomputes).
     trans.persist()
     dangling = nodes.join(
         out_w.select(F.col("src").alias("host")), "host", "left_anti"
-    )
+    ).persist()
     n = nodes.count()
     if n == 0:
-        trans.unpersist()
+        for df in (trans, nodes, dangling):
+            df.unpersist()
         return nodes.select("host", F.lit(0.0).alias(rank_col))
     base = (1.0 - damping) / n
     ranks = nodes.select("host", F.lit(1.0 / n).alias("r"))
-    for i in range(iters):
+    if iters == 0:
+        ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
         dangling_mass = (
             dangling.join(ranks, "host")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
@@ -132,15 +167,8 @@ def pagerank(
                        + F.lit(dangling_mass / n))
                 ).alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-    # Materialize before unpersisting: the lazy rank plan references
-    # ``trans`` once per iteration, so returning it unmaterialized
-    # after unpersist would re-run the edge aggregation per join when
-    # the caller finally executes. The rank vector is tiny (2 cols x
-    # n_hosts), so an eager localCheckpoint is cheap and truncates the
-    # whole iterative lineage.
-    ranks = ranks.localCheckpoint(eager=True)
-    trans.unpersist()
+    for df in (trans, nodes, dangling):
+        df.unpersist()
     return ranks.select("host", F.col("r").alias(rank_col))

@@ -62,10 +62,23 @@ def test_weighted_edges_matter(spark):
     assert got["d"] > got["c"]
 
 
-def test_disconnected_components_and_checkpoint(spark):
+def test_disconnected_components(spark):
     edges = [("a", "b", 1), ("x", "y", 2), ("y", "x", 2)]
-    got = _run(spark, edges, iters=6, checkpoint_every=2)
+    got = _run(spark, edges, iters=6)
     assert len(got) == 4
+
+
+def test_zero_weight_edges_dropped(spark):
+    from htmlparser2_spark.operators.linkgraph import pagerank
+
+    # ('s','d',0) must not crash (ANSI divide-by-zero) nor create
+    # nodes; it simply contributes no edge.
+    df = spark.createDataFrame(
+        [("s", "d", 0), ("x", "y", 1)], "src string, dst string, weight long"
+    )
+    got = {r["host"]: r["rank"] for r in pagerank(df, iters=2).collect()}
+    assert set(got) == {"x", "y"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
 def test_zero_iters_uniform(spark):
@@ -93,3 +106,31 @@ def test_host_edges_resolution(spark):
     assert {(r["src"], r["dst"]): r["weight"] for r in kept}[
         ("a.example", "a.example")
     ] == 1
+
+
+def test_host_edges_schemes_null_and_case(spark):
+    from htmlparser2_spark.operators.linkgraph import host_edges
+
+    links = spark.createDataFrame(
+        [
+            # protocol-relative -> that host, not a self-loop
+            ("https://a.example/p", "//b.example/x"),
+            # uppercase scheme + port + host case all normalize
+            ("https://a.example/p", "HTTP://C.Example:8080/y"),
+            # non-http schemes produce no edge
+            ("https://a.example/p", "mailto:bob@b.example"),
+            ("https://a.example/p", "javascript:void(0)"),
+            ("https://a.example/p", "ftp://d.example/f"),
+            # NULL href produces no edge (would leak rank mass as a
+            # NULL graph node)
+            ("https://a.example/p", None),
+            # unparseable source host -> no edge
+            ("not a url", "https://b.example/z"),
+        ],
+        "url string, href string",
+    )
+    rows = {(r["src"], r["dst"]): r["weight"] for r in host_edges(links).collect()}
+    assert rows == {
+        ("a.example", "b.example"): 1,
+        ("a.example", "c.example"): 1,
+    }
