@@ -904,6 +904,23 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (link-text training signal): text under
+    every <a href> gathered via the descendant axis, aggregated per
+    distinct anchor string. Nested-markup gathering is pinned by unit
+    tests; here the corpus-wide totals are oracle-pinned from the
+    template inventory (every V0 page contributes one 'more' anchor
+    with a unique target)."""
+    from htmlparser2_spark.operators.domquery import anchor_texts, explode_nodes
+
+    pages = build_pages(spark, sf_dir)
+    at = anchor_texts(explode_nodes(pages, with_ancestors=True))
+    return at.groupBy("anchor_text").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("href").alias("n_targets"),
+    )
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: word-bigram model trained on the
     even-doc_id half of the corpus, every document scored by average
@@ -1213,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_node_types": _q_node_types,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
+        "q_anchor_text": _q_anchor_text,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -1399,6 +1417,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
         ),
         "q_host_rank": _host_rank_sql(),
+        "q_anchor_text": (
+            f"WITH {_PAGES_CTE} SELECT 'more' AS anchor_text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_links, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
+            "FROM pages WHERE doc_id % 3 = 0"
+        ),
         "q_lm_score": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
             "x -> x <> '') AS t FROM documents), "

@@ -31,6 +31,7 @@ __all__ = [
     "siblings_of",
     "element_siblings",
     "elements_inside",
+    "anchor_texts",
     "get_attribute_value",
     "text_content_per_doc",
     "outer_html",
@@ -178,6 +179,54 @@ def elements_inside(
     )
     return inner.join(outer, key_col).filter(
         F.array_contains("ancestors", F.col("ancestor_id"))
+    )
+
+
+def anchor_texts(nodes: DataFrame, key_col: str = "url") -> DataFrame:
+    """(key, href, anchor_text) per ``<a href>`` element: document-order
+    concatenation of all text nodes under the anchor at any depth
+    (``<a><b>bold</b> tail</a>`` -> ``"bold tail"``... modulo original
+    spacing) — the link-text training signal (anchor->target pairs a la
+    the MS MARCO/web-graph recipes) and the per-link text the link
+    graph's quality filters key on.
+
+    Same descendant-axis shape as :func:`elements_inside`: requires
+    ``with_ancestors=True`` nodes; one within-document equi-join plus
+    in-row membership, no recursive closure. Text order is restored
+    with an in-row ``array_sort`` over (node_id, data) structs, so the
+    aggregation stays a single map-side-combined shuffle. Anchors with
+    no text descendants still appear (empty string), via a left join
+    from the anchor set."""
+    anchors = nodes.filter(
+        (F.col("name") == "a") & F.col("attrs")["href"].isNotNull()
+    ).select(
+        key_col,
+        F.col("node_id").alias("a_id"),
+        F.col("attrs")["href"].alias("href"),
+    )
+    texts = nodes.filter(F.col("type") == "text").select(
+        key_col, "node_id", "ancestors", "data"
+    )
+    gathered = (
+        texts.join(anchors, key_col)
+        .filter(F.array_contains("ancestors", F.col("a_id")))
+        .groupBy(key_col, "a_id", "href")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("node_id", "data"))
+                    ),
+                    lambda s: s["data"],
+                ),
+                "",
+            ).alias("anchor_text")
+        )
+    )
+    return anchors.join(gathered, [key_col, "a_id", "href"], "left").select(
+        key_col,
+        "href",
+        F.coalesce(F.col("anchor_text"), F.lit("")).alias("anchor_text"),
     )
 
 

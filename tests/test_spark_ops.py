@@ -1443,3 +1443,25 @@ def test_pq_encode_numpy_engine_matches_expression_engine(spark):
     np_codes = {r["vec_id"]: list(r["pq_code"]) for r in
                 pq_encode(df, codebooks, max_expr_codewords=1).collect()}
     assert expr_codes == np_codes and len(expr_codes) == 50
+
+
+def test_anchor_texts_nested_and_empty(spark):
+    """Anchor text gathers nested formatting in document order; an
+    href-less <a> contributes nothing; an empty anchor yields ''."""
+    from htmlparser2_spark.operators.domquery import anchor_texts, explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<a href="/x"><b>bold</b> tail</a><a name="anch">skip</a>'),
+            ("u2", '<p><a href="/y"></a><a href="/z">plain <i>mix</i>!</a></p>'),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+    got = {(r["url"], r["href"]): r["anchor_text"]
+           for r in anchor_texts(nodes).collect()}
+    assert got == {
+        ("u1", "/x"): "bold tail",
+        ("u2", "/y"): "",
+        ("u2", "/z"): "plain mix!",
+    }
