@@ -904,6 +904,41 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
+def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side URL admission: deterministic per-host robots.txt
+    bodies (4 policy shapes: prefix+allow-override, exact-agent
+    full block, allow-all via empty Disallow, comment+prefix+longer
+    allow) parsed relationally and evaluated for agent TrainBot over
+    every page URL. The oracle predicts admission from the same
+    host/path arithmetic."""
+    from htmlparser2_spark.operators.robots import (
+        evaluate_robots,
+        parse_robots,
+    )
+
+    m = F.col("id") % 4
+    body = (
+        F.when(m == 0, F.lit(
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok"))
+        .when(m == 1, F.lit(
+            "User-agent: trainbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /tmp/"))
+        .when(m == 2, F.lit("User-agent: *\nDisallow:"))
+        .otherwise(F.lit(
+            "# policy\nUser-agent: *\nDisallow: /doc/1\nAllow: /doc/12"))
+    )
+    hosts = spark.range(41).select(
+        F.concat(
+            F.lit("host"), F.col("id").cast("string"), F.lit(".example")
+        ).alias("host"),
+        body.alias("body"),
+    )
+    pages = build_pages(spark, sf_dir)
+    return evaluate_robots(
+        pages.select("url"), parse_robots(hosts), "TrainBot"
+    )
+
+
 def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (link-text training signal): text under
     every <a href> gathered via the descendant axis, aggregated per
@@ -1231,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_anchor_text": _q_anchor_text,
+        "q_robots": _q_robots,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -1417,6 +1453,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
         ),
         "q_host_rank": _host_rank_sql(),
+        "q_robots": (
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE (CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 41 END) % 4 "
+            "WHEN 1 THEN FALSE "
+            "WHEN 3 THEN (CAST(doc_id AS STRING) NOT LIKE '1%' "
+            "OR CAST(doc_id AS STRING) LIKE '12%') "
+            "ELSE TRUE END AS allowed FROM pages"
+        ),
         "q_anchor_text": (
             f"WITH {_PAGES_CTE} SELECT 'more' AS anchor_text, "
             "CAST(COUNT(*) AS BIGINT) AS n_links, "

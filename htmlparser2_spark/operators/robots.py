@@ -1,0 +1,144 @@
+"""Relational robots.txt parsing and URL admission (RFC 9309 subset).
+
+The crawl-side gate of a web corpus pipeline: before pages enter the
+corpus, URL admission is decided against each host's robots.txt. Both
+halves are pure Catalyst — parsing is split/explode/window over the
+(small, per-host) line lists, evaluation is a host-keyed join plus a
+longest-match window — so 10^8 robots bodies and 10^12 candidate URLs
+stay JVM-side with two shuffles total (host-partitioned parse window;
+admission join keyed on host).
+
+Supported subset, stated explicitly:
+
+* ``User-agent`` / ``Allow`` / ``Disallow`` fields, case-insensitive,
+  ``#`` comments stripped, stanza grouping per RFC 9309 §2.1 (multiple
+  consecutive User-agent lines share one group; rules before any
+  User-agent line belong to no group and are ignored).
+* Agent selection: exact (case-insensitive) product token match, else
+  the ``*`` group; an exact group fully shadows ``*`` (RFC behavior).
+* Path rules: literal prefixes plus the trailing ``$`` end anchor.
+  In-path ``*`` wildcards are NOT expanded (a rule containing ``*``
+  matches only itself literally); documents feeding this operator at
+  scale should pre-expand or drop wildcard rules.
+* Precedence: longest matching path wins; Allow wins length ties;
+  no matching rule (or no robots.txt for the host) -> allowed.
+* Empty ``Disallow:`` (no value) matches nothing, i.e. allows all —
+  the classic "allow everything" idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.urls import url_host, url_path
+
+__all__ = ["parse_robots", "evaluate_robots"]
+
+
+def parse_robots(robots: DataFrame, *, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, agent, rule, path) from a (host, robots-txt body) table.
+
+    One row per (group agent x group rule); ``rule`` is 'allow' or
+    'disallow'; ``agent`` is lowercased. The stanza window partitions
+    by host — robots bodies are bounded (Google caps at 500 KiB), so
+    per-host line lists never skew a partition.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    field = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    parsed = lines.select(
+        "host", "pos", field.alias("field"), value.alias("value")
+    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    # A User-agent line opens a new group unless the previous parsed
+    # line was also a User-agent line (consecutive UA lines share the
+    # group, RFC 9309 §2.1).
+    new_group = is_ua & ~F.lag(is_ua, 1, False).over(w)
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(new_group.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = grouped.filter(is_ua).select(
+        "host", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.filter(~is_ua & (F.col("value") != "")).select(
+        "host", "group_id", F.col("field").alias("rule"),
+        F.col("value").alias("path"),
+    )
+    # Rules inherit every agent of their stanza; rules before any
+    # User-agent line (group_id 0 has no agent rows) drop here.
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "agent", "rule", "path"
+    )
+
+
+def evaluate_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, allowed) for every input URL under ``agent``.
+
+    The applicable group per host is the exact-agent group when one
+    exists, else ``*``; admission is the longest-matching-path rule
+    with Allow winning ties. URLs on hosts with no rules are allowed.
+    """
+    agent = agent.lower()
+    applicable = rules.filter(F.col("agent").isin(agent, "*")).withColumn(
+        "pref", F.when(F.col("agent") == agent, 0).otherwise(1)
+    )
+    best = (
+        applicable.withColumn(
+            "minpref", F.min("pref").over(Window.partitionBy("host"))
+        )
+        .filter(F.col("pref") == F.col("minpref"))
+        .select("host", "rule", "path")
+    )
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        F.when(url_path(F.col(url_col)) == "", "/")
+        .otherwise(url_path(F.col(url_col)))
+        .alias("upath"),
+    )
+    j = u.join(best, "host", "left")
+    anchored = F.col("path").endswith("$")
+    pat = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    matched = F.col("path").isNotNull() & F.when(
+        anchored, F.col("upath") == pat
+    ).otherwise(F.col("upath").startswith(pat))
+    scored = j.select(
+        "url",
+        matched.alias("m"),
+        F.length(pat).alias("plen"),
+        "rule",
+    )
+    # Longest match first; 'allow' < 'disallow' sorts Allow ahead on
+    # length ties; trailing keys pin full determinism for duplicates.
+    pick = Window.partitionBy("url").orderBy(
+        F.when(F.col("m"), F.col("plen")).otherwise(-1).desc(),
+        F.col("rule").asc_nulls_last(),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            (~(F.col("m") & (F.col("rule") == "disallow"))).alias("allowed"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""robots.txt parse + admission tests (RFC 9309 subset per the module
+docstring). Corpus-level end-to-end admission is oracle-checked by
+q_robots in tests/test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+BODY_MAIN = """# corpus crawler policy
+User-agent: TrainBot
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 5
+
+User-agent: *
+Disallow: /
+"""
+
+BODY_STAR_ONLY = """User-agent: *
+Disallow: /tmp/
+Disallow:
+Allow: /tmp/keep$
+"""
+
+
+def _rules(spark, rows):
+    from htmlparser2_spark.operators.robots import parse_robots
+
+    df = spark.createDataFrame(rows, "host string, body string")
+    return parse_robots(df)
+
+
+def test_parse_groups_agents_and_comments(spark):
+    rules = _rules(spark, [("h1", BODY_MAIN)])
+    got = {(r["agent"], r["rule"], r["path"]) for r in rules.collect()}
+    # Both stanza agents inherit both rules; Crawl-delay ignored;
+    # comment line ignored; '*' group separate.
+    assert got == {
+        ("trainbot", "disallow", "/private/"),
+        ("trainbot", "allow", "/private/ok"),
+        ("otherbot", "disallow", "/private/"),
+        ("otherbot", "allow", "/private/ok"),
+        ("*", "disallow", "/"),
+    }
+
+
+def test_parse_rules_before_any_group_dropped(spark):
+    rules = _rules(spark, [("h1", "Disallow: /x\nUser-agent: *\nAllow: /y")])
+    got = {(r["agent"], r["rule"], r["path"]) for r in rules.collect()}
+    assert got == {("*", "allow", "/y")}
+
+
+def _admit(spark, rules, urls, agent):
+    from htmlparser2_spark.operators.robots import evaluate_robots
+
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    return {r["url"]: r["allowed"] for r in
+            evaluate_robots(u, rules, agent).collect()}
+
+
+def test_exact_group_shadows_star(spark):
+    rules = _rules(spark, [("h1", BODY_MAIN)])
+    urls = [
+        "https://h1/private/x",      # trainbot group: disallowed prefix
+        "https://h1/private/ok/page", # longer Allow wins
+        "https://h1/public",          # no matching rule in exact group
+    ]
+    got = _admit(spark, rules, urls, "TrainBot")
+    assert got == {
+        "https://h1/private/x": False,
+        "https://h1/private/ok/page": True,
+        "https://h1/public": True,  # '*' Disallow:/ shadowed by exact group
+    }
+    # An unknown agent falls to '*': everything blocked.
+    got_star = _admit(spark, rules, urls, "randombot")
+    assert got_star == {u: False for u in urls}
+
+
+def test_empty_disallow_anchor_and_missing_host(spark):
+    rules = _rules(spark, [("h2", BODY_STAR_ONLY)])
+    urls = [
+        "https://h2/tmp/x",     # blocked by /tmp/ prefix
+        "https://h2/tmp/keep",  # anchored Allow exactly matches (tie len, allow wins? longer)
+        "https://h2/tmp/keeper",  # anchor does NOT match the longer path
+        "https://h2/",          # empty Disallow matches nothing
+        "https://nowhere/x",    # no rules for host -> allowed
+    ]
+    got = _admit(spark, rules, urls, "anybot")
+    assert got == {
+        "https://h2/tmp/x": False,
+        "https://h2/tmp/keep": True,
+        "https://h2/tmp/keeper": False,
+        "https://h2/": True,
+        "https://nowhere/x": True,
+    }
+
+
+def test_allow_wins_length_tie(spark):
+    rules = _rules(spark, [("h3", "User-agent: *\nDisallow: /a/\nAllow: /a/")])
+    got = _admit(spark, rules, ["https://h3/a/x"], "bot")
+    assert got == {"https://h3/a/x": True}
