@@ -904,6 +904,62 @@ def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
+def _q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap roundtrip: per-host <urlset> documents synthesized from
+    the pages table (doc_id-ordered entries, ISO lastmod from warc_ts),
+    parsed back through the xmlMode sitemap UDF; every (host, loc,
+    lastmod, priority) must reconstruct exactly — the oracle is the
+    pages table itself."""
+    from htmlparser2_spark.functions.udfs import sitemap_udf
+
+    pages = build_pages(spark, sf_dir, with_doc_id=True)
+    host = F.regexp_extract("url", r"https://([^/]+)", 1)
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"),
+        F.lit("</loc><lastmod>"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("</lastmod><priority>0.5</priority></url>"),
+    )
+    per_host = (
+        pages.select(
+            host.alias("host"),
+            F.struct("doc_id").alias("k"),
+            entry.alias("e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "e"))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = per_host.select(
+        "host", sitemap_udf()(F.col("xml")).alias("sm")
+    )
+    ent = parsed.select(
+        "host", F.col("sm.kind").alias("kind"),
+        F.explode("sm.entries").alias("e"),
+    )
+    return ent.select(
+        "host",
+        "kind",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.priority").alias("priority"),
+    )
+
+
 def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-side URL admission: deterministic per-host robots.txt
     bodies (4 policy shapes: prefix+allow-override, exact-agent
@@ -1267,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": _q_lm_score,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
+        "q_sitemap": _q_sitemap,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -1453,6 +1510,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_match FROM pages"
         ),
         "q_host_rank": _host_rank_sql(),
+        "q_sitemap": (
+            f"WITH {_PAGES_CTE} "
+            "SELECT regexp_extract(url, 'https://([^/]+)', 1) AS host, "
+            "'urlset' AS kind, url AS loc, warc_ts AS lastmod, "
+            "CAST(0.5 AS DOUBLE) AS priority FROM pages"
+        ),
         "q_robots": (
             f"WITH {_PAGES_CTE} SELECT url, "
             "CASE (CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 41 END) % 4 "

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     MapType,
@@ -32,6 +33,7 @@ from pyspark.sql.types import (
 from ..engine.dom import DomArrayHandler, clean_text, inner_text
 from ..engine.feed import get_feed
 from ..engine.parser import Parser, ParserOptions
+from ..engine.sitemap import get_sitemap
 
 __all__ = [
     "extract_text_udf",
@@ -41,11 +43,13 @@ __all__ = [
     "node_counts_udf",
     "parser_events_udf",
     "feed_udf",
+    "sitemap_udf",
     "doc_stats_udf",
     "NODE_SCHEMA",
     "NODE_COUNT_SCHEMA",
     "EVENT_SCHEMA",
     "FEED_SCHEMA",
+    "SITEMAP_SCHEMA",
     "STATS_SCHEMA",
 ]
 
@@ -480,6 +484,47 @@ def feed_udf():
         return pd.DataFrame(rows)
 
     return _feed
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField(
+            "entries",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("loc", StringType()),
+                        StructField("lastmod", TimestampType()),
+                        StructField("changefreq", StringType()),
+                        StructField("priority", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def sitemap_udf():
+    """Sitemap/sitemap-index parse (engine xmlMode, same batch shape
+    as ``feed_udf``): NULL struct for non-sitemap documents."""
+
+    @F.pandas_udf(SITEMAP_SCHEMA)
+    def _sitemap(xml: pd.Series) -> pd.DataFrame:
+        handler = DomArrayHandler(with_indices=False)
+        parser = _make_parser(handler, {"xml_mode": True})
+        rows = []
+        for value in xml:
+            parser.parse(_to_str(value))
+            sm = get_sitemap(handler.nodes)
+            if sm is None:
+                rows.append({"kind": None, "entries": None})
+            else:
+                rows.append(sm)
+        return pd.DataFrame(rows)
+
+    return _sitemap
 
 
 STATS_SCHEMA = StructType(
