@@ -885,22 +885,29 @@ def _q_node_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level PageRank over the extracted link graph (anchors plus
-    embedded resources, so relative ``img src`` references become host
-    self-loops and per-host transition probabilities vary with the
-    corpus mix). Fixed 3-iteration power method with dangling-mass
-    redistribution; the oracle unrolls the identical iterations as
-    DuckDB CTEs from the synthesis arithmetic."""
-    from htmlparser2_spark.operators.linkgraph import host_edges, pagerank
+def _page_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host->host edges extracted from the pages' DOM: anchors
+    plus embedded resources, so relative ``img src`` references become
+    host self-loops and per-host transition probabilities vary with
+    the corpus mix."""
+    from htmlparser2_spark.operators.linkgraph import host_edges
 
     nodes = _nodes_df(spark, sf_dir)
     links = nodes.filter(F.col("name").isin("a", "img")).select(
         "url",
         F.coalesce(F.col("attrs")["href"], F.col("attrs")["src"]).alias("href"),
     )
-    edges = host_edges(links, drop_self_loops=False)
-    ranks = pagerank(edges, iters=3)
+    return host_edges(links, drop_self_loops=False)
+
+
+def _q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the extracted link graph. Fixed
+    3-iteration power method with dangling-mass redistribution; the
+    oracle unrolls the identical iterations as DuckDB CTEs from the
+    synthesis arithmetic."""
+    from htmlparser2_spark.operators.linkgraph import pagerank
+
+    ranks = pagerank(_page_host_edges(spark, sf_dir), iters=3)
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
@@ -960,18 +967,11 @@ def _q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-side URL admission: deterministic per-host robots.txt
-    bodies (4 policy shapes: prefix+allow-override, exact-agent
-    full block, allow-all via empty Disallow, comment+prefix+longer
-    allow) parsed relationally and evaluated for agent TrainBot over
-    every page URL. The oracle predicts admission from the same
-    host/path arithmetic."""
-    from htmlparser2_spark.operators.robots import (
-        evaluate_robots,
-        parse_robots,
-    )
-
+def _robots_bodies(spark: SparkSession) -> DataFrame:
+    """Deterministic per-host robots.txt bodies: 4 policy shapes
+    (prefix+allow-override, exact-agent full block, allow-all via
+    empty Disallow, comment+prefix+longer-allow) keyed by host number
+    mod 4 — shared by q_robots and q_frontier."""
     m = F.col("id") % 4
     body = (
         F.when(m == 0, F.lit(
@@ -983,15 +983,52 @@ def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(
             "# policy\nUser-agent: *\nDisallow: /doc/1\nAllow: /doc/12"))
     )
-    hosts = spark.range(41).select(
+    return spark.range(41).select(
         F.concat(
             F.lit("host"), F.col("id").cast("string"), F.lit(".example")
         ).alias("host"),
         body.alias("body"),
     )
+
+
+def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side URL admission: the _robots_bodies policies parsed
+    relationally and evaluated for agent TrainBot over every page URL.
+    The oracle predicts admission from the same host/path arithmetic."""
+    from htmlparser2_spark.operators.robots import (
+        evaluate_robots,
+        parse_robots,
+    )
+
     pages = build_pages(spark, sf_dir)
     return evaluate_robots(
-        pages.select("url"), parse_robots(hosts), "TrainBot"
+        pages.select("url"), parse_robots(_robots_bodies(spark)), "TrainBot"
+    )
+
+
+def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-frontier plan: page URLs plus #fragment
+    duplicates -> canonicalize+dedup -> robots admission (TrainBot) ->
+    PageRank-prioritized frontier with a 5-URL-per-host budget. The
+    oracle chains the robots CASE, the unrolled rank CTEs, and the
+    budget window over the pages table."""
+    from htmlparser2_spark.operators.robots import parse_robots
+    from htmlparser2_spark.plans.crawl_job import run_frontier
+
+    pages = build_pages(spark, sf_dir)
+    cands = pages.select("url").unionAll(
+        pages.select(F.concat(F.col("url"), F.lit("#frag")).alias("url"))
+    )
+    frontier, _funnel = run_frontier(
+        cands,
+        parse_robots(_robots_bodies(spark)),
+        _page_host_edges(spark, sf_dir),
+        agent="TrainBot",
+        per_host_budget=5,
+    )
+    return frontier.select(
+        "url", "host", "host_rank",
+        F.col("host_pos").cast("int").alias("host_pos"),
     )
 
 
@@ -1324,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
+        "q_frontier": _q_frontier,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
@@ -1364,14 +1402,24 @@ _TAG_COUNTS = [
 ]
 
 
-def _host_rank_sql(iters: int = 3, damping: float = 0.85) -> str:
-    """Unrolled PageRank oracle: edge list from the synthesis
-    arithmetic (V0 anchors -> example.com, V1 relative img -> self
-    loop), then ``iters`` power-method CTE rounds mirroring
-    operators/linkgraph.pagerank exactly (same dangling handling)."""
+_ROBOTS_ALLOWED_CASE = (
+    "CASE (CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 41 END) % 4 "
+    "WHEN 1 THEN FALSE "
+    "WHEN 3 THEN (CAST(doc_id AS STRING) NOT LIKE '1%' "
+    "OR CAST(doc_id AS STRING) LIKE '12%') "
+    "ELSE TRUE END"
+)
+
+
+def _host_rank_ctes(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank CTE chain (appended after the pages CTE):
+    edge list from the synthesis arithmetic (V0 anchors ->
+    example.com, V1 relative img -> self loop), then ``iters``
+    power-method rounds mirroring operators/linkgraph.pagerank exactly
+    (same dangling handling). The final rank vector is ``r{iters}``."""
     host = "regexp_extract(url, 'https://([^/]+)', 1)"
     sql = (
-        f"WITH {_PAGES_CTE}, links AS (SELECT {host} AS src, "
+        f"links AS (SELECT {host} AS src, "
         f"CASE WHEN doc_id % 3 = 0 THEN 'example.com' ELSE {host} END AS dst "
         "FROM pages WHERE doc_id % 3 IN (0, 1)), "
         "edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w "
@@ -1394,7 +1442,35 @@ def _host_rank_sql(iters: int = 3, damping: float = 0.85) -> str:
             f"(COALESCE(c.c, 0) + (SELECT dm FROM d{p}) / (SELECT n FROM prm)) AS r "
             f"FROM nodes n LEFT JOIN c{k} c ON c.host = n.host)"
         )
-    return sql + f" SELECT host, round(r, 6) AS rank FROM r{iters}"
+    return sql
+
+
+def _host_rank_sql(iters: int = 3) -> str:
+    return (
+        f"WITH {_PAGES_CTE}, {_host_rank_ctes(iters)} "
+        f"SELECT host, round(r, 6) AS rank FROM r{iters}"
+    )
+
+
+def _frontier_sql(iters: int = 3, budget: int = 5) -> str:
+    """q_frontier oracle: the canonical stage collapses the injected
+    #fragment duplicates back onto the pages urls, so admission,
+    rank join, and the per-host budget window chain directly off the
+    pages table + the shared rank CTEs."""
+    return (
+        f"WITH {_PAGES_CTE}, {_host_rank_ctes(iters)}, "
+        f"adm AS (SELECT url FROM pages WHERE {_ROBOTS_ALLOWED_CASE}), "
+        "j AS (SELECT url, regexp_extract(url, 'https://([^/]+)', 1) AS host "
+        "FROM adm), "
+        "rk AS (SELECT j.url, j.host, "
+        f"COALESCE(round(r{iters}.r, 6), 0.0) AS host_rank "
+        f"FROM j LEFT JOIN r{iters} ON r{iters}.host = j.host), "
+        "pos AS (SELECT url, host, host_rank, "
+        "row_number() OVER (PARTITION BY host ORDER BY url) AS host_pos "
+        "FROM rk) "
+        "SELECT url, host, host_rank, CAST(host_pos AS INTEGER) AS host_pos "
+        f"FROM pos WHERE host_pos <= {budget}"
+    )
 
 
 _ANN_TOPK_SQL = (
@@ -1518,12 +1594,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_robots": (
             f"WITH {_PAGES_CTE} SELECT url, "
-            "CASE (CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 41 END) % 4 "
-            "WHEN 1 THEN FALSE "
-            "WHEN 3 THEN (CAST(doc_id AS STRING) NOT LIKE '1%' "
-            "OR CAST(doc_id AS STRING) LIKE '12%') "
-            "ELSE TRUE END AS allowed FROM pages"
+            f"{_ROBOTS_ALLOWED_CASE} AS allowed FROM pages"
         ),
+        "q_frontier": _frontier_sql(),
         "q_anchor_text": (
             f"WITH {_PAGES_CTE} SELECT 'more' AS anchor_text, "
             "CAST(COUNT(*) AS BIGINT) AS n_links, "

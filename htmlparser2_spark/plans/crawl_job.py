@@ -1,0 +1,106 @@
+"""Crawl-frontier admission plan.
+
+The crawl-side composition that feeds every downstream extraction run:
+candidate URLs (outlinks, sitemaps, feeds) -> canonical form -> dedup
+-> robots admission -> link-rank prioritized, per-host-budgeted
+frontier. Stage order follows the cost gradient: canonicalization and
+dedup are map+one-shuffle and shrink the set before the robots join;
+the rank join and budget window run last on the smallest set.
+
+1. **canonical** — :func:`~htmlparser2_spark.functions.urls.
+   canonicalize_url` then distinct (first canonical form is the key;
+   ``#fragment`` / case / default-port variants collapse).
+2. **admitted** — :func:`~htmlparser2_spark.operators.robots.
+   evaluate_robots` under the crawl agent; hosts without rules pass.
+3. **frontier** — host rank from fixed-iteration
+   :func:`~htmlparser2_spark.operators.linkgraph.pagerank` over the
+   supplied host edge list (rank 0.0 for unranked hosts), then a
+   per-host ``row_number`` budget (URL-ordered, deterministic under
+   reruns) caps any one host's share of the crawl batch — the
+   frontier-politeness analog of the skew salting used in the
+   aggregation paths.
+
+Returns ``(frontier, funnel)``: frontier rows are (url, host,
+host_rank, host_pos); the funnel is the (stage_idx, stage, n_urls)
+survivor table, built lazily like
+:func:`~htmlparser2_spark.plans.curate_job.run_curation`'s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.urls import canonicalize_url, url_host
+from ..operators.linkgraph import pagerank
+from ..operators.robots import evaluate_robots
+
+__all__ = ["run_frontier"]
+
+
+def run_frontier(
+    candidates: DataFrame,
+    rules: DataFrame,
+    edges: DataFrame,
+    *,
+    agent: str,
+    per_host_budget: int | None = None,
+    rank_iters: int = 3,
+    url_col: str = "url",
+    checkpoint_stages: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """See module docstring. ``rules`` is a
+    :func:`~htmlparser2_spark.operators.robots.parse_robots` table;
+    ``edges`` a (src, dst, weight) host edge list."""
+    maybe_ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint_stages
+        else (lambda df: df)
+    )
+    stages: list[tuple[str, DataFrame]] = [("ingest", candidates)]
+
+    canon = maybe_ckpt(
+        candidates.select(
+            canonicalize_url(F.col(url_col)).alias("url")
+        ).distinct()
+    )
+    stages.append(("canonical", canon))
+
+    admitted = maybe_ckpt(
+        evaluate_robots(canon, rules, agent)
+        .filter(F.col("allowed"))
+        .select("url")
+    )
+    stages.append(("admitted", admitted))
+
+    ranks = pagerank(edges, iters=rank_iters)
+    pri = (
+        admitted.withColumn("host", url_host(F.col("url")))
+        .join(ranks.withColumnRenamed("rank", "host_rank"), "host", "left")
+        .select(
+            "url",
+            "host",
+            F.coalesce(F.round("host_rank", 6), F.lit(0.0)).alias(
+                "host_rank"
+            ),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    frontier = pri.withColumn("host_pos", F.row_number().over(w))
+    if per_host_budget is not None:
+        frontier = frontier.filter(F.col("host_pos") <= per_host_budget)
+    frontier = maybe_ckpt(frontier)
+    stages.append(("frontier", frontier))
+
+    funnel = None
+    for idx, (stage, df) in enumerate(stages):
+        # Global agg (not groupBy a literal): always yields one row,
+        # so an empty stage still reports n_urls = 0 in the funnel.
+        row = df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return frontier, funnel

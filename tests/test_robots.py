@@ -103,3 +103,37 @@ def test_allow_wins_length_tie(spark):
     rules = _rules(spark, [("h3", "User-agent: *\nDisallow: /a/\nAllow: /a/")])
     got = _admit(spark, rules, ["https://h3/a/x"], "bot")
     assert got == {"https://h3/a/x": True}
+
+
+def test_run_frontier_funnel_and_budget(spark):
+    """Frontier plan: fragment dupes collapse at canonical, a blocked
+    host drops at admitted, the budget caps per-host rows, ranked
+    hosts carry their PageRank and unranked hosts 0.0."""
+    from htmlparser2_spark.operators.robots import parse_robots
+    from htmlparser2_spark.plans.crawl_job import run_frontier
+
+    robots = spark.createDataFrame(
+        [("blocked.ex", "User-agent: *\nDisallow: /")],
+        "host string, body string",
+    )
+    cands = spark.createDataFrame(
+        [("https://a.ex/p1",), ("https://a.ex/p1#x",), ("https://a.ex/p2",),
+         ("https://a.ex/p3",), ("https://blocked.ex/q",)],
+        "url string",
+    )
+    edges = spark.createDataFrame(
+        [("a.ex", "b.ex", 1)], "src string, dst string, weight long"
+    )
+    frontier, funnel = run_frontier(
+        cands, parse_robots(robots), edges,
+        agent="bot", per_host_budget=2, rank_iters=2,
+    )
+    counts = {r["stage"]: r["n_urls"] for r in funnel.collect()}
+    assert counts == {
+        "ingest": 5, "canonical": 4, "admitted": 3, "frontier": 2,
+    }
+    rows = {r["url"]: r for r in frontier.collect()}
+    assert set(rows) == {"https://a.ex/p1", "https://a.ex/p2"}
+    assert all(r["host"] == "a.ex" and r["host_rank"] > 0 for r in rows.values())
+    assert [rows["https://a.ex/p1"]["host_pos"],
+            rows["https://a.ex/p2"]["host_pos"]] == [1, 2]
