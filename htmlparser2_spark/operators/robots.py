@@ -16,7 +16,8 @@ Supported subset, stated explicitly:
   User-agent line belong to no group and are ignored).
 * Agent selection: exact (case-insensitive) product token match, else
   the ``*`` group; an exact group fully shadows ``*`` (RFC behavior).
-* Path rules: literal prefixes plus the trailing ``$`` end anchor.
+* Path rules: literal prefixes plus the trailing ``$`` end anchor,
+  matched against path+query (``Disallow: /search?q=`` works).
   In-path ``*`` wildcards are NOT expanded (a rule containing ``*``
   matches only itself literally); documents feeding this operator at
   scale should pre-expand or drop wildcard rules.
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.urls import url_host, url_path
+from ..functions.urls import url_host, url_path, url_query
 
 __all__ = ["parse_robots", "evaluate_robots"]
 
@@ -42,13 +43,26 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
     """(host, agent, rule, path) from a (host, robots-txt body) table.
 
     One row per (group agent x group rule); ``rule`` is 'allow' or
-    'disallow'; ``agent`` is lowercased. The stanza window partitions
-    by host — robots bodies are bounded (Google caps at 500 KiB), so
-    per-host line lists never skew a partition.
+    'disallow'; ``agent`` is lowercased. A group with no valued rules
+    (the 'User-agent: x / Disallow:' allow-all idiom, or only
+    unsupported fields) still emits one (host, agent, NULL, NULL)
+    presence row — group *existence* decides agent shadowing in
+    :func:`evaluate_robots`, so the whitelisted-agent group must
+    survive parsing even when it carries no restrictions.
+
+    Expects one body row per host; duplicate fetches are resolved
+    deterministically to the lexicographically-smallest body (line
+    positions from two interleaved bodies would otherwise corrupt
+    stanza grouping nondeterministically). The stanza window
+    partitions by host — robots bodies are bounded (Google caps at
+    500 KiB), so per-host line lists never skew a partition.
     """
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    one_body = robots.groupBy(F.col(host_col).alias("host")).agg(
+        F.min(F.col(body_col)).alias("body")
+    )
+    lines = one_body.select(
+        "host",
+        F.posexplode(F.split(F.col("body"), "\n")).alias("pos", "raw"),
     )
     clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
     field = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
@@ -77,8 +91,9 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
         F.col("value").alias("path"),
     )
     # Rules inherit every agent of their stanza; rules before any
-    # User-agent line (group_id 0 has no agent rows) drop here.
-    return agents.join(rules, ["host", "group_id"]).select(
+    # User-agent line (group_id 0 has no agent rows) drop here. The
+    # LEFT join keeps rule-less groups as NULL presence rows.
+    return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "agent", "rule", "path"
     )
 
@@ -90,11 +105,17 @@ def evaluate_robots(
     *,
     url_col: str = "url",
 ) -> DataFrame:
-    """(url, allowed) for every input URL under ``agent``.
+    """(url, allowed) per distinct input URL under ``agent``.
 
     The applicable group per host is the exact-agent group when one
-    exists, else ``*``; admission is the longest-matching-path rule
-    with Allow winning ties. URLs on hosts with no rules are allowed.
+    exists (even a rule-less one — its NULL presence row from
+    :func:`parse_robots` shadows ``*`` while restricting nothing),
+    else ``*``; admission is the longest-matching-rule with Allow
+    winning ties. Rules match against the path plus query ('?'
+    included), per the RFC 9309 / Google matcher, so
+    ``Disallow: /search?q=`` works. URLs on hosts with no rules are
+    allowed. Output is one row per *distinct* URL string — join it
+    back to a candidate table for row-level verdicts.
     """
     agent = agent.lower()
     applicable = rules.filter(F.col("agent").isin(agent, "*")).withColumn(
@@ -107,13 +128,17 @@ def evaluate_robots(
         .filter(F.col("pref") == F.col("minpref"))
         .select("host", "rule", "path")
     )
+    upath = F.when(url_path(F.col(url_col)) == "", "/").otherwise(
+        url_path(F.col(url_col))
+    )
+    q = url_query(F.col(url_col))
     u = urls.select(
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
-        F.when(url_path(F.col(url_col)) == "", "/")
-        .otherwise(url_path(F.col(url_col)))
-        .alias("upath"),
-    )
+        F.concat(
+            upath, F.when(q == "", "").otherwise(F.concat(F.lit("?"), q))
+        ).alias("upath"),
+    ).distinct()
     j = u.join(best, "host", "left")
     anchored = F.col("path").endswith("$")
     pat = F.when(

@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from ..functions.urls import canonicalize_url, url_host
 from ..operators.linkgraph import pagerank
 from ..operators.robots import evaluate_robots
+from .funnel import build_funnel
 
 __all__ = ["run_frontier"]
 
@@ -93,14 +94,4 @@ def run_frontier(
     frontier = maybe_ckpt(frontier)
     stages.append(("frontier", frontier))
 
-    funnel = None
-    for idx, (stage, df) in enumerate(stages):
-        # Global agg (not groupBy a literal): always yields one row,
-        # so an empty stage still reports n_urls = 0 in the funnel.
-        row = df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(stage).alias("stage"),
-            F.count(F.lit(1)).alias("n_urls"),
-        )
-        funnel = row if funnel is None else funnel.unionByName(row)
-    return frontier, funnel
+    return frontier, build_funnel(stages, "n_urls")

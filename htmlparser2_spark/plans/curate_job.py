@@ -27,8 +27,6 @@ to the driver inside the plan.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +35,7 @@ from ..operators.dedup import frequent_line_removal
 from ..operators.quality import gopher_filter
 from ..operators.sampling import stratified_sample
 from .dedup_job import run_dedup
+from .funnel import build_funnel
 
 __all__ = ["run_curation"]
 
@@ -130,15 +129,4 @@ def run_curation(
         )
         stages.append(("sampled", cur))
 
-    funnel = reduce(
-        DataFrame.unionByName,
-        [
-            df.agg(
-                F.lit(i).alias("stage_idx"),
-                F.lit(name).alias("stage"),
-                F.count(F.lit(1)).alias("n_docs"),
-            )
-            for i, (name, df) in enumerate(stages)
-        ],
-    )
-    return cur, funnel
+    return cur, build_funnel(stages, "n_docs")

@@ -137,3 +137,56 @@ def test_run_frontier_funnel_and_budget(spark):
     assert all(r["host"] == "a.ex" and r["host_rank"] > 0 for r in rows.values())
     assert [rows["https://a.ex/p1"]["host_pos"],
             rows["https://a.ex/p2"]["host_pos"]] == [1, 2]
+
+
+def test_ruleless_exact_group_shadows_star(spark):
+    """The 'User-agent: x / Disallow:' whitelist idiom: the exact
+    group survives parsing as a NULL presence row and shadows '*'
+    while restricting nothing."""
+    body = "User-agent: trainbot\nDisallow:\n\nUser-agent: *\nDisallow: /"
+    rules = _rules(spark, [("h1", body)])
+    presence = [r for r in rules.collect() if r["agent"] == "trainbot"]
+    assert len(presence) == 1 and presence[0]["rule"] is None
+    got = _admit(spark, rules, ["https://h1/anything"], "TrainBot")
+    assert got == {"https://h1/anything": True}
+    assert _admit(spark, rules, ["https://h1/anything"], "other") == {
+        "https://h1/anything": False
+    }
+
+
+def test_query_string_rules_match(spark):
+    rules = _rules(spark, [("h1", "User-agent: *\nDisallow: /search?q=")])
+    got = _admit(
+        spark,
+        rules,
+        ["https://h1/search?q=x", "https://h1/search", "https://h1/search?p=1"],
+        "bot",
+    )
+    assert got == {
+        "https://h1/search?q=x": False,
+        "https://h1/search": True,
+        "https://h1/search?p=1": True,
+    }
+
+
+def test_duplicate_body_rows_resolve_deterministically(spark):
+    """Two fetches for one host collapse to the lexicographically
+    smallest body instead of interleaving stanza positions."""
+    rows = [
+        ("h1", "User-agent: *\nDisallow: /b"),
+        ("h1", "User-agent: *\nDisallow: /a"),
+    ]
+    rules = _rules(spark, rows)
+    got = {(r["rule"], r["path"]) for r in rules.collect()}
+    assert got == {("disallow", "/a")}
+
+
+def test_duplicate_input_urls_single_verdict(spark):
+    rules = _rules(spark, [("h1", "User-agent: *\nDisallow: /x")])
+    from htmlparser2_spark.operators.robots import evaluate_robots
+
+    u = spark.createDataFrame(
+        [("https://h1/x",), ("https://h1/x",)], "url string"
+    )
+    out = evaluate_robots(u, rules, "bot").collect()
+    assert len(out) == 1 and out[0]["allowed"] is False
