@@ -169,3 +169,38 @@ def test_contamination_broadcasts_benchmark_side(spark):
     p = plan(contamination_hits(docs, bench, n=8))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_lm_score_no_python_no_cartesian(spark):
+    """LM training + scoring must stay JVM-side (pure Catalyst — no
+    Arrow/Python eval nodes) and never degrade to a nested-loop join
+    (the model join is keyed on the bigram string)."""
+    import __spark_entry__ as entry_mod
+
+    p = plan(entry_mod.queries()["q_lm_score"](spark, SF))
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_frontier_joins_are_keyed(spark):
+    """Frontier composition: robots admission + rank join must be
+    equi-joins (host / url keys), never a cross product."""
+    import __spark_entry__ as entry_mod
+
+    p = plan(entry_mod.queries()["q_frontier"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_host_edges_single_shuffle(spark):
+    """host_edges is one map-side-combined aggregation: exactly one
+    Exchange over the (src, dst) key, partial_count before it."""
+    from htmlparser2_spark.operators.linkgraph import host_edges
+
+    links = spark.createDataFrame(
+        [("https://a.ex/p", "https://b.ex/x")], "url string, href string"
+    )
+    p = plan(host_edges(links))
+    assert p.count(") Exchange") == 1
+    assert "partial_count" in p
