@@ -3,6 +3,8 @@ is oracle-checked by q_sitemap in tests/test_entry_oracle.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timezone
 
 from htmlparser2_spark.engine.sitemap import parse_sitemap
@@ -53,3 +55,29 @@ def test_non_sitemap_documents():
     assert parse_sitemap("<urlset></urlset>") == {
         "kind": "urlset", "entries": [],
     }
+
+
+@pytest.mark.spark
+def test_sitemap_udf_null_and_roundtrip(spark):
+    """Non-sitemap documents yield a NULL struct; a urlset roundtrips
+    through the Arrow batch with typed lastmod/priority."""
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.functions.udfs import sitemap_udf
+
+    df = spark.createDataFrame(
+        [
+            ("s", "<urlset><url><loc>https://h/a</loc>"
+                  "<lastmod>2024-01-02</lastmod>"
+                  "<priority>0.8</priority></url></urlset>"),
+            ("n", "<html><body>page</body></html>"),
+        ],
+        "id string, xml string",
+    )
+    out = {r["id"]: r["sm"] for r in
+           df.select("id", sitemap_udf()(F.col("xml")).alias("sm")).collect()}
+    assert out["n"]["kind"] is None and out["n"]["entries"] is None
+    assert out["s"]["kind"] == "urlset"
+    [e] = out["s"]["entries"]
+    assert e["loc"] == "https://h/a" and e["priority"] == 0.8
+    assert e["lastmod"].year == 2024 and e["lastmod"].day == 2
