@@ -1049,6 +1049,22 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (dim 8) for every document — the
+    md5-based integer arithmetic is reproduced verbatim by the DuckDB
+    oracle, so the full array (rounded 6dp post-normalization) is
+    value-checked per document."""
+    from htmlparser2_spark.functions.embeddings import embed_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return embed_docs(docs, dim=8).select(
+        "doc_id",
+        F.transform(F.col("embedding"), lambda v: F.round(v, 6)).alias(
+            "embedding"
+        ),
+    )
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: word-bigram model trained on the
     even-doc_id half of the corpus, every document scored by average
@@ -1358,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_node_types": _q_node_types,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
+        "q_hash_embed": _q_hash_embed,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1602,6 +1619,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_links, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
             "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_hash_embed": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            "p AS (SELECT doc_id, list_transform(toks, tk -> "
+            "('0x' || substr(md5(tk), 1, 15))::BIGINT % 16) AS hs FROM t), "
+            "raw AS (SELECT doc_id, [COALESCE(list_sum(list_transform(hs, "
+            "h -> CASE WHEN h % 8 = i THEN "
+            "(CASE WHEN h >= 8 THEN -1.0 ELSE 1.0 END) ELSE 0.0 END)), 0.0) "
+            "for i in generate_series(0, 7)] AS v FROM p), "
+            "n AS (SELECT doc_id, v, "
+            "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw) "
+            "SELECT doc_id, CASE WHEN nrm = 0 THEN v "
+            "ELSE list_transform(v, x -> round(x / nrm, 6)) END AS embedding "
+            "FROM n"
         ),
         "q_lm_score": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
