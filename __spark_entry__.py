@@ -21,9 +21,11 @@ from htmlparser2_spark.functions.udfs import (
     node_counts_udf,
     extract_text_udf,
 )
+from htmlparser2_spark.functions.textstats import ORACLE_TOKENS_SQL
 from htmlparser2_spark.sources.pages import build_pages, oracle_pages_cte
 
 _PAGES_CTE = oracle_pages_cte()
+_TOKS = ORACLE_TOKENS_SQL.format(col="text")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1622,7 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_hash_embed": (
             "WITH t AS (SELECT doc_id, "
-            "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+            f"{_TOKS} AS toks "
             "FROM documents), "
             "p AS (SELECT doc_id, list_transform(toks, tk -> "
             "('0x' || substr(md5(tk), 1, 15))::BIGINT % 16) AS hs FROM t), "

@@ -10,10 +10,12 @@ is L2-normalized.
 
 All arithmetic is integer until the final normalization, and the hash
 is :func:`~htmlparser2_spark.operators.sampling.portable_hash` (md5
-prefix), so DuckDB reproduces the vectors bit-identically — the sign
-bit deliberately comes from ``h mod 2*dim`` (not ``h / dim`` — a
-double division there would shave low bits of the 60-bit hash and
-desynchronize the two engines).
+prefix), so DuckDB reproduces the vectors bit-identically for
+1:1-case-mapping text (see the parity boundary note on
+``textstats.ORACLE_TOKENS_SQL`` — full-case-mapping characters fold
+differently across engines). The sign bit deliberately comes from
+``h mod 2*dim`` (not ``h / dim`` — a double division there would
+shave low bits of the 60-bit hash and desynchronize the two engines).
 
 Scale: one Project over the corpus (no shuffle, no Python); cost is
 O(tokens x dim) JVM additions per document, fine for the small dims
@@ -27,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.sampling import portable_hash
+from .textstats import oracle_tokens
 
 __all__ = ["hashed_embedding", "embed_docs"]
 
@@ -36,12 +39,11 @@ def hashed_embedding(
 ) -> Column:
     """``array<double>`` feature-hashed embedding of a text column.
 
-    Tokens are lowercased space-split words (the engine-wide oracle
-    split convention); empty documents produce the zero vector (not
-    NULL — downstream cosine guards zero norms)."""
-    toks = F.filter(
-        F.split(F.lower(text_col), " "), lambda x: x != F.lit("")
-    )
+    Tokens come from :func:`~htmlparser2_spark.functions.textstats.
+    oracle_tokens` (the shared dual-dialect convention); empty or NULL
+    documents produce the zero vector (not NULL — downstream cosine
+    guards zero norms)."""
+    toks = oracle_tokens(text_col)
     two_dim = F.lit(2 * dim)
 
     def pair(t):

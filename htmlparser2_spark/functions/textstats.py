@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "oracle_tokens",
+    "ORACLE_TOKENS_SQL",
     "n_tokens",
     "bpe_ish_tokens",
     "stopword_ratio",
@@ -39,6 +41,29 @@ _STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
 def tokens(text: Column | str) -> Column:
     return F.split(text, r"\s+")
+
+
+# The dual-dialect tokenization convention shared by the LM scorer,
+# the hashed embeddings, and their DuckDB oracles: lowercase, split on
+# single spaces, drop empty tokens, NULL text = no tokens. Pinned in
+# ONE place so the Spark expression and the SQL fragment can't drift.
+# Parity boundary (documented, not hidden): lower() differs between
+# the JVM (full case mapping: 'İ' -> 'i'+combining dot) and DuckDB
+# (1:1 folding: 'İ' -> 'i') for full-case-mapping characters, so
+# bit-identical oracle checks hold for 1:1-case text (all of the
+# synthesized corpus); route full-Unicode corpora through a pre-folded
+# column if exact cross-engine parity is required.
+ORACLE_TOKENS_SQL = "list_filter(string_split(lower({col}), ' '), x -> x <> '')"
+
+
+def oracle_tokens(text: Column | str) -> Column:
+    """Array of lowercased space-split tokens per ORACLE_TOKENS_SQL
+    (empty tokens dropped, NULL text -> empty array)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), " "),
+        lambda x: x != F.lit(""),
+    )
 
 
 def n_tokens(text: Column | str) -> Column:

@@ -32,18 +32,18 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.textstats import oracle_tokens
+
 __all__ = ["doc_bigrams", "train_bigram_lm", "lm_doc_scores"]
 
 DEFAULT_OOV_LOGP = math.log(1e-6)
 
 
 def _bigram_array(text_col: Column) -> Column:
-    """Array of 'w1 w2' bigram strings over lowercased space-split
-    tokens (empty tokens dropped; mirrors the q_token_stats split
-    convention so the DuckDB oracle reproduces it verbatim)."""
-    toks = F.filter(
-        F.split(F.lower(text_col), " "), lambda x: x != F.lit("")
-    )
+    """Array of 'w1 w2' bigram strings over the shared dual-dialect
+    token convention (textstats.oracle_tokens / ORACLE_TOKENS_SQL),
+    so the DuckDB oracle reproduces it verbatim."""
+    toks = oracle_tokens(text_col)
     nt = F.size(toks)
     idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
         F.array().cast("array<int>")

@@ -84,3 +84,21 @@ def test_feeds_similarity_stack(spark):
     ).collect()
     ranked = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
     assert ranked == [2, 3]
+
+
+def test_null_text_zero_vector(spark):
+    """NULL text must produce the zero vector (not NULL), exactly like
+    the empty string — the documented invariant downstream cosine
+    relies on, and what the DuckDB oracle's COALESCE computes."""
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.functions.embeddings import hashed_embedding
+
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    vecs = [
+        r["e"]
+        for r in df.select(
+            hashed_embedding(F.col("text"), dim=8).alias("e")
+        ).collect()
+    ]
+    assert vecs == [[0.0] * 8, [0.0] * 8]
