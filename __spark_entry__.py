@@ -1051,6 +1051,22 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap)
+    over every document; chunk text is md5'd so the oracle pins exact
+    reassembly without bulk strings."""
+    from htmlparser2_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return ch.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (dim 8) for every document — the
     md5-based integer arithmetic is reproduced verbatim by the DuckDB
@@ -1377,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
+        "q_chunks": _q_chunks,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1621,6 +1638,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_links, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
             "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS tk "
+            "FROM documents), "
+            "s AS (SELECT doc_id, tk, "
+            "unnest(generate_series(0, len(tk) - 1, 48)) AS start "
+            "FROM t WHERE len(tk) > 0) "
+            "SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_idx, "
+            "CAST(least(64, len(tk) - start) AS INTEGER) AS n_chunk_tokens, "
+            "md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5 "
+            "FROM s"
         ),
         "q_hash_embed": (
             "WITH t AS (SELECT doc_id, "
