@@ -21,6 +21,7 @@ from htmlparser2_spark.functions.udfs import (
     node_counts_udf,
     extract_text_udf,
 )
+from htmlparser2_spark.functions.normalize import normalize_sql
 from htmlparser2_spark.functions.textstats import ORACLE_TOKENS_SQL
 from htmlparser2_spark.sources.pages import build_pages, oracle_pages_cte
 
@@ -1051,6 +1052,22 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codepoint normalization over every document wrapped in a messy
+    envelope (NBSP, curly quotes, ellipsis, control chars, tab runs) —
+    the DuckDB oracle replays the identical translate/regexp chain on
+    the identically-composed input."""
+    from htmlparser2_spark.functions.normalize import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.lit(" “Q‘x’…\x01\t "),
+        F.col("text"),
+        F.lit(" \t—– \x02z "),
+    )
+    return docs.select("doc_id", normalize_text(messy).alias("norm_text"))
+
+
 def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (64-token windows, 16-token overlap)
     over every document; chunk text is md5'd so the oracle pins exact
@@ -1394,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
         "q_chunks": _q_chunks,
+        "q_normalize": _q_normalize,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1638,6 +1656,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_links, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
             "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_normalize": (
+            "SELECT doc_id, "
+            + normalize_sql(
+                "(chr(160) || '“Q‘x’…' || chr(1) || chr(9) || ' ' || text "
+                "|| ' ' || chr(9) || '—– ' || chr(2) || 'z ')"
+            )
+            + " AS norm_text FROM documents"
         ),
         "q_chunks": (
             "WITH t AS (SELECT doc_id, "
