@@ -1052,6 +1052,25 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup marking over the near-dup-style corpus (every
+    10th doc re-injected with a 3-token prefix): shared 8-token spans
+    recur across the pair, the lower id keeps, the injected copy's
+    occurrences are marked. The oracle regroups on the actual span
+    text, verifying the algorithm hash-independently."""
+    from htmlparser2_spark.operators.spandedup import repeated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("prefix words here "), F.col("text")).alias("text"),
+    )
+    uni = docs.select("doc_id", "text").unionByName(extra)
+    return repeated_spans(uni, window=8, min_docs=2).select(
+        F.col("id").alias("doc_id"), "pos", "n_docs"
+    )
+
+
 def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codepoint normalization over every document wrapped in a messy
     envelope (NBSP, curly quotes, ellipsis, control chars, tab runs) —
@@ -1412,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_embed": _q_hash_embed,
         "q_chunks": _q_chunks,
         "q_normalize": _q_normalize,
+        "q_repeated_spans": _q_repeated_spans,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1656,6 +1676,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_links, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
             "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_repeated_spans": (
+            "WITH uni AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, 'prefix words here ' || text "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk "
+            "FROM uni), "
+            "w AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7)) AS pos, "
+            "tk FROM t WHERE len(tk) >= 8), "
+            "sp AS (SELECT doc_id, pos, "
+            "array_to_string(tk[pos : pos + 7], ' ') AS span FROM w), "
+            "st AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs, "
+            "MIN(doc_id) AS keep_id FROM sp GROUP BY 1) "
+            "SELECT sp.doc_id, CAST(sp.pos AS INTEGER) AS pos, "
+            "CAST(st.n_docs AS BIGINT) AS n_docs "
+            "FROM sp JOIN st USING (span) "
+            "WHERE st.n_docs >= 2 AND sp.doc_id <> st.keep_id"
         ),
         "q_normalize": (
             "SELECT doc_id, "

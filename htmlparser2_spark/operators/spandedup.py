@@ -1,0 +1,127 @@
+"""Cross-document repeated-span dedup (substring-dedup core).
+
+Whole-document and near-dup dedup miss the long verbatim *spans*
+shared across otherwise-distinct pages (licenses, boilerplate
+paragraphs, syndicated snippets) — the published substring-dedup
+recipe (Lee et al., "Deduplicating Training Data Makes Language
+Models Better") removes any ~50-token span occurring more than once
+in the corpus. This module is the scalable relational shape of that
+recipe over word windows:
+
+* every document explodes into its rolling ``window``-token spans
+  (one row per position — linear in corpus tokens, the same cost
+  envelope as the published suffix-array approach's output side);
+* spans are grouped by a window key: one shuffle keyed on the span
+  hash, map-side combined; ``min_docs`` thresholds cross-document
+  recurrence (within-document repeats are the repetition *quality*
+  signal, handled in operators/quality.py, so they don't count here);
+* the lowest doc id keeps its occurrences; every other document's
+  occurrences are marked, and :func:`strip_spans` rebuilds the text
+  with covered tokens elided (in-row array surgery, no second
+  shuffle beyond the mark join).
+
+The span key is pluggable: ``xxhash64`` (default, fastest) or the
+md5-based portable hash when cross-engine reproducibility matters
+(the DuckDB oracle groups on the actual window *text*, so the
+algorithm is verified hash-independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+__all__ = ["repeated_spans", "strip_spans"]
+
+
+def _window_rows(
+    df: DataFrame, *, window: int, text_col: str, id_col: str
+):
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    idx = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        F.explode(idx).alias("pos"),
+    ).select(
+        "id",
+        "pos",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), window)).alias(
+            "span_text"
+        ),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """(id, pos, n_docs) for every marked span occurrence.
+
+    ``pos`` is the 1-based token position of the span start. A span
+    key recurring in >= ``min_docs`` distinct documents marks every
+    occurrence outside the lowest (keeper) doc id; documents shorter
+    than ``window`` tokens emit no spans."""
+    h = hash_fn if hash_fn is not None else F.xxhash64
+    rows = _window_rows(
+        df, window=window, text_col=text_col, id_col=id_col
+    ).select("id", "pos", h(F.col("span_text")).alias("k"))
+    stats = rows.groupBy("k").agg(
+        F.count_distinct("id").alias("n_docs"),
+        F.min("id").alias("keep_id"),
+    )
+    return (
+        rows.join(stats, "k")
+        .filter((F.col("n_docs") >= min_docs) & (F.col("id") != F.col("keep_id")))
+        .select("id", "pos", "n_docs")
+    )
+
+
+def strip_spans(
+    df: DataFrame,
+    marks: DataFrame,
+    *,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, clean_text): rebuild each document's text with every
+    token covered by a marked span removed (unmarked docs pass
+    through verbatim... modulo the whitespace-run collapse inherent
+    to token reassembly)."""
+    starts = marks.groupBy(F.col("id")).agg(
+        F.collect_set("pos").alias("starts")
+    )
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    joined = df.select(F.col(id_col).alias("id"), toks.alias("toks")).join(
+        starts, "id", "left"
+    )
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda t, i: F.struct(
+                t.alias("t"),
+                F.exists(
+                    st, lambda s: (i + 1 >= s) & (i + 1 < s + window)
+                ).alias("covered"),
+            ),
+        ),
+        lambda p: ~p["covered"],
+    )
+    return joined.select(
+        "id",
+        F.array_join(F.transform(kept, lambda p: p["t"]), " ").alias(
+            "clean_text"
+        ),
+    )
