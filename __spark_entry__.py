@@ -1705,10 +1705,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_chunks": (
             "WITH t AS (SELECT doc_id, "
-            "list_filter(string_split(text, ' '), x -> x <> '') AS tk "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk "
             "FROM documents), "
             "s AS (SELECT doc_id, tk, "
-            "unnest(generate_series(0, len(tk) - 1, 48)) AS start "
+            "unnest(generate_series(0, greatest(len(tk) - 17, 0), 48)) AS start "
             "FROM t WHERE len(tk) > 0) "
             "SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_idx, "
             "CAST(least(64, len(tk) - start) AS INTEGER) AS n_chunk_tokens, "

@@ -9,18 +9,25 @@ reassembly are all array expressions inside one Project, so chunking
 ``n_tokens / (chunk_tokens - overlap)`` rows per document.
 
 Determinism contract: windows start at fixed stride offsets
-(0, stride, 2*stride, ...), every window is non-empty, a document
+(0, stride, 2*stride, ...) capped so every window contributes at
+least one token beyond the previous window's overlap (a tail start
+inside the final overlap region would emit a window fully contained
+in its predecessor — duplicated training data the dedup stages exist
+to prevent); the windows jointly cover every token, a document
 shorter than one window yields exactly one chunk, and an empty/NULL
-document yields none. Chunk text is the space-joined token slice —
-original whitespace runs collapse (the same convention the token
-counters use); byte-faithful splitting belongs upstream of the token
-boundary, not here.
+document yields none. Tokens split on whitespace runs exactly like
+``textstats.tokens()``/``n_tokens`` (so chunk budgets agree with the
+token counters and shard packing); chunk text is the space-joined
+token slice — original whitespace collapses, and byte-faithful
+splitting belongs upstream of the token boundary, not here.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
 
 __all__ = ["chunk_documents"]
 
@@ -44,12 +51,20 @@ def chunk_documents(
         )
     stride = chunk_tokens - overlap
     toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))),
         lambda x: x != F.lit(""),
     )
     n = F.size(toks)
+    # Last start must satisfy start <= n - overlap - 1 (each window
+    # adds >= 1 non-overlap token); greatest(0) keeps one window for
+    # docs shorter than overlap+1 tokens.
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n > 0,
+        F.sequence(
+            F.lit(0),
+            F.greatest(n - overlap - 1, F.lit(0)),
+            F.lit(stride),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     exploded = df.select(
         F.col(id_col).alias("id"),

@@ -22,12 +22,13 @@ def _chunks(spark, rows, **kw):
 def test_windows_and_overlap(spark):
     text = " ".join(str(i) for i in range(10))  # tokens 0..9
     got = _chunks(spark, [(1, text)], chunk_tokens=4, overlap=1)
-    # stride 3: starts 0,3,6,9
+    # stride 3, last start capped at n - overlap - 1 = 8 so the
+    # tail window is never fully contained in its predecessor:
+    # starts 0,3,6 — full coverage, no start 9.
     assert got == [
         (1, 0, 4, "0 1 2 3"),
         (1, 1, 4, "3 4 5 6"),
         (1, 2, 4, "6 7 8 9"),
-        (1, 3, 1, "9"),
     ]
 
 
@@ -39,7 +40,8 @@ def test_short_empty_null_docs(spark):
 
 
 def test_whitespace_runs_collapse(spark):
-    got = _chunks(spark, [(1, "a  b   c")], chunk_tokens=2, overlap=0)
+    got = _chunks(spark, [(1, "a  b \t\n c")], chunk_tokens=2, overlap=0)
+    # \s+ split, same convention as textstats.n_tokens
     assert got == [(1, 0, 2, "a b"), (1, 1, 1, "c")]
 
 

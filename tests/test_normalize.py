@@ -18,6 +18,9 @@ CASES = [
     ("line one \n  line two", "line one\nline two"),
     ("", ""),
     ("tab\tand\nnewline", "tab and\nnewline"),
+    ("crlf\r\nend", "crlf\nend"),
+    ("lone\rcr", "lone\ncr"),
+    ("c1\x85here", "c1here"),
 ]
 
 

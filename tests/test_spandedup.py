@@ -38,7 +38,7 @@ def test_strip_spans_surgery(spark):
     docs = _docs(spark)
     marks = repeated_spans(docs, window=8, min_docs=2)
     out = {r["id"]: r["clean_text"] for r in
-           strip_spans(docs, marks, window=8).collect()}
+           strip_spans(docs, marks).collect()}
     assert out[1] == f"intro {SHARED} outro"   # keeper untouched
     assert out[2] == "alpha beta gamma"
     assert out[4] == ""
