@@ -1052,6 +1052,36 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep tail (normalize -> chunk -> token-budget
+    shard; span surgery has its own oracle and is skipped here so the
+    chained CTE stays tractable). The oracle replays the entire chain
+    per chunk: normalized tokens, window slicing, md5 of the exact
+    chunk text, portable-hash shard group, running-total shard index."""
+    from htmlparser2_spark.operators.sampling import portable_hash
+    from htmlparser2_spark.plans.prep_job import run_prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    chunks, _funnel = run_prep(
+        docs,
+        chunk_tokens=64,
+        overlap=16,
+        shard_tokens=1000,
+        n_groups=8,
+        shard_hash=portable_hash,
+    )
+    return chunks.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "grp",
+        "shard",
+    )
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup marking over the near-dup-style corpus (every
     10th doc re-injected with a 3-token prefix): shared 8-token spans
@@ -1432,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunks": _q_chunks,
         "q_normalize": _q_normalize,
         "q_repeated_spans": _q_repeated_spans,
+        "q_prep": _q_prep,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1676,6 +1707,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_links, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
             "FROM pages WHERE doc_id % 3 = 0"
+        ),
+        "q_prep": (
+            "WITH nd AS (SELECT doc_id, "
+            + normalize_sql("text")
+            + " AS ntext FROM documents), "
+            "t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(ntext, '\\s+'), x -> x <> '') AS tk "
+            "FROM nd), "
+            "s AS (SELECT doc_id, tk, "
+            "unnest(generate_series(0, greatest(len(tk) - 17, 0), 48)) AS start "
+            "FROM t WHERE len(tk) > 0), "
+            "ch AS (SELECT doc_id, start // 48 AS chunk_idx, "
+            "least(64, len(tk) - start) AS n_chunk_tokens, "
+            "md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5, "
+            "CAST(doc_id AS VARCHAR) || '#' || CAST(start // 48 AS VARCHAR) "
+            "AS chunk_key FROM s), "
+            "g AS (SELECT *, "
+            "('0x' || substr(md5(chunk_key), 1, 15))::BIGINT % 8 AS grp FROM ch) "
+            "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
+            "CAST(n_chunk_tokens AS INTEGER) AS n_chunk_tokens, chunk_md5, "
+            "CAST(grp AS BIGINT) AS grp, "
+            "CAST(floor((SUM(n_chunk_tokens) OVER (PARTITION BY grp "
+            "ORDER BY chunk_key ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - n_chunk_tokens) / 1000.0) AS BIGINT) AS shard "
+            "FROM g"
         ),
         "q_repeated_spans": (
             "WITH uni AS (SELECT doc_id, text FROM documents UNION ALL "

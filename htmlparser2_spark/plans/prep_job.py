@@ -1,0 +1,117 @@
+"""Pretraining corpus preparation plan (the pipeline tail).
+
+Where :func:`~htmlparser2_spark.plans.curate_job.run_curation` decides
+WHICH documents survive, this plan turns the survivors into the
+artifact a trainer actually reads:
+
+1. **normalize** — codepoint scrub (:func:`functions.normalize.
+   normalize_text`); map-only, runs first so dedup/chunk token
+   boundaries see canonical text.
+2. **span_strip** (optional, ``span_window``) — cross-document
+   repeated spans marked and elided
+   (:mod:`operators.spandedup`); documents emptied by the surgery
+   drop out.
+3. **chunk** — sliding windows of ``chunk_tokens`` with ``overlap``
+   (:mod:`operators.chunking`); one training row per window.
+4. **shard** — token-budget shard assignment over the chunks
+   (:func:`operators.sampling.token_budget_shards`), grouped-packing
+   with no global sort.
+
+Returns ``(chunks, funnel)``: chunk rows are (id, chunk_idx,
+n_chunk_tokens, chunk_text, grp, shard); the funnel counts rows per
+stage (documents through span_strip, chunks afterwards — the unit
+changes at the chunk stage and the stage names say so).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_text
+from ..operators.chunking import chunk_documents
+from ..operators.sampling import token_budget_shards
+from ..operators.spandedup import repeated_spans, strip_spans
+from .funnel import build_funnel
+
+__all__ = ["run_prep"]
+
+
+def run_prep(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    span_window: int | None = None,
+    span_min_docs: int = 2,
+    shard_tokens: int = 1_000_000,
+    n_groups: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_hash=None,
+    checkpoint_stages: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """See module docstring. ``span_window=None`` skips span surgery.
+    ``shard_hash`` (Column -> Column) overrides the shard-group hash
+    of the chunk key — pass ``operators.sampling.portable_hash`` when
+    the layout must be reproducible outside Spark."""
+    maybe_ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint_stages
+        else (lambda df: df)
+    )
+    stages: list[tuple[str, DataFrame]] = [("ingest_docs", docs)]
+
+    cur = maybe_ckpt(
+        docs.select(
+            F.col(id_col),
+            normalize_text(F.col(text_col)).alias(text_col),
+        )
+    )
+    stages.append(("normalized_docs", cur))
+
+    if span_window is not None:
+        marks = repeated_spans(
+            cur,
+            window=span_window,
+            min_docs=span_min_docs,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        stripped = strip_spans(
+            cur, marks, text_col=text_col, id_col=id_col
+        ).withColumnsRenamed({"id": id_col, "clean_text": text_col})
+        cur = maybe_ckpt(stripped.filter(F.col(text_col) != ""))
+        stages.append(("span_stripped_docs", cur))
+
+    chunks = maybe_ckpt(
+        chunk_documents(
+            cur,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    )
+    stages.append(("chunks", chunks))
+
+    sharded = maybe_ckpt(
+        token_budget_shards(
+            chunks.withColumn(
+                "chunk_key",
+                F.concat_ws("#", F.col("id"), F.col("chunk_idx")),
+            ),
+            tokens_col="n_chunk_tokens",
+            shard_tokens=shard_tokens,
+            n_groups=n_groups,
+            key_col="chunk_key",
+            hash_expr=(
+                shard_hash(F.col("chunk_key"))
+                if shard_hash is not None
+                else None
+            ),
+        ).drop("chunk_key")
+    )
+    stages.append(("sharded_chunks", sharded))
+
+    return sharded, build_funnel(stages, "n_rows")
