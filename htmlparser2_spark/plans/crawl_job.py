@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 from ..functions.urls import canonicalize_url, url_host
 from ..operators.linkgraph import pagerank
 from ..operators.robots import evaluate_robots
-from .funnel import build_funnel
+from .funnel import build_funnel, lazy_checkpointer
 
 __all__ = ["run_frontier"]
 
@@ -54,11 +54,7 @@ def run_frontier(
     """See module docstring. ``rules`` is a
     :func:`~htmlparser2_spark.operators.robots.parse_robots` table;
     ``edges`` a (src, dst, weight) host edge list."""
-    maybe_ckpt = (
-        (lambda df: df.localCheckpoint(eager=False))
-        if checkpoint_stages
-        else (lambda df: df)
-    )
+    maybe_ckpt = lazy_checkpointer(checkpoint_stages)
     stages: list[tuple[str, DataFrame]] = [("ingest", candidates)]
 
     canon = maybe_ckpt(

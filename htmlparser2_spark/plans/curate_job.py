@@ -35,7 +35,7 @@ from ..operators.dedup import frequent_line_removal
 from ..operators.quality import gopher_filter
 from ..operators.sampling import stratified_sample
 from .dedup_job import run_dedup
-from .funnel import build_funnel
+from .funnel import build_funnel, lazy_checkpointer
 
 __all__ = ["run_curation"]
 
@@ -70,11 +70,7 @@ def run_curation(
     keep pure lineage (e.g. when writing the corpus exactly once and
     skipping the funnel).
     """
-    maybe_ckpt = (
-        (lambda df: df.localCheckpoint(eager=False))
-        if checkpoint_stages
-        else (lambda df: df)
-    )
+    maybe_ckpt = lazy_checkpointer(checkpoint_stages)
     stages: list[tuple[str, DataFrame]] = [("ingest", docs)]
 
     if quality_pred is None:

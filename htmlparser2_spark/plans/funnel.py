@@ -1,5 +1,6 @@
-"""Shared lazy stage-funnel builder for the composed plans
-(curate_job, crawl_job)."""
+"""Shared stage plumbing for the composed plans (curate_job,
+crawl_job, prep_job): the lazy funnel builder and the per-stage
+lazy-localCheckpoint policy."""
 
 from __future__ import annotations
 
@@ -8,7 +9,18 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_funnel"]
+__all__ = ["build_funnel", "lazy_checkpointer"]
+
+
+def lazy_checkpointer(enabled: bool):
+    """Stage-boundary truncation policy, shared by every composed
+    plan: with ``enabled``, each stage's frame is lazily
+    localCheckpointed so the funnel counts plus the returned frame
+    don't re-execute every upstream stage per consumer; disabled, the
+    identity (pure lineage for single-consumer runs)."""
+    if enabled:
+        return lambda df: df.localCheckpoint(eager=False)
+    return lambda df: df
 
 
 def build_funnel(

@@ -20,7 +20,8 @@ artifact a trainer actually reads:
 Returns ``(chunks, funnel)``: chunk rows are (id, chunk_idx,
 n_chunk_tokens, chunk_text, grp, shard); the funnel counts rows per
 stage (documents through span_strip, chunks afterwards — the unit
-changes at the chunk stage and the stage names say so).
+changes at the chunk stage and the stage names say so; sharding is
+withColumn-only and gets no redundant stage count).
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ from ..functions.normalize import normalize_text
 from ..operators.chunking import chunk_documents
 from ..operators.sampling import token_budget_shards
 from ..operators.spandedup import repeated_spans, strip_spans
-from .funnel import build_funnel
+from .funnel import build_funnel, lazy_checkpointer
 
 __all__ = ["run_prep"]
 
@@ -55,11 +56,7 @@ def run_prep(
     ``shard_hash`` (Column -> Column) overrides the shard-group hash
     of the chunk key — pass ``operators.sampling.portable_hash`` when
     the layout must be reproducible outside Spark."""
-    maybe_ckpt = (
-        (lambda df: df.localCheckpoint(eager=False))
-        if checkpoint_stages
-        else (lambda df: df)
-    )
+    maybe_ckpt = lazy_checkpointer(checkpoint_stages)
     stages: list[tuple[str, DataFrame]] = [("ingest_docs", docs)]
 
     cur = maybe_ckpt(
@@ -112,6 +109,8 @@ def run_prep(
             ),
         ).drop("chunk_key")
     )
-    stages.append(("sharded_chunks", sharded))
+    # No funnel stage for sharding: token_budget_shards is
+    # withColumn-only (row count provably equals the chunk stage), so
+    # a count there would cost a job and report nothing.
 
     return sharded, build_funnel(stages, "n_rows")

@@ -37,7 +37,7 @@ def test_prep_funnel_and_stages(spark):
     # doc 3 is pure boilerplate (keeper is doc 1) -> stripped empty
     assert counts["span_stripped_docs"] == 3
     assert counts["chunks"] >= 3
-    assert counts["sharded_chunks"] == counts["chunks"]
+    assert "sharded_chunks" not in counts  # withColumn-only, no stage
 
     rows = chunks.collect()
     texts = {(r["id"], r["chunk_idx"]): r["chunk_text"] for r in rows}
