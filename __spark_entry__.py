@@ -1052,6 +1052,32 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: logistic regression fit with 3
+    full-batch gradient rounds on the deterministic hashed-embedding
+    features (label: lang == 'en'), then every document scored. The
+    oracle unrolls the identical gradient rounds as CTEs over the
+    identical features — the whole fit is replayed in SQL."""
+    from htmlparser2_spark.functions.embeddings import embed_docs
+    from htmlparser2_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = embed_docs(docs, dim=8, out_col="features").join(
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("label"),
+        ),
+        "doc_id",
+    )
+    w = logreg_train(feats, dim=8, iters=3)
+    return logreg_score(feats, w).select(
+        "doc_id", F.round("score", 4).alias("en_score")
+    )
+
+
 def _q_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-prep tail (normalize -> chunk -> token-budget
     shard; span surgery has its own oracle and is skipped here so the
@@ -1463,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize": _q_normalize,
         "q_repeated_spans": _q_repeated_spans,
         "q_prep": _q_prep,
+        "q_quality_model": _q_quality_model,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1505,6 +1532,66 @@ _TAG_COUNTS = [
     ("html", 2, 1), ("body", 2, 1), ("table", 2, 1), ("tr", 2, 2),
     ("td", 2, 2), ("textarea", 2, 1), ("div", 2, 1),
 ]
+
+
+def _quality_model_sql(iters: int = 3, dim: int = 8, lr: float = 1.0) -> str:
+    """Unrolled logistic-regression oracle: hashed-embedding features
+    (unrounded — the same exact doubles the Spark side trains on),
+    then ``iters`` full-batch gradient CTE rounds mirroring
+    operators/classifier.logreg_train, then the final score."""
+
+    def dot(alias: str) -> str:
+        # The weight row arrives via a CROSS JOIN (one row), never as
+        # per-term scalar subqueries — each scalar subquery re-expands
+        # the whole upstream CTE chain in DuckDB, which multiplies to
+        # (dim+1)^iters feats scans and never finishes.
+        terms = [
+            f"f[{i + 1}] * {alias}.c{i}" for i in range(dim)
+        ] + [f"{alias}.c{dim}"]
+        return " + ".join(terms)
+
+    sql = (
+        "WITH t AS (SELECT doc_id, lang, "
+        f"{_TOKS} AS toks FROM documents), "
+        "p0 AS (SELECT doc_id, lang, list_transform(toks, tk -> "
+        f"('0x' || substr(md5(tk), 1, 15))::BIGINT % {2 * dim}) AS hs FROM t), "
+        "raw AS (SELECT doc_id, lang, [COALESCE(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN h % {dim} = i THEN "
+        f"(CASE WHEN h >= {dim} THEN -1.0 ELSE 1.0 END) ELSE 0.0 END)), 0.0) "
+        f"for i in generate_series(0, {dim - 1})] AS v FROM p0), "
+        "nn AS (SELECT doc_id, lang, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw), "
+        "feats AS (SELECT doc_id, "
+        "CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS f, "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM nn), "
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS c{i}" for i in range(dim + 1))
+        + ")"
+    )
+    for k in range(1, iters + 1):
+        prev = f"w{k - 1}"
+        sql += (
+            f", sc{k} AS (SELECT doc_id, f, y, "
+            f"1.0 / (1.0 + exp(-({dot('w')}))) AS p "
+            f"FROM feats, {prev} w)"
+            f", g{k} AS (SELECT COUNT(*) AS n, "
+            + ", ".join(
+                f"SUM((y - p) * f[{i + 1}]) AS s{i}" for i in range(dim)
+            )
+            + f", SUM(y - p) AS s{dim} FROM sc{k})"
+            f", w{k} AS (SELECT "
+            + ", ".join(
+                f"w.c{i} + {lr!r} * g.s{i} / g.n AS c{i}"
+                for i in range(dim + 1)
+            )
+            + f" FROM g{k} g, {prev} w)"
+        )
+    return (
+        sql
+        + " SELECT doc_id, round(1.0 / (1.0 + "
+        f"exp(-({dot('w')}))), 4) AS en_score "
+        f"FROM feats, w{iters} w"
+    )
 
 
 _ROBOTS_ALLOWED_CASE = (
@@ -1708,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_targets "
             "FROM pages WHERE doc_id % 3 = 0"
         ),
+        "q_quality_model": _quality_model_sql(),
         "q_prep": (
             "WITH nd AS (SELECT doc_id, "
             + normalize_sql("text")
