@@ -1068,7 +1068,10 @@ def _q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = embed_docs(docs, dim=8, out_col="features").join(
         docs.select(
             "doc_id",
-            (F.col("lang") == "en").cast("int").alias("label"),
+            # NULL-safe: a NULL lang is a labeled negative, exactly
+            # like the oracle's CASE (== would yield NULL and trip
+            # train-side validation).
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
         ),
         "doc_id",
     )
@@ -1534,6 +1537,29 @@ _TAG_COUNTS = [
 ]
 
 
+def _hash_embed_ctes(dim: int = 8, carry: str = "") -> str:
+    """Shared DuckDB CTE chain mirroring functions/embeddings.py
+    (portable md5 hash, h mod 2*dim bucket+sign, L2 norm): ends at
+    ``hn`` = (doc_id{carry}, v, nrm). Single source of truth for the
+    q_hash_embed and q_quality_model oracles — the sign convention is
+    subtle enough (see the embeddings module docstring) that two
+    hand-maintained copies would drift."""
+    c = f", {carry}" if carry else ""
+    return (
+        f"ht AS (SELECT doc_id{c}, {_TOKS} AS toks FROM documents), "
+        f"hp AS (SELECT doc_id{c}, list_transform(toks, tk -> "
+        f"('0x' || substr(md5(tk), 1, 15))::BIGINT % {2 * dim}) AS hs "
+        "FROM ht), "
+        f"hraw AS (SELECT doc_id{c}, "
+        "[COALESCE(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN h % {dim} = i THEN "
+        f"(CASE WHEN h >= {dim} THEN -1.0 ELSE 1.0 END) ELSE 0.0 END)), 0.0) "
+        f"for i in generate_series(0, {dim - 1})] AS v FROM hp), "
+        f"hn AS (SELECT doc_id{c}, v, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM hraw)"
+    )
+
+
 def _quality_model_sql(iters: int = 3, dim: int = 8, lr: float = 1.0) -> str:
     """Unrolled logistic-regression oracle: hashed-embedding features
     (unrounded — the same exact doubles the Spark side trains on),
@@ -1551,19 +1577,10 @@ def _quality_model_sql(iters: int = 3, dim: int = 8, lr: float = 1.0) -> str:
         return " + ".join(terms)
 
     sql = (
-        "WITH t AS (SELECT doc_id, lang, "
-        f"{_TOKS} AS toks FROM documents), "
-        "p0 AS (SELECT doc_id, lang, list_transform(toks, tk -> "
-        f"('0x' || substr(md5(tk), 1, 15))::BIGINT % {2 * dim}) AS hs FROM t), "
-        "raw AS (SELECT doc_id, lang, [COALESCE(list_sum(list_transform(hs, "
-        f"h -> CASE WHEN h % {dim} = i THEN "
-        f"(CASE WHEN h >= {dim} THEN -1.0 ELSE 1.0 END) ELSE 0.0 END)), 0.0) "
-        f"for i in generate_series(0, {dim - 1})] AS v FROM p0), "
-        "nn AS (SELECT doc_id, lang, v, "
-        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw), "
+        f"WITH {_hash_embed_ctes(dim, carry='lang')}, "
         "feats AS (SELECT doc_id, "
         "CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS f, "
-        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM nn), "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM hn), "
         "w0 AS (SELECT "
         + ", ".join(f"0.0 AS c{i}" for i in range(dim + 1))
         + ")"
@@ -1860,20 +1877,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM s"
         ),
         "q_hash_embed": (
-            "WITH t AS (SELECT doc_id, "
-            f"{_TOKS} AS toks "
-            "FROM documents), "
-            "p AS (SELECT doc_id, list_transform(toks, tk -> "
-            "('0x' || substr(md5(tk), 1, 15))::BIGINT % 16) AS hs FROM t), "
-            "raw AS (SELECT doc_id, [COALESCE(list_sum(list_transform(hs, "
-            "h -> CASE WHEN h % 8 = i THEN "
-            "(CASE WHEN h >= 8 THEN -1.0 ELSE 1.0 END) ELSE 0.0 END)), 0.0) "
-            "for i in generate_series(0, 7)] AS v FROM p), "
-            "n AS (SELECT doc_id, v, "
-            "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw) "
+            f"WITH {_hash_embed_ctes(8)} "
             "SELECT doc_id, CASE WHEN nrm = 0 THEN v "
             "ELSE list_transform(v, x -> round(x / nrm, 6)) END AS embedding "
-            "FROM n"
+            "FROM hn"
         ),
         "q_lm_score": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "

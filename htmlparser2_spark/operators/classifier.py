@@ -61,11 +61,27 @@ def logreg_train(
 
     ``label_col`` must be 0/1 (numeric). Returns plain Python floats
     so the closed model ships to any scorer (including SQL engines).
+
+    Inputs are validated up front (one extra count on the — sampled,
+    small — training frame): a NULL label/features row would silently
+    shrink every SUM while still counting in n (a half-strength
+    gradient, the worst kind of wrong), and a features array of the
+    wrong length would NULL the whole fit via zip_with padding.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    w = [0.0] * (dim + 1)
     y = F.col(label_col).cast("double")
+    n_bad = df.filter(
+        y.isNull()
+        | F.col(features_col).isNull()
+        | (F.size(features_col) != dim)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} rows have NULL label/features or features of "
+            f"length != {dim}"
+        )
+    w = [0.0] * (dim + 1)
     for _ in range(iters):
         p = F.lit(1.0) / (
             F.lit(1.0) + F.exp(-_dot_plus_bias(F.col(features_col), w))
@@ -102,7 +118,13 @@ def logreg_score(
     features_col: str = "features",
     score_col: str = "score",
 ) -> DataFrame:
-    """Attach sigmoid(w . features + bias) as ``score_col``."""
+    """Attach sigmoid(w . features + bias) as ``score_col``.
+
+    Corpus-scale scoring stays validation-free (a count here would
+    scan the full corpus): a features array whose length doesn't
+    match ``len(weights) - 1`` produces a NULL score for that row
+    (zip_with pads with NULLs), and NULL features score NULL —
+    train-side validation catches the systematic mismatch case."""
     p = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-_dot_plus_bias(F.col(features_col), weights))
     )

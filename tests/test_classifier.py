@@ -69,3 +69,19 @@ def test_zero_iters_and_empty_frame(spark):
     empty = df.filter("label = 2")
     with pytest.raises(ValueError):
         logreg_train(empty, dim=1, iters=1)
+
+
+def test_train_validates_nulls_and_dims(spark):
+    from htmlparser2_spark.operators.classifier import logreg_train
+
+    bad_label = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (None, [0.1, 0.2])],
+        "label int, features array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        logreg_train(bad_label, dim=2, iters=1)
+    bad_dim = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (0, [0.1])], "label int, features array<double>"
+    )
+    with pytest.raises(ValueError, match="length != 2"):
+        logreg_train(bad_dim, dim=2, iters=1)
