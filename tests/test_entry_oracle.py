@@ -82,3 +82,13 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     # Byte-identical invariant: every document matches its golden text.
     assert all(r["n_docs"] == r["n_match"] for r in rows)
+
+
+def test_query_oracle_key_parity():
+    """Every queries() entry must have an oracle_sql() twin and vice
+    versa — an orphan on either side silently skips the driver's
+    correctness gate for that query."""
+    import __spark_entry__ as entry_mod
+
+    q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert q == o, (q - o, o - q)
