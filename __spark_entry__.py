@@ -1052,6 +1052,23 @@ def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dashboard: per-language doc counts and exact
+    token-count distribution (mean + interpolated p50/p90/p99 — Spark
+    `percentile` and DuckDB `quantile_cont` share the p*(n-1) linear
+    interpolation definition)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.size(F.split("text", " ")).cast("double")
+    pct = F.percentile(nt, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(nt), 4).alias("avg_tokens"),
+        F.round(pct[0], 4).alias("p50_tokens"),
+        F.round(pct[1], 4).alias("p90_tokens"),
+        F.round(pct[2], 4).alias("p99_tokens"),
+    )
+
+
 def _q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter: logistic regression fit with 3
     full-batch gradient rounds on the deterministic hashed-embedding
@@ -1493,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans": _q_repeated_spans,
         "q_prep": _q_prep,
         "q_quality_model": _q_quality_model,
+        "q_corpus_stats": _q_corpus_stats,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
@@ -1813,6 +1831,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM pages WHERE doc_id % 3 = 0"
         ),
         "q_quality_model": _quality_model_sql(),
+        "q_corpus_stats": (
+            "WITH t AS (SELECT lang, "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt FROM documents) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "round(avg(nt), 4) AS avg_tokens, "
+            "round(quantile_cont(nt, 0.5), 4) AS p50_tokens, "
+            "round(quantile_cont(nt, 0.9), 4) AS p90_tokens, "
+            "round(quantile_cont(nt, 0.99), 4) AS p99_tokens "
+            "FROM t GROUP BY lang"
+        ),
         "q_prep": (
             "WITH nd AS (SELECT doc_id, "
             + normalize_sql("text")
