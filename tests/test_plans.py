@@ -204,3 +204,28 @@ def test_host_edges_single_shuffle(spark):
     p = plan(host_edges(links))
     assert p.count(") Exchange") == 1
     assert "partial_count" in p
+
+
+def test_chunking_is_map_only(spark):
+    """chunk_documents must stay a single Project+Generate: no
+    Exchange, no Python — chunking 10^12 docs is a map pass."""
+    from htmlparser2_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = plan(chunk_documents(df, chunk_tokens=2, overlap=0))
+    assert "Exchange" not in p
+    # the createDataFrame fixture scan mentions Python; operator
+    # dispatch nodes are what must be absent
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_logreg_score_is_pure_project(spark):
+    """Corpus scoring with closed weights: no shuffle, no Python."""
+    from htmlparser2_spark.operators.classifier import logreg_score
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "doc_id long, features array<double>"
+    )
+    p = plan(logreg_score(df, [0.1, -0.2, 0.0]))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
