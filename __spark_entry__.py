@@ -977,8 +977,12 @@ def _robots_bodies(spark: SparkSession) -> DataFrame:
     mod 4 — shared by q_robots and q_frontier."""
     m = F.col("id") % 4
     body = (
-        F.when(m == 0, F.lit(
-            "User-agent: *\nDisallow: /private/\nAllow: /private/ok"))
+        F.when(m == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok"
+                  "\nSitemap: https://host"),
+            F.col("id").cast("string"),
+            F.lit(".example/sitemap.xml"),
+        ))
         .when(m == 1, F.lit(
             "User-agent: trainbot\nDisallow: /\n\n"
             "User-agent: *\nDisallow: /tmp/"))
@@ -1007,6 +1011,15 @@ def _q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_robots(
         pages.select("url"), parse_robots(_robots_bodies(spark)), "TrainBot"
     )
+
+
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt: the group-independent
+    ``Sitemap:`` directive (carried by the m==0 policy bodies) — the
+    link that closes the robots -> sitemap -> frontier loop."""
+    from htmlparser2_spark.operators.robots import sitemap_urls
+
+    return sitemap_urls(_robots_bodies(spark))
 
 
 def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_sitemap": _q_sitemap,
+        "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
         "q_bpe_tokens": _q_bpe_tokens,
@@ -1824,6 +1838,11 @@ def oracle_sql() -> dict[str, str]:
             f"{_ROBOTS_ALLOWED_CASE} AS allowed FROM pages"
         ),
         "q_frontier": _frontier_sql(),
+        "q_robots_sitemaps": (
+            "SELECT 'host' || CAST(i AS STRING) || '.example' AS host, "
+            "'https://host' || CAST(i AS STRING) || '.example/sitemap.xml' "
+            "AS sitemap_url FROM generate_series(0, 40) t(i) WHERE i % 4 = 0"
+        ),
         "q_anchor_text": (
             f"WITH {_PAGES_CTE} SELECT 'more' AS anchor_text, "
             "CAST(COUNT(*) AS BIGINT) AS n_links, "

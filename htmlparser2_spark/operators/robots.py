@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from ..functions.urls import url_host, url_path, url_query
 
-__all__ = ["parse_robots", "evaluate_robots"]
+__all__ = ["parse_robots", "evaluate_robots", "sitemap_urls"]
 
 
 def parse_robots(robots: DataFrame, *, host_col: str = "host",
@@ -95,6 +95,31 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
     # LEFT join keeps rule-less groups as NULL presence rows.
     return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "agent", "rule", "path"
+    )
+
+
+def sitemap_urls(robots: DataFrame, *, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` directives.
+
+    Per RFC 9309 §2.3 the directive is group-independent (it can
+    appear anywhere in the file), so this is a plain line filter — no
+    stanza bookkeeping. Feeds the sitemap parser
+    (:mod:`engine.sitemap`) to close the robots -> sitemap -> frontier
+    discovery loop."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    field = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
+    # The URL value contains ':' itself — split on the FIRST colon
+    # only (the field regex is anchored, the value takes the rest).
+    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    return (
+        lines.select("host", field.alias("f"), value.alias("sitemap_url"))
+        .filter((F.col("f") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
     )
 
 

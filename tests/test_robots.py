@@ -190,3 +190,19 @@ def test_duplicate_input_urls_single_verdict(spark):
     )
     out = evaluate_robots(u, rules, "bot").collect()
     assert len(out) == 1 and out[0]["allowed"] is False
+
+
+def test_sitemap_directive_extraction(spark):
+    """Sitemap: is group-independent (RFC 9309 §2.3) and its URL value
+    contains colons — only the first colon splits field from value."""
+    from htmlparser2_spark.operators.robots import sitemap_urls
+
+    body = (
+        "Sitemap: https://h1/s-top.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: https://h1/s-mid.xml  # trailing comment\n"
+        "Sitemap:\n"  # empty value ignored
+    )
+    df = spark.createDataFrame([("h1", body)], "host string, body string")
+    got = {r["sitemap_url"] for r in sitemap_urls(df).collect()}
+    assert got == {"https://h1/s-top.xml", "https://h1/s-mid.xml"}
