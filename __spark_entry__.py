@@ -1069,9 +1069,14 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health dashboard: per-language doc counts and exact
     token-count distribution (mean + interpolated p50/p90/p99 — Spark
     `percentile` and DuckDB `quantile_cont` share the p*(n-1) linear
-    interpolation definition)."""
+    interpolation definition). Token counts use the pinned
+    dual-dialect convention (textstats.oracle_tokens) so the
+    dashboard reports the same quantity shard packing and chunking
+    budget with."""
+    from htmlparser2_spark.functions.textstats import oracle_tokens
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    nt = F.size(F.split("text", " ")).cast("double")
+    nt = F.size(oracle_tokens(F.col("text"))).cast("double")
     pct = F.percentile(nt, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1852,7 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_model": _quality_model_sql(),
         "q_corpus_stats": (
             "WITH t AS (SELECT lang, "
-            "CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt FROM documents) "
+            f"CAST(len({_TOKS}) AS DOUBLE) AS nt FROM documents) "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "round(avg(nt), 4) AS avg_tokens, "
             "round(quantile_cont(nt, 0.5), 4) AS p50_tokens, "

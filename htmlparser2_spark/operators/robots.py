@@ -38,6 +38,25 @@ from ..functions.urls import url_host, url_path, url_query
 __all__ = ["parse_robots", "evaluate_robots", "sitemap_urls"]
 
 
+def _one_body(robots: DataFrame, host_col: str, body_col: str) -> DataFrame:
+    """Duplicate-fetch resolution shared by every robots consumer:
+    one deterministic (lexicographically smallest) body per host, so
+    rule parsing and sitemap discovery always read the SAME file."""
+    return robots.groupBy(F.col(host_col).alias("host")).agg(
+        F.min(F.col(body_col)).alias("body")
+    )
+
+
+def _line_fields(raw):
+    """(field, value) of a robots line: comment stripped, field
+    lowercased, value = everything after the FIRST colon (URLs in
+    values contain ':')."""
+    clean = F.trim(F.regexp_replace(raw, "#.*", ""))
+    field = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    return field, value
+
+
 def parse_robots(robots: DataFrame, *, host_col: str = "host",
                  body_col: str = "body") -> DataFrame:
     """(host, agent, rule, path) from a (host, robots-txt body) table.
@@ -57,16 +76,11 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
     partitions by host — robots bodies are bounded (Google caps at
     500 KiB), so per-host line lists never skew a partition.
     """
-    one_body = robots.groupBy(F.col(host_col).alias("host")).agg(
-        F.min(F.col(body_col)).alias("body")
-    )
-    lines = one_body.select(
+    lines = _one_body(robots, host_col, body_col).select(
         "host",
         F.posexplode(F.split(F.col("body"), "\n")).alias("pos", "raw"),
     )
-    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
-    field = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
-    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    field, value = _line_fields(F.col("raw"))
     parsed = lines.select(
         "host", "pos", field.alias("field"), value.alias("value")
     ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
@@ -104,22 +118,22 @@ def sitemap_urls(robots: DataFrame, *, host_col: str = "host",
 
     Per RFC 9309 §2.3 the directive is group-independent (it can
     appear anywhere in the file), so this is a plain line filter — no
-    stanza bookkeeping. Feeds the sitemap parser
-    (:mod:`engine.sitemap`) to close the robots -> sitemap -> frontier
-    discovery loop."""
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(body_col), "\n")).alias("raw"),
+    stanza bookkeeping. Duplicate fetches resolve through the same
+    one-body-per-host rule as :func:`parse_robots` (discovering
+    sitemaps from a body whose rules were discarded would split the
+    crawl's view of the host), and repeated directives dedupe. Feeds
+    the sitemap parser (:mod:`engine.sitemap`) to close the robots ->
+    sitemap -> frontier discovery loop."""
+    lines = _one_body(robots, host_col, body_col).select(
+        "host",
+        F.explode(F.split(F.col("body"), "\n")).alias("raw"),
     )
-    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
-    field = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
-    # The URL value contains ':' itself — split on the FIRST colon
-    # only (the field regex is anchored, the value takes the rest).
-    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    field, value = _line_fields(F.col("raw"))
     return (
         lines.select("host", field.alias("f"), value.alias("sitemap_url"))
         .filter((F.col("f") == "sitemap") & (F.col("sitemap_url") != ""))
         .select("host", "sitemap_url")
+        .distinct()
     )
 
 

@@ -206,3 +206,18 @@ def test_sitemap_directive_extraction(spark):
     df = spark.createDataFrame([("h1", body)], "host string, body string")
     got = {r["sitemap_url"] for r in sitemap_urls(df).collect()}
     assert got == {"https://h1/s-top.xml", "https://h1/s-mid.xml"}
+
+
+def test_sitemap_urls_duplicate_fetch_consistency(spark):
+    """sitemap_urls reads the same min-body per host as parse_robots,
+    and repeated directives dedupe."""
+    from htmlparser2_spark.operators.robots import sitemap_urls
+
+    rows = [
+        ("h1", "Sitemap: https://h1/b.xml"),
+        ("h1", "Sitemap: https://h1/a.xml\nSitemap: https://h1/a.xml"),
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    got = [tuple(r) for r in sitemap_urls(df).collect()]
+    # min(body) is the 'Sitemap: https://h1/a.xml\n...' body
+    assert got == [("h1", "https://h1/a.xml")]
