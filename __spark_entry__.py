@@ -1200,16 +1200,20 @@ def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (dim 8) for every document — the
     md5-based integer arithmetic is reproduced verbatim by the DuckDB
-    oracle, so the full array (rounded 6dp post-normalization) is
-    value-checked per document."""
+    oracle, so every component (rounded 6dp post-normalization) is
+    value-checked per (doc_id, dim_idx). Exploded to scalar columns:
+    the driver's pandas canonicalizer cannot sort array cells (the
+    round-2 gate aborted here on ``unhashable type: 'list'``)."""
     from htmlparser2_spark.functions.embeddings import embed_docs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return embed_docs(docs, dim=8).select(
+    emb = embed_docs(docs, dim=8)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "val")
+    ).select(
         "doc_id",
-        F.transform(F.col("embedding"), lambda v: F.round(v, 6)).alias(
-            "embedding"
-        ),
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("val", 6).alias("val"),
     )
 
 
@@ -1929,10 +1933,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM s"
         ),
         "q_hash_embed": (
-            f"WITH {_hash_embed_ctes(8)} "
-            "SELECT doc_id, CASE WHEN nrm = 0 THEN v "
-            "ELSE list_transform(v, x -> round(x / nrm, 6)) END AS embedding "
-            "FROM hn"
+            f"WITH {_hash_embed_ctes(8)}, "
+            "idx AS (SELECT unnest(generate_series(1, 8)) AS i) "
+            "SELECT doc_id, CAST(i - 1 AS INTEGER) AS dim_idx, "
+            "round(CASE WHEN nrm = 0 THEN v[i] ELSE v[i] / nrm END, 6) AS val "
+            "FROM hn, idx"
         ),
         "q_lm_score": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "

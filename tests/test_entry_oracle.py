@@ -4,7 +4,6 @@ via DuckDB — row count, column names, and order-insensitive values."""
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -27,33 +26,59 @@ def ddb():
 
 
 def _norm(value):
+    if value is not None and value != value:  # NaN/NaT
+        return "nan"
     if isinstance(value, float):
-        if math.isnan(value):
-            return "nan"
         return round(value, 4)
     if isinstance(value, bytes):
         return value.hex()
     return value
 
 
-def _rows(rows):
-    return sorted(
-        tuple(_norm(v) for v in row) for row in rows
-    )
+def _canon(pdf):
+    """Mirror the driver's pandas canonicalization: lowercase columns,
+    round floats, then ``sort_values`` over EVERY column. Crucially this
+    CRASHES on list/array-valued cells exactly like the driver's gate
+    does (round 2 aborted at q_hash_embed with ``unhashable type:
+    'list'`` while the old tuple-sort replica sailed through)."""
+    pdf = pdf.copy()
+    pdf.columns = [str(c).lower() for c in pdf.columns]
+    for c in pdf.columns:
+        if getattr(pdf[c].dtype, "kind", "") == "f":
+            pdf[c] = pdf[c].round(4)
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _rows(pdf):
+    return [
+        tuple(_norm(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 def _compare(name, spark, ddb):
     import __spark_entry__ as entry_mod
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
     sdf = q(spark, SF_DIR)
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar output columns {complex_cols} — the driver's "
+        "pandas canonicalizer cannot sort these; emit scalars"
+    )
     spark_cols = [c.lower() for c in sdf.columns]
     ora = ddb.sql(sql)
     oracle_cols = [c.lower() for c in ora.columns]
     assert spark_cols == oracle_cols, f"{name}: columns {spark_cols} != {oracle_cols}"
-    srows = _rows([tuple(r) for r in sdf.collect()])
-    orows = _rows(ora.fetchall())
+    srows = _rows(_canon(sdf.toPandas()))
+    orows = _rows(_canon(ora.df()))
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)} rows"
     mismatches = [
         (a, b) for a, b in zip(srows, orows) if a != b
