@@ -1249,6 +1249,49 @@ def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendered.select("url", reparsed.alias("text_out"))
 
 
+def _q_dom_manip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomUtils manipulation roundtrip over every page (reference
+    "Modifying the DOM" surface, README.md:218): replaceElement
+    (style -> nostyle, subtree dropped), prependChild + appendChild on
+    body, append after h1/ul/table, prepend before a/img/textarea —
+    then serialize the mutated adjacency table. The oracle rebuilds
+    the predicted post-mutation markup per template variant, so fresh-
+    id allocation, sibling renumbering, subtree removal, and the
+    serializer contract are all hash-checked per document."""
+    from htmlparser2_spark.operators.dommanip import (
+        append,
+        append_child,
+        prepend,
+        prepend_child,
+        replace_element,
+        serialize_nodes,
+    )
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    nodes = explode_nodes(build_pages(spark, sf_dir))
+    nodes = replace_element(
+        nodes, lambda n: F.col("name") == "style",
+        {"type": "tag", "name": "nostyle"},
+    )
+    nodes = prepend_child(
+        nodes, lambda n: F.col("name") == "body",
+        {"type": "text", "data": "HDR|"},
+    )
+    nodes = append_child(
+        nodes, lambda n: F.col("name") == "body",
+        {"type": "tag", "name": "footer", "attrs": {"role": "end"}},
+    )
+    nodes = append(
+        nodes, lambda n: F.col("name").isin("h1", "ul", "table"),
+        {"type": "tag", "name": "hr"},
+    )
+    nodes = prepend(
+        nodes, lambda n: F.col("name").isin("a", "img", "textarea"),
+        {"type": "text", "data": "[PRE]"},
+    )
+    return serialize_nodes(nodes).select("url", "manip_html")
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token counting (JVM regexp both sides)."""
     from htmlparser2_spark.functions.textstats import bpe_ish_tokens
@@ -1539,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
+        "q_dom_manip": _q_dom_manip,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_host_counts_salted": _q_host_counts_salted,
         "q_feed_extract": _q_feed_extract,
@@ -1959,6 +2003,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_serialize_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages"
+        ),
+        "q_dom_manip": (
+            # Predicted post-mutation serialization per template variant
+            # (sources/pages.py): style replaced by <nostyle> (subtree
+            # dropped), HDR| text prepended / <footer role="end">
+            # appended to body, <hr> after h1/ul/table, [PRE] before
+            # a/img/textarea; text nodes re-escape & < > on the way out.
+            f"WITH {_PAGES_CTE} SELECT url, CASE d.doc_id % 3 "
+            "WHEN 0 THEN '<!DOCTYPE html><html lang=\"' || d.lang || "
+            "'\"><head><title>Doc ' || CAST(d.doc_id AS STRING) || "
+            "'</title><script>var x = 1 < 2;</script><nostyle></nostyle>"
+            "</head><body>HDR|<h1>Doc ' || CAST(d.doc_id AS STRING) || "
+            "'</h1><hr><!-- src:' || d.source || ' --><p class=\"c' || "
+            "CAST(d.doc_id % 7 AS STRING) || '\">' || "
+            "replace(replace(replace(d.text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+            "'</p>[PRE]<a href=\"https://example.com/doc/' || "
+            "CAST(d.doc_id AS STRING) || '\">more</a>"
+            "<footer role=\"end\"></footer></body></html>' "
+            "WHEN 1 THEN '<html><body>HDR|<ul><li>Doc ' || "
+            "CAST(d.doc_id AS STRING) || '</li><li>' || "
+            "replace(replace(replace(d.text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+            "'</li></ul><hr><p>A &amp; B &lt;tag&gt; !<br>[PRE]"
+            "<img src=\"i' || CAST(d.doc_id AS STRING) || '.png\">"
+            "</p><footer role=\"end\"></footer></body></html>' "
+            "ELSE '<html><body>HDR|<table><tr><td>Doc ' || "
+            "CAST(d.doc_id AS STRING) || '</td></tr><tr><td>' || "
+            "replace(replace(replace(d.text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+            "'</td></tr></table><hr>[PRE]<textarea>T &amp; A</textarea>"
+            "<!--?bogus ' || CAST(d.doc_id AS STRING) || '-->"
+            "<div>tail</div><footer role=\"end\"></footer></body></html>' "
+            "END AS manip_html "
+            "FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
         ),
         "q_bpe_tokens": (
             "SELECT doc_id, CAST(len(list_filter(string_split_regex("

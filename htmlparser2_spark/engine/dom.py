@@ -241,8 +241,20 @@ def serialize(nodes: list[dict], *, xml_mode: bool = False,
     document.
     """
     children: dict[int, list[dict]] = {}
-    for n in nodes:
-        children.setdefault(n["parent_id"], []).append(n)
+    by_id: dict[int, dict] = {}
+    for pos, n in enumerate(nodes):
+        children.setdefault(n["parent_id"], []).append((pos, n))
+        by_id[n["node_id"]] = n
+    # Sibling order: idx_in_parent when present (mutated adjacency tables
+    # from operators.dommanip renumber it), else incoming list position —
+    # identical for handler output, where both are depth-first-dense.
+    for lst in children.values():
+        lst.sort(key=lambda pn: (
+            pn[0] if pn[1].get("idx_in_parent") is None
+            else pn[1]["idx_in_parent"],
+            pn[0],
+        ))
+    children = {k: [n for _, n in v] for k, v in children.items()}
 
     def esc_text(s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -262,7 +274,7 @@ def serialize(nodes: list[dict], *, xml_mode: bool = False,
         n = item
         t = n["type"]
         if t == "text":
-            parent = nodes[n["parent_id"]] if n["parent_id"] >= 0 else None
+            parent = by_id.get(n["parent_id"]) if n["parent_id"] >= 0 else None
             if parent is not None and parent["type"] in ("script", "style"):
                 out.append(n["data"])
             else:

@@ -320,30 +320,35 @@ def inner_html(pages: DataFrame, *, tag: str = "body", html_col: str = "html",
     return pages.withColumn("inner_html", _inner(F.col(html_col)))
 
 
-def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
-    """removeElement-equivalent: drop matching elements AND their
-    subtrees. Subtree membership is resolved iteratively (bounded by tree
-    depth) with a self-join per level — the relational analogue of the
-    pointer surgery domutils does in memory."""
+def _descendant_ids(
+    nodes: DataFrame,
+    roots: DataFrame,
+    *,
+    key_col: str = "url",
+    include_roots: bool = True,
+) -> DataFrame:
+    """Subtree closure: ``(rm_url, rm_id)`` rows covering every node at
+    or under the ``roots`` seed rows (same two-column shape). Resolved
+    iteratively (bounded by tree depth) with a self-join per level — the
+    relational analogue of domutils' in-memory pointer walk. Shared by
+    :func:`remove_elements` and dommanip.replace_element.
+
+    Each round joins only the FRONTIER (nodes discovered last round) —
+    re-joining the whole accumulated set would redo O(depth x |roots|)
+    work for chain-shaped subtrees. localCheckpoint per round truncates
+    lineage — iterative self-joins otherwise stack plans exponentially.
+    """
     # Renamed projection avoids ambiguous self-join resolution.
-    doomed = nodes.filter(predicate(nodes)).select(
-        F.col("url").alias("rm_url"), F.col("node_id").alias("rm_id")
-    )
     links = nodes.select(
-        F.col("url").alias("rm_url"),
+        F.col(key_col).alias("rm_url"),
         F.col("parent_id").alias("rm_parent"),
         F.col("node_id").alias("rm_child"),
     )
-    # Iterate: children of removed nodes become removed (max ~20 levels
-    # covers real-world DOM depth; loop ends when the frontier empties).
-    # Each round joins only the FRONTIER (nodes discovered last round)
-    # — re-joining the whole accumulated set would redo O(depth x
-    # |doomed|) work for chain-shaped subtrees. localCheckpoint per
-    # round truncates lineage — iterative self-joins otherwise stack
-    # plans exponentially.
-    doomed = doomed.localCheckpoint(eager=True)
-    frontier = doomed
+    seen = roots.localCheckpoint(eager=True)
+    frontier = seen
     converged = False
+    # Max ~20 levels covers real-world DOM depth; the loop normally ends
+    # earlier, when the frontier empties.
     for _ in range(21):
         child_hits = links.join(
             frontier,
@@ -351,21 +356,35 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
             & (links.rm_parent == frontier.rm_id),
         ).select(links.rm_url.alias("rm_url"), F.col("rm_child").alias("rm_id"))
         frontier = (
-            child_hits.join(doomed, ["rm_url", "rm_id"], "left_anti")
+            child_hits.join(seen, ["rm_url", "rm_id"], "left_anti")
             .distinct()
             .localCheckpoint(eager=True)
         )
         if frontier.count() == 0:
             converged = True
             break
-        doomed = doomed.unionByName(frontier).localCheckpoint(eager=True)
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
     if not converged:
-        # Silent truncation would leave deep descendants of removed
-        # elements alive in downstream extraction — fail loudly.
+        # Silent truncation would leave deep descendants alive in
+        # downstream extraction — fail loudly.
         raise RuntimeError(
-            "remove_elements subtree expansion did not converge within 20 "
-            "rounds; a removed subtree is deeper than the cap"
+            "subtree expansion did not converge within 20 rounds; a "
+            "matched subtree is deeper than the cap"
         )
+    if include_roots:
+        return seen
+    return seen.join(roots, ["rm_url", "rm_id"], "left_anti")
+
+
+def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
+    """removeElement-equivalent: drop matching elements AND their
+    subtrees (subtree closure via :func:`_descendant_ids`)."""
+    doomed = _descendant_ids(
+        nodes,
+        nodes.filter(predicate(nodes)).select(
+            F.col("url").alias("rm_url"), F.col("node_id").alias("rm_id")
+        ),
+    )
     return nodes.join(
         doomed,
         (nodes.url == doomed.rm_url) & (nodes.node_id == doomed.rm_id),
