@@ -552,11 +552,21 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(count_of("html p.c3", "n_p_c3"), "url", "left")
         .join(count_of("ul > li", "n_ul_li"), "url", "left")
         .join(count_of("a[href]", "n_href"), "url", "left")
+        # Sibling combinators: 'h1 + p' crosses a comment node in
+        # variant 0 (adjacency is element-rank, not idx_in_parent);
+        # 'table ~ div' skips the textarea and bogus comment in
+        # variant 2.
+        .join(count_of("h1 + p", "n_h1_p"), "url", "left")
+        .join(count_of("li + li", "n_li_li"), "url", "left")
+        .join(count_of("table ~ div", "n_tbl_div"), "url", "left")
         .select(
             "url",
             F.coalesce("n_p_c3", F.lit(0)).alias("n_p_c3"),
             F.coalesce("n_ul_li", F.lit(0)).alias("n_ul_li"),
             F.coalesce("n_href", F.lit(0)).alias("n_href"),
+            F.coalesce("n_h1_p", F.lit(0)).alias("n_h1_p"),
+            F.coalesce("n_li_li", F.lit(0)).alias("n_li_li"),
+            F.coalesce("n_tbl_div", F.lit(0)).alias("n_tbl_div"),
         )
     )
 
@@ -2314,7 +2324,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS BIGINT) "
             "AS n_ul_li, "
             "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
-            "AS n_href FROM pages"
+            "AS n_href, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_h1_p, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_li_li, "
+            "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_tbl_div FROM pages"
         ),
         "q_warc_roundtrip": (
             # The oracle re-synthesizes the record in DuckDB's dialect

@@ -11,30 +11,37 @@ an in-memory tree walk:
 * the **descendant** combinator (whitespace) is a within-document
   equi-join plus in-row membership in the ``ancestors`` column (so the
   nodes table must be built ``with_ancestors=True``; no recursive
-  closure ever runs).
+  closure ever runs),
+* the **sibling** combinators (``+`` adjacent, ``~`` general) join on
+  (document, parent, element-rank): CSS sibling relations skip
+  non-element nodes, so raw ``idx_in_parent`` (which counts text and
+  comment children) would be wrong — one window pass ranks element
+  children per parent, then ``A + B`` is rank(B) = rank(A) + 1 and
+  ``A ~ B`` is rank(B) > rank(A).
 
 Supported grammar (the high-traffic subset)::
 
     selector-list := selector ( ',' selector )*           -- union
-    selector      := compound ( ( '>' | ' ' ) compound )*
+    selector      := compound ( ( '>' | ' ' | '+' | '~' ) compound )*
     compound      := [ tag | '*' ] ( '#id' | '.class' | attr-test )*
     attr-test     := '[attr]' | '[attr=v]' | '[attr^=v]' | '[attr$=v]' | '[attr*=v]'
 
-Anything else (sibling combinators, pseudo-classes, :nth-*) raises
-``ValueError`` loudly rather than silently matching wrong rows.
+Anything else (pseudo-classes, :nth-*) raises ``ValueError`` loudly
+rather than silently matching wrong rows.
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["css_select"]
 
 _ELEMENT_TYPES = ("tag", "script", "style")
-_TOKEN = re.compile(r">|[^\s>]+")
+_TOKEN = re.compile(r"[>+~]|[^\s>+~]+")
+_COMBINATORS = {">": "child", "+": "adjacent", "~": "general"}
 _COMPOUND = re.compile(
     r"^(?P<tag>\*|[A-Za-z][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)$"
 )
@@ -102,22 +109,54 @@ def css_select(
             out = out.unionByName(css_select(nodes, part, key_col=key_col))
         return out.drop_duplicates([key_col, "node_id"])
     tokens = _TOKEN.findall(selector)
-    if not tokens or tokens[0] == ">" or tokens[-1] == ">":
+    if not tokens or tokens[0] in _COMBINATORS or tokens[-1] in _COMBINATORS:
         raise ValueError(f"unsupported CSS selector: {selector!r}")
     ctx: DataFrame | None = None
+    ranked: DataFrame | None = None
     combinator = None
     expect_compound = True
     for tok in tokens:
-        if tok == ">":
+        if tok in _COMBINATORS:
             if expect_compound:
                 raise ValueError(f"unsupported CSS selector: {selector!r}")
-            combinator = "child"
+            combinator = _COMBINATORS[tok]
             expect_compound = True
             continue
-        matches = nodes.filter(_compound_pred(tok))
         if ctx is None:
-            ctx = matches
+            ctx = nodes.filter(_compound_pred(tok))
+        elif combinator in ("adjacent", "general"):
+            if ranked is None:
+                w = Window.partitionBy(key_col, "parent_id").orderBy(
+                    "idx_in_parent"
+                )
+                ranked = nodes.filter(
+                    F.col("type").isin(*_ELEMENT_TYPES)
+                ).withColumn("__erank", F.row_number().over(w))
+            anchor_info = ranked.join(
+                ctx.select(key_col, "node_id").distinct(),
+                [key_col, "node_id"],
+            ).select(
+                F.col(key_col).alias("__akey"),
+                F.col("parent_id").alias("__aparent"),
+                F.col("__erank").alias("__arank"),
+            )
+            m = ranked.filter(_compound_pred(tok))
+            rank_cond = (
+                F.col("__erank") == F.col("__arank") + 1
+                if combinator == "adjacent"
+                else F.col("__erank") > F.col("__arank")
+            )
+            joined = m.join(
+                anchor_info,
+                (F.col(key_col) == F.col("__akey"))
+                & (F.col("parent_id") == F.col("__aparent"))
+                & rank_cond,
+            )
+            ctx = joined.drop(
+                "__akey", "__aparent", "__arank", "__erank"
+            ).drop_duplicates([key_col, "node_id"])
         else:
+            matches = nodes.filter(_compound_pred(tok))
             anchors = ctx.select(
                 key_col, F.col("node_id").alias("__anchor")
             ).distinct()

@@ -132,23 +132,30 @@ def strip_spans(
         F.col("starts"),
         F.array().cast("array<struct<pos:int,window:int>>"),
     )
-    kept = F.filter(
-        F.transform(
-            F.col("toks"),
-            lambda t, i: F.struct(
-                t.alias("t"),
-                F.exists(
-                    st,
-                    lambda s: (i + 1 >= s["pos"])
-                    & (i + 1 < s["pos"] + s["window"]),
-                ).alias("covered"),
-            ),
-        ),
-        lambda p: ~p["covered"],
+    # Linear, not quadratic: expand marks to their covered token-index
+    # set once (O(sum of mark windows), dedup'd), then one hash-based
+    # array_except against the 1..n index range — a per-token exists()
+    # over the whole mark set would go O(tokens x marks) inside a single
+    # boilerplate-heavy row (thousands of marks on one page).
+    n = F.size(F.col("toks"))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                st,
+                lambda s: F.sequence(s["pos"], s["pos"] + s["window"] - 1),
+            )
+        )
     )
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept_idx = F.array_except(idx, covered)
     return joined.select(
         "id",
-        F.array_join(F.transform(kept, lambda p: p["t"]), " ").alias(
-            "clean_text"
-        ),
+        F.array_join(
+            F.transform(
+                kept_idx, lambda i: F.element_at(F.col("toks"), i)
+            ),
+            " ",
+        ).alias("clean_text"),
     )

@@ -46,6 +46,33 @@ def test_strip_spans_surgery(spark):
     assert out[5] == "tiny doc"
 
 
+def test_strip_spans_pathological_mark_count(spark):
+    """A boilerplate-heavy page with thousands of marks must stay
+    linear: the old per-token exists() over the mark set went
+    O(tokens x marks) inside one row (VERDICT r2 item 5); the
+    covered-set array_except shape is O(tokens + marked area)."""
+    import time
+
+    from htmlparser2_spark.operators.spandedup import strip_spans
+
+    n_toks, w = 100_000, 8
+    text = " ".join(f"t{i}" for i in range(n_toks))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # 2000 disjoint marks covering positions 1..16000.
+    marks = spark.createDataFrame(
+        [(1, p, 3, w) for p in range(1, 2000 * w + 1, w)],
+        "id long, pos int, n_docs long, window int",
+    )
+    t0 = time.monotonic()
+    out = strip_spans(docs, marks).collect()
+    elapsed = time.monotonic() - t0
+    toks = out[0]["clean_text"].split(" ")
+    assert len(toks) == n_toks - 2000 * w
+    assert toks[0] == f"t{2000 * w}"  # 0-based token after covered 1..16000
+    # Generous bound: the quadratic shape took minutes on this input.
+    assert elapsed < 60, f"strip_spans took {elapsed:.1f}s"
+
+
 def test_min_docs_threshold_and_within_doc_repeats(spark):
     from htmlparser2_spark.operators.spandedup import repeated_spans
 

@@ -1139,9 +1139,38 @@ def test_css_select_compounds_and_combinators(spark):
     assert len(names("[data-x=1]")) == 1
     assert len(names("*")) == 7                      # all elements
     assert len(names(".outer .item")) == 1
-    for bad in ("p:first-child", "a ~ b", ">p", "p >", "p,, q"):
+    for bad in ("p:first-child", ">p", "p >", "p,, q", "+ p", "p ~"):
         with _pytest.raises(ValueError):
             css_select(nodes, bad).collect()
+
+
+def test_css_select_sibling_combinators(spark):
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    # text and comment nodes between elements must NOT break sibling
+    # adjacency (CSS sibling relations are between *element* siblings).
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<div><h1>t</h1>stray<!-- c --><p>a</p><p>b</p>"
+                   "<span>s</span></div><p>outside</p>"),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def names(sel):
+        return sorted(r["name"] for r in css_select(nodes, sel).collect())
+
+    assert names("h1 + p") == ["p"]          # comment+text skipped
+    assert names("h1 ~ p") == ["p", "p"]     # both following p's, not outside
+    assert names("p + p") == ["p"]           # second p only
+    assert names("p ~ span") == ["span"]
+    assert names("span ~ p") == []           # ~ looks forward only
+    assert names("h1 + span") == []          # p sits between
+    assert names("div + p") == ["p"]         # top-level siblings
+    # chain after a sibling step: 'h1 ~ p + span'
+    assert names("h1 ~ p + span") == ["span"]
 
 
 def test_css_select_attr_operators_and_groups(spark):
