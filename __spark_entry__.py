@@ -571,6 +571,42 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_css_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural pseudo-classes compiled to window-ranked relational
+    plans: per url, match counts for a child+nth selector
+    ('ul > li:nth-child(2)'), a universal last-child ('head >
+    *:last-child'), a first-child ('tr:first-child'), and a negation
+    under the descendant axis ('body :not(p)') — all template-
+    predictable per page variant."""
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = build_pages(spark, sf_dir)
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def count_of(sel: str, alias: str) -> DataFrame:
+        return (
+            css_select(nodes, sel)
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return (
+        pages.select("url")
+        .join(count_of("ul > li:nth-child(2)", "n_li2"), "url", "left")
+        .join(count_of("head > *:last-child", "n_head_last"), "url", "left")
+        .join(count_of("tr:first-child", "n_tr_first"), "url", "left")
+        .join(count_of("body :not(p)", "n_not_p"), "url", "left")
+        .select(
+            "url",
+            F.coalesce("n_li2", F.lit(0)).alias("n_li2"),
+            F.coalesce("n_head_last", F.lit(0)).alias("n_head_last"),
+            F.coalesce("n_tr_first", F.lit(0)).alias("n_tr_first"),
+            F.coalesce("n_not_p", F.lit(0)).alias("n_not_p"),
+        )
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest roundtrip: synthesize a response record per page,
     parse it back with warc_record_udf, and emit (a) the parsed fields
@@ -1561,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_descendants": _q_descendants,
         "q_warc_roundtrip": _q_warc_roundtrip,
         "q_css_select": _q_css_select,
+        "q_css_pseudo": _q_css_pseudo,
         "q_line_dedup": _q_line_dedup,
         "q_pq_topk": _q_pq_topk,
         "q_ivfpq_topk": _q_ivfpq_topk,
@@ -2331,6 +2368,21 @@ def oracle_sql() -> dict[str, str]:
             "AS n_li_li, "
             "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_tbl_div FROM pages"
+        ),
+        "q_css_pseudo": (
+            # Variant 1: second li under ul; variant 0: head's last
+            # element child (style) and body non-p elements h1+a (2);
+            # variant 1 body non-p: ul,li,li,br,img (5); variant 2:
+            # first tr, and table,tr,tr,td,td,textarea,div (7).
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_li2, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_head_last, "
+            "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_tr_first, "
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 7 END "
+            "AS BIGINT) AS n_not_p FROM pages"
         ),
         "q_warc_roundtrip": (
             # The oracle re-synthesizes the record in DuckDB's dialect

@@ -23,11 +23,21 @@ Supported grammar (the high-traffic subset)::
 
     selector-list := selector ( ',' selector )*           -- union
     selector      := compound ( ( '>' | ' ' | '+' | '~' ) compound )*
-    compound      := [ tag | '*' ] ( '#id' | '.class' | attr-test )*
+    compound      := [ tag | '*' ] ( '#id' | '.class' | attr-test )* pseudo*
     attr-test     := '[attr]' | '[attr=v]' | '[attr^=v]' | '[attr$=v]' | '[attr*=v]'
+    pseudo        := ':first-child' | ':last-child' | ':only-child'
+                   | ':nth-child(An+B)' | ':nth-last-child(An+B)'
+                   | ':first-of-type' | ':last-of-type' | ':only-of-type'
+                   | ':nth-of-type(An+B)' | ':nth-last-of-type(An+B)'
+                   | ':not(compound)'
 
-Anything else (pseudo-classes, :nth-*) raises ``ValueError`` loudly
-rather than silently matching wrong rows.
+Structural pseudo-classes follow CSS child-indexing semantics: the
+position counts **element** siblings (rank among element children, or
+among same-name element children for the ``-of-type`` family) — the
+same window-ranked columns the sibling combinators use. Anything else
+(non-structural pseudos like ``:hover``, ``:nth`` expressions the An+B
+parser rejects) raises ``ValueError`` loudly rather than silently
+matching wrong rows.
 """
 
 from __future__ import annotations
@@ -40,23 +50,102 @@ from pyspark.sql import functions as F
 __all__ = ["css_select"]
 
 _ELEMENT_TYPES = ("tag", "script", "style")
-_TOKEN = re.compile(r"[>+~]|[^\s>+~]+")
+# A compound token is a run of plain chars, [...] groups, and (...)
+# groups — combinator chars inside brackets/parens (e.g. the '+' in
+# ':nth-child(2n+1)') must not split the compound.
+_TOKEN = re.compile(r"[>+~]|(?:\[[^\]]*\]|\([^)]*\)|[^\s>+~\[(]+)+")
 _COMBINATORS = {">": "child", "+": "adjacent", "~": "general"}
 _COMPOUND = re.compile(
-    r"^(?P<tag>\*|[A-Za-z][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)$"
+    r"^(?P<tag>\*|[A-Za-z][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)"
+    r"(?P<pseudo>(?::[\w-]+(?:\([^()]*\))?)*)$"
 )
 _SIMPLE = re.compile(r"[#.][\w-]+|\[[^\]]+\]")
 _ATTR_TEST = re.compile(r"^([\w-]+)(?:([\^$*]?=)(.*))?$")
+_PSEUDO = re.compile(r":([\w-]+)(?:\(([^()]*)\))?")
+# CSS An+B micro-syntax: a bare integer, or [sign][a]n[±b], odd, even.
+_NTH = re.compile(r"^(?:([+-]?\d+)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?)$")
+
+# Rank columns added by _augmented(): element rank / count per parent,
+# and the same pair per (parent, name) for the -of-type family.
+_AUG_COLS = ("__erank", "__ecount", "__trank", "__tcount")
 
 
-def _compound_pred(compound: str) -> Column:
+def _parse_nth(arg: str | None, pseudo: str) -> tuple[int, int]:
+    s = (arg or "").strip().lower()
+    if s == "odd":
+        return 2, 1
+    if s == "even":
+        return 2, 0
+    m = _NTH.match(s)
+    if not m:
+        raise ValueError(f"unsupported An+B expression in :{pseudo}({arg})")
+    if m.group(1) is not None:
+        return 0, int(m.group(1))
+    a_txt = m.group(2)
+    a = 1 if a_txt in ("", "+") else -1 if a_txt == "-" else int(a_txt)
+    b = int(m.group(4)) if m.group(4) is not None else 0
+    if m.group(3) == "-":
+        b = -b
+    return a, b
+
+
+def _nth_pred(rank: Column, a: int, b: int) -> Column:
+    """rank = a*n + b for some integer n >= 0."""
+    if a == 0:
+        return rank == b
+    cond = (rank - b) % a == 0
+    return cond & (rank >= b if a > 0 else rank <= b)
+
+
+def _pseudo_pred(name: str, arg: str | None) -> tuple[Column, bool]:
+    """(predicate, needs_rank) for one structural pseudo-class. All of
+    these need the window-ranked columns except :not of a rank-free
+    inner compound."""
+    er, ec = F.col("__erank"), F.col("__ecount")
+    tr, tc = F.col("__trank"), F.col("__tcount")
+    if name == "first-child":
+        return er == 1, True
+    if name == "last-child":
+        return er == ec, True
+    if name == "only-child":
+        return ec == 1, True
+    if name == "first-of-type":
+        return tr == 1, True
+    if name == "last-of-type":
+        return tr == tc, True
+    if name == "only-of-type":
+        return tc == 1, True
+    if name in ("nth-child", "nth-last-child"):
+        a, b = _parse_nth(arg, name)
+        rank = er if name == "nth-child" else ec - er + 1
+        return _nth_pred(rank, a, b), True
+    if name in ("nth-of-type", "nth-last-of-type"):
+        a, b = _parse_nth(arg, name)
+        rank = tr if name == "nth-of-type" else tc - tr + 1
+        return _nth_pred(rank, a, b), True
+    if name == "not":
+        if arg is None or not arg.strip():
+            raise ValueError(":not() needs an inner compound")
+        inner, inner_rank = _compound_pred(arg.strip())
+        return ~inner, inner_rank
+    raise ValueError(f"unsupported pseudo-class: :{name}")
+
+
+def _compound_pred(compound: str) -> tuple[Column, bool]:
     m = _COMPOUND.match(compound)
-    if not m or (not m.group("tag") and not m.group("rest")):
+    if not m or (
+        not m.group("tag") and not m.group("rest") and not m.group("pseudo")
+    ):
         raise ValueError(f"unsupported CSS compound: {compound!r}")
     pred = F.col("type").isin(*_ELEMENT_TYPES)
+    needs_rank = False
     tag = m.group("tag")
     if tag and tag != "*":
         pred = pred & (F.col("name") == tag.lower())
+    for pname, parg in _PSEUDO.findall(m.group("pseudo")):
+        p, r = _pseudo_pred(pname, parg if parg != "" else None)
+        pred = pred & p
+        needs_rank = needs_rank or r
     for simple in _SIMPLE.findall(m.group("rest")):
         if simple.startswith("#"):
             pred = pred & (F.col("attrs")["id"] == simple[1:])
@@ -87,7 +176,27 @@ def _compound_pred(compound: str) -> Column:
                 pred = pred & col.endswith(value)
             else:  # *=
                 pred = pred & col.contains(value)
-    return pred
+    return pred, needs_rank
+
+
+def _augmented(nodes: DataFrame, key_col: str) -> DataFrame:
+    """Element rows with the four rank columns (:pseudo-classes and
+    sibling combinators share them): two window passes, both partitioned
+    within-document — no cross-document shuffle wider than the element
+    rows themselves."""
+    wp = Window.partitionBy(key_col, "parent_id")
+    wt = Window.partitionBy(key_col, "parent_id", "name")
+    elems = nodes.filter(F.col("type").isin(*_ELEMENT_TYPES))
+    return (
+        elems.withColumn(
+            "__erank", F.row_number().over(wp.orderBy("idx_in_parent"))
+        )
+        .withColumn("__ecount", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "__trank", F.row_number().over(wt.orderBy("idx_in_parent"))
+        )
+        .withColumn("__tcount", F.count(F.lit(1)).over(wt))
+    )
 
 
 def css_select(
@@ -115,6 +224,13 @@ def css_select(
     ranked: DataFrame | None = None
     combinator = None
     expect_compound = True
+
+    def aug() -> DataFrame:
+        nonlocal ranked
+        if ranked is None:
+            ranked = _augmented(nodes, key_col)
+        return ranked
+
     for tok in tokens:
         if tok in _COMBINATORS:
             if expect_compound:
@@ -122,17 +238,14 @@ def css_select(
             combinator = _COMBINATORS[tok]
             expect_compound = True
             continue
+        pred, needs_rank = _compound_pred(tok)
         if ctx is None:
-            ctx = nodes.filter(_compound_pred(tok))
+            src = aug() if needs_rank else nodes
+            ctx = src.filter(pred)
+            if needs_rank:
+                ctx = ctx.drop(*_AUG_COLS)
         elif combinator in ("adjacent", "general"):
-            if ranked is None:
-                w = Window.partitionBy(key_col, "parent_id").orderBy(
-                    "idx_in_parent"
-                )
-                ranked = nodes.filter(
-                    F.col("type").isin(*_ELEMENT_TYPES)
-                ).withColumn("__erank", F.row_number().over(w))
-            anchor_info = ranked.join(
+            anchor_info = aug().join(
                 ctx.select(key_col, "node_id").distinct(),
                 [key_col, "node_id"],
             ).select(
@@ -140,7 +253,7 @@ def css_select(
                 F.col("parent_id").alias("__aparent"),
                 F.col("__erank").alias("__arank"),
             )
-            m = ranked.filter(_compound_pred(tok))
+            m = aug().filter(pred)
             rank_cond = (
                 F.col("__erank") == F.col("__arank") + 1
                 if combinator == "adjacent"
@@ -153,10 +266,13 @@ def css_select(
                 & rank_cond,
             )
             ctx = joined.drop(
-                "__akey", "__aparent", "__arank", "__erank"
+                "__akey", "__aparent", "__arank", *_AUG_COLS
             ).drop_duplicates([key_col, "node_id"])
         else:
-            matches = nodes.filter(_compound_pred(tok))
+            src = aug() if needs_rank else nodes
+            matches = src.filter(pred)
+            if needs_rank:
+                matches = matches.drop(*_AUG_COLS)
             anchors = ctx.select(
                 key_col, F.col("node_id").alias("__anchor")
             ).distinct()

@@ -1139,9 +1139,51 @@ def test_css_select_compounds_and_combinators(spark):
     assert len(names("[data-x=1]")) == 1
     assert len(names("*")) == 7                      # all elements
     assert len(names(".outer .item")) == 1
-    for bad in ("p:first-child", ">p", "p >", "p,, q", "+ p", "p ~"):
+    for bad in ("p:hover", ">p", "p >", "p,, q", "+ p", "p ~",
+                "p:nth-child(2n+x)", "li:not()"):
         with _pytest.raises(ValueError):
             css_select(nodes, bad).collect()
+
+
+def test_css_select_pseudo_classes(spark):
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    # ul children: 4 li (with text children between ranks irrelevant);
+    # div children: h1, p, p, span; body children: ul, div, p.
+    pages = spark.createDataFrame(
+        [
+            ("u1",
+             "<ul><li>1</li>x<li>2</li><li>3</li><li>4</li></ul>"
+             '<div><h1>t</h1><p class="intro">a</p><p>b</p>'
+             "<span>s</span></div><p>solo</p>"),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def got(sel):
+        return sorted(
+            (r["name"], r["node_id"])
+            for r in css_select(nodes, sel).collect()
+        )
+
+    assert len(got("li:first-child")) == 1
+    assert len(got("li:last-child")) == 1
+    assert len(got("li:nth-child(2)")) == 1          # text child skipped
+    assert len(got("li:nth-child(odd)")) == 2        # ranks 1,3
+    assert len(got("li:nth-child(2n)")) == 2         # ranks 2,4
+    assert len(got("li:nth-child(n+3)")) == 2        # ranks 3,4
+    assert len(got("li:nth-child(-n+2)")) == 2       # ranks 1,2
+    assert len(got("li:nth-last-child(1)")) == 1     # rank 4
+    assert len(got("p:first-of-type")) == 2          # div's first p + root's p
+    assert len(got("div p:first-of-type")) == 1
+    assert len(got("p:only-of-type")) == 1           # body's solo p
+    assert len(got("span:only-child")) == 0
+    assert len(got("p:not(.intro)")) == 2
+    assert len(got("div :not(p)")) == 2              # h1 + span
+    assert len(got("ul > li:nth-child(2)")) == 1
+    assert len(got("li:first-child + li")) == 1      # pseudo then sibling
 
 
 def test_css_select_sibling_combinators(spark):
