@@ -86,7 +86,15 @@ def _insert(
 ) -> DataFrame:
     """Shared insertion machinery: one new node per anchor row, placed by
     ``ord_expr`` among existing siblings (which sit at ``idx*2``), then
-    idx_in_parent re-ranked dense."""
+    idx_in_parent re-ranked dense.
+
+    The input is localCheckpoint'ed (lazily) first: each helper
+    references its input three times (rows, per-url max id, anchors),
+    so a chain of k mutations over an un-materialized parse would
+    re-run the upstream plan O(3^k) times — the checkpoint bounds it
+    to one materialization per mutation (linear in chain length), the
+    same lineage-truncation trade remove_elements already makes."""
+    nodes = nodes.localCheckpoint(eager=False)
     anchors = nodes.filter(predicate(nodes))
     sel = [
         F.col(key_col),
@@ -187,6 +195,9 @@ def replace_element(nodes: DataFrame, predicate, spec: dict,
     keeps its children, so they are gone from the document)."""
     from .domquery import _descendant_ids
 
+    # Same recompute bound as _insert: the input feeds the subtree
+    # closure, the anti-join, and the overwrite.
+    nodes = nodes.localCheckpoint(eager=False)
     matched = nodes.filter(predicate(nodes)).select(
         F.col(key_col).alias("rm_url"), F.col("node_id").alias("rm_id")
     )
