@@ -105,6 +105,105 @@ def test_insert_orders_and_ancestors(spark):
 
 
 @pytest.mark.spark
+def test_mutation_fuzz_invariants(spark):
+    """Seeded random op chains over random safe trees: after any chain,
+    (a) idx_in_parent is dense 0..k-1 per parent, (b) every parent_id
+    exists (or is -1), (c) node_ids are unique, and (d) the mutated
+    table serializes -> reparses to the same element-name multiset and
+    textContent."""
+    import random
+
+    from htmlparser2_spark.engine.dom import parse_document, text_content
+
+    tags = ["p", "div", "span", "li", "em", "b"]
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        docs = []
+        for d in range(6):
+            parts = []
+            for _ in range(rng.randint(1, 5)):
+                t = rng.choice(tags)
+                parts.append(f"<{t}>w{rng.randint(0, 9)} </{t}>")
+            docs.append((f"u{d}", "<html><body>"
+                         + "".join(parts) + "</body></html>"))
+        pages = spark.createDataFrame(docs, "url string, html string")
+        nodes = explode_nodes(pages)
+        ops = [
+            lambda n: append_child(
+                n, lambda x: F.col("name") == rng.choice(tags),
+                {"type": "text", "data": "A "},
+            ),
+            lambda n: prepend_child(
+                n, lambda x: F.col("name") == "body",
+                {"type": "tag", "name": "nav"},
+            ),
+            lambda n: append(
+                n, lambda x: F.col("name") == rng.choice(tags),
+                {"type": "tag", "name": "hr"},
+            ),
+            lambda n: prepend(
+                n, lambda x: F.col("name") == rng.choice(tags),
+                {"type": "text", "data": "B "},
+            ),
+        ]
+        rng.shuffle(ops)
+        for op in ops[: rng.randint(2, 4)]:
+            nodes = op(nodes)
+        rows = nodes.collect()
+        by_url: dict[str, list] = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append(r)
+        for url, rs in by_url.items():
+            ids = [r["node_id"] for r in rs]
+            assert len(ids) == len(set(ids)), f"{url}: duplicate node_ids"
+            id_set = set(ids)
+            kids: dict[int, list[int]] = {}
+            for r in rs:
+                assert r["parent_id"] == -1 or r["parent_id"] in id_set
+                kids.setdefault(r["parent_id"], []).append(
+                    r["idx_in_parent"]
+                )
+            for pid, idxs in kids.items():
+                assert sorted(idxs) == list(range(len(idxs))), (
+                    f"{url} parent {pid}: non-dense idx {sorted(idxs)}"
+                )
+        rendered = {
+            r["url"]: r["manip_html"]
+            for r in serialize_nodes(nodes).collect()
+        }
+        for url, rs in by_url.items():
+            reparsed = parse_document(rendered[url])
+            assert sorted(
+                n["name"] for n in reparsed if n["name"] is not None
+            ) == sorted(r["name"] for r in rs if r["name"] is not None)
+            # textContent of the mutated adjacency == reparsed text.
+            expected = "".join(
+                p[1]["data"]
+                for p in sorted(
+                    (
+                        (_doc_order_key(r, rs), r)
+                        for r in rs
+                        if r["type"] == "text"
+                    ),
+                    key=lambda p: p[0],
+                )
+            )
+            assert text_content(reparsed) == expected
+
+
+def _doc_order_key(row, rows):
+    """Depth-first document-order key from (parent_id, idx_in_parent)
+    chains — node_id order is NOT document order after mutation."""
+    by_id = {r["node_id"]: r for r in rows}
+    key = []
+    cur = row
+    while cur is not None:
+        key.append(cur["idx_in_parent"])
+        cur = by_id.get(cur["parent_id"])
+    return tuple(reversed(key))
+
+
+@pytest.mark.spark
 def test_replace_drops_subtree(spark):
     html = "<html><body><div><p>inner<b>deep</b></p></div><p>keep</p></body></html>"
     nodes = explode_nodes(_pages(spark, html=html))
