@@ -24,7 +24,8 @@ Supported grammar (the high-traffic subset)::
     selector-list := selector ( ',' selector )*           -- union
     selector      := compound ( ( '>' | ' ' | '+' | '~' ) compound )*
     compound      := [ tag | '*' ] ( '#id' | '.class' | attr-test )* pseudo*
-    attr-test     := '[attr]' | '[attr=v]' | '[attr^=v]' | '[attr$=v]' | '[attr*=v]'
+    attr-test     := '[attr]' | '[attr=v]' | '[attr^=v]' | '[attr$=v]'
+                   | '[attr*=v]' | '[attr~=v]' | '[attr|=v]'
     pseudo        := ':first-child' | ':last-child' | ':only-child'
                    | ':nth-child(An+B)' | ':nth-last-child(An+B)'
                    | ':first-of-type' | ':last-of-type' | ':only-of-type'
@@ -60,7 +61,7 @@ _COMPOUND = re.compile(
     r"(?P<pseudo>(?::[\w-]+(?:\([^()]*\))?)*)$"
 )
 _SIMPLE = re.compile(r"[#.][\w-]+|\[[^\]]+\]")
-_ATTR_TEST = re.compile(r"^([\w-]+)(?:([\^$*]?=)(.*))?$")
+_ATTR_TEST = re.compile(r"^([\w-]+)(?:([~|^$*]?=)(.*))?$")
 _PSEUDO = re.compile(r":([\w-]+)(?:\(([^()]*)\))?")
 # CSS An+B micro-syntax: a bare integer, or [sign][a]n[±b], odd, even.
 _NTH = re.compile(r"^(?:([+-]?\d+)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?)$")
@@ -156,7 +157,7 @@ def _compound_pred(compound: str) -> tuple[Column, bool]:
                 simple[1:],
             )
         else:
-            # ~=, |=, != etc. must NOT silently compile to a garbage
+            # != etc. must NOT silently compile to a garbage
             # attribute-name lookup — reject anything but the
             # supported operators explicitly.
             am = _ATTR_TEST.match(simple[1:-1].strip())
@@ -174,6 +175,18 @@ def _compound_pred(compound: str) -> tuple[Column, bool]:
                 pred = pred & col.startswith(value)
             elif op == "$=":
                 pred = pred & col.endswith(value)
+            elif op == "~=":
+                # whitespace-separated token list contains the value
+                # exactly (the .class mechanic, generalized)
+                pred = pred & F.array_contains(
+                    F.split(F.coalesce(col, F.lit("")), r"\s+"), value
+                )
+            elif op == "|=":
+                # exact match or value followed by a hyphen (the CSS
+                # lang-subcode operator)
+                pred = pred & (
+                    (col == value) | col.startswith(value + "-")
+                )
             else:  # *=
                 pred = pred & col.contains(value)
     return pred, needs_rank

@@ -1236,8 +1236,26 @@ def test_css_select_attr_operators_and_groups(spark):
     assert n("[href^=https]") == 1
     assert n("[src$=.png]") == 1
     assert n("[class*=ou]") == 1
+    assert n("[class~=wrap]") == 1       # token-list contains
+    assert n("[class~=ou]") == 0         # substring is not a token
     assert n("a, img") == 4
     assert n("a[href^=http], [src]") == 4  # union dedups per element
+
+
+def test_css_select_attr_dashmatch(spark):
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<p lang="en">a</p><p lang="en-US">b</p>'
+                   '<p lang="enx">c</p><p>d</p>'),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+    assert css_select(nodes, "[lang|=en]").count() == 2  # en, en-US
+    assert css_select(nodes, "[lang~=en-US]").count() == 1
 
 
 def test_frequent_line_removal(spark):
@@ -1344,9 +1362,12 @@ def test_css_select_rejects_unsupported_attr_ops(spark):
                               "url string, html string"),
         with_ancestors=True,
     )
-    for bad in ("a[rel~=noopener]", "a[rel|=x]", "a[rel!=y]", "*p"):
+    for bad in ("a[rel!=y]", "a[rel?=y]", "*p"):
         with _pytest.raises(ValueError):
             css_select(nodes, bad).collect()
+    # ~= and |= are supported since round 3.
+    assert css_select(nodes, "a[rel~=noopener]").count() == 1
+    assert css_select(nodes, "a[rel|=x]").count() == 0
 
 
 def test_minhash_lsh_rejects_non_divisible_bands(spark, dup_docs):
