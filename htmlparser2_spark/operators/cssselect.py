@@ -30,7 +30,7 @@ Supported grammar (the high-traffic subset)::
                    | ':nth-child(An+B)' | ':nth-last-child(An+B)'
                    | ':first-of-type' | ':last-of-type' | ':only-of-type'
                    | ':nth-of-type(An+B)' | ':nth-last-of-type(An+B)'
-                   | ':not(compound)'
+                   | ':not(compound)' | ':empty' | ':root'
 
 Structural pseudo-classes follow CSS child-indexing semantics: the
 position counts **element** siblings (rank among element children, or
@@ -67,8 +67,9 @@ _PSEUDO = re.compile(r":([\w-]+)(?:\(([^()]*)\))?")
 _NTH = re.compile(r"^(?:([+-]?\d+)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?)$")
 
 # Rank columns added by _augmented(): element rank / count per parent,
-# and the same pair per (parent, name) for the -of-type family.
-_AUG_COLS = ("__erank", "__ecount", "__trank", "__tcount")
+# the same pair per (parent, name) for the -of-type family, and the
+# content-children count for :empty.
+_AUG_COLS = ("__erank", "__ecount", "__trank", "__tcount", "__kidcount")
 
 
 def _parse_nth(arg: str | None, pseudo: str) -> tuple[int, int]:
@@ -124,6 +125,10 @@ def _pseudo_pred(name: str, arg: str | None) -> tuple[Column, bool]:
         a, b = _parse_nth(arg, name)
         rank = tr if name == "nth-of-type" else tc - tr + 1
         return _nth_pred(rank, a, b), True
+    if name == "empty":
+        return F.col("__kidcount") == 0, True
+    if name == "root":
+        return F.col("parent_id") == -1, False
     if name == "not":
         if arg is None or not arg.strip():
             raise ValueError(":not() needs an inner compound")
@@ -200,6 +205,17 @@ def _augmented(nodes: DataFrame, key_col: str) -> DataFrame:
     wp = Window.partitionBy(key_col, "parent_id")
     wt = Window.partitionBy(key_col, "parent_id", "name")
     elems = nodes.filter(F.col("type").isin(*_ELEMENT_TYPES))
+    # :empty counts content children per the CSS definition: elements
+    # and non-empty text/cdata affect emptiness; comments and PIs do
+    # not.
+    kid_counts = (
+        nodes.filter(
+            F.col("type").isin(*_ELEMENT_TYPES)
+            | (F.col("type").isin("text", "cdata") & (F.col("data") != ""))
+        )
+        .groupBy(key_col, F.col("parent_id").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("__kidcount"))
+    )
     return (
         elems.withColumn(
             "__erank", F.row_number().over(wp.orderBy("idx_in_parent"))
@@ -209,6 +225,8 @@ def _augmented(nodes: DataFrame, key_col: str) -> DataFrame:
             "__trank", F.row_number().over(wt.orderBy("idx_in_parent"))
         )
         .withColumn("__tcount", F.count(F.lit(1)).over(wt))
+        .join(kid_counts, [key_col, "node_id"], "left")
+        .withColumn("__kidcount", F.coalesce("__kidcount", F.lit(0)))
     )
 
 

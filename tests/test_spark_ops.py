@@ -1186,6 +1186,30 @@ def test_css_select_pseudo_classes(spark):
     assert len(got("li:first-child + li")) == 1      # pseudo then sibling
 
 
+def test_css_select_empty_and_root(spark):
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<div><span></span><p><!-- c --></p><b> </b>"
+                   "<i>x</i></div>"),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def names(sel):
+        return sorted(r["name"] for r in css_select(nodes, sel).collect())
+
+    # span has no children; p has only a comment (comments do not
+    # affect emptiness); b has a whitespace text child (non-zero-length
+    # text DOES count as content); i has text.
+    assert names(":empty") == ["p", "span"]
+    assert names(":root") == ["div"]
+    assert names("div > :not(:empty)") == ["b", "i"]
+
+
 def test_css_select_sibling_combinators(spark):
     from htmlparser2_spark.operators.cssselect import css_select
     from htmlparser2_spark.operators.domquery import explode_nodes
