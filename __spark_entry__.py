@@ -879,6 +879,30 @@ def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-lite main-content block selection (the north rule's
+    'DOM heuristics' half of boilerplate stripping; engine/readability.py
+    scores block candidates by link-penalized subtree text mass and
+    returns the winner's normalized text).
+
+    Oracle derivation per page variant (whitespace-stripped char counts;
+    Dlen = digits of doc_id, Tlen = stripped text length):
+
+    * v0: candidates are <body> and <p>. body = (3+Dlen) h1 + Tlen p +
+      4 link chars, link-penalized and child-penalized (4 children):
+      score = Dlen+Tlen-5; p score = Tlen-2. body wins iff Dlen > 3
+      (score ties break toward the deeper node), so doc_id >= 1000 ->
+      'Doc N ... more', else the bare text.
+    * v1/v2: no links; <body> always out-scores ul/table/td/li/div.
+    """
+    from htmlparser2_spark.functions.udfs import main_content_udf
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select(
+        "url", main_content_udf()(F.col("html")).alias("content")
+    )
+
+
 def _q_inner_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """domutils innerText: rendered text (script/style subtrees skipped,
     <br> -> newline) — oracle derives it per page variant."""
@@ -1610,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": _q_url_canon,
         "q_image_meta": _q_image_meta,
         "q_clean_text": _q_clean_text,
+        "q_main_content": _q_main_content,
         "q_inner_text": _q_inner_text,
         "q_inner_html": _q_inner_html,
         "q_prev_siblings": _q_prev_siblings,
@@ -2103,6 +2128,20 @@ def oracle_sql() -> dict[str, str]:
             "' A & B <tag> !' "
             "ELSE 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || ' T & A tail' "
             "END AS main_text FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
+        ),
+        "q_main_content": (
+            # v0: body beats p only when doc_id has >3 digits (see the
+            # score derivation in _q_main_content's docstring); v1/v2
+            # body always wins.
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE d.doc_id % 3 "
+            "WHEN 0 THEN CASE WHEN length(CAST(d.doc_id AS STRING)) > 3 "
+            "THEN 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || ' more' "
+            "ELSE d.text END "
+            "WHEN 1 THEN 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || "
+            "' A & B <tag> !' "
+            "ELSE 'Doc ' || CAST(d.doc_id AS STRING) || ' ' || d.text || ' T & A tail' "
+            "END AS content FROM pages p JOIN documents d ON p.doc_id = d.doc_id"
         ),
         "q_inner_text": (
             f"WITH {_PAGES_CTE} SELECT url, "

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from .dom import parse_document
 
-__all__ = ["main_content", "main_content_nodes"]
+__all__ = ["main_content", "main_content_nodes", "main_content_text"]
 
 _BLOCK_CANDIDATES = frozenset(
     ("div", "article", "main", "section", "td", "li", "body", "p", "pre", "blockquote")
@@ -82,14 +82,14 @@ def main_content_nodes(nodes: list[dict]) -> int | None:
     return best_id
 
 
-def main_content(html: str) -> str:
-    """Extract the main content text of an HTML document."""
-    nodes = parse_document(html)
+def main_content_text(nodes: list[dict]) -> str:
+    """Main-content text from an already-parsed node list: normalized
+    text inside the winning subtree (script/style skipped, like
+    clean_text). Node-list entry point so batch UDFs can reuse one
+    parser across rows."""
     best = main_content_nodes(nodes)
     if best is None:
         return ""
-    # Collect normalized text inside the winning subtree (skipping
-    # script/style content, like clean_text).
     inside = {best}
     skip: set[int] = set()
     out: list[str] = []
@@ -108,3 +108,8 @@ def main_content(html: str) -> str:
             if piece:
                 out.append(piece)
     return " ".join(out)
+
+
+def main_content(html: str) -> str:
+    """Extract the main content text of an HTML document."""
+    return main_content_text(parse_document(html))

@@ -7,6 +7,7 @@ Equivalents of the reference's API surface (/root/reference/src/index.ts):
 * ``extract_text_udf``  — parseDocument + DomUtils textContent, fused into
   a text-only handler (no DOM materialization) for the hot path
 * ``clean_text_udf``    — boilerplate-stripping variant
+* ``main_content_udf``  — readability-lite main-content block selection
 * ``dom_nodes_udf``     — parseDocument as an adjacency node array
 * ``parser_events_udf`` — the Handler event stream (testHelper shape)
 * ``feed_udf``          — parseFeed
@@ -38,6 +39,7 @@ from ..engine.sitemap import get_sitemap
 __all__ = [
     "extract_text_udf",
     "clean_text_udf",
+    "main_content_udf",
     "inner_text_udf",
     "dom_nodes_udf",
     "node_counts_udf",
@@ -233,6 +235,29 @@ def clean_text_udf(**options):
         return html.map(one)
 
     return _clean
+
+
+def main_content_udf(**options):
+    """Readability-lite main-content selection (north rule's "HTML
+    boilerplate strip ... DOM heuristics"): parse, score block
+    candidates by link-penalized subtree text mass, return the winning
+    block's normalized text (engine/readability.py). Same batch shape
+    as clean_text_udf: one reused parser per Arrow batch."""
+
+    @F.pandas_udf(StringType())
+    def _main(html: pd.Series) -> pd.Series:
+        from ..engine.readability import main_content_text
+
+        handler = DomArrayHandler(with_indices=False)
+        parser = _make_parser(handler, options)
+
+        def one(value) -> str:
+            parser.parse(_to_str(value))
+            return main_content_text(handler.nodes)
+
+        return html.map(one)
+
+    return _main
 
 
 NODE_SCHEMA = ArrayType(

@@ -42,3 +42,25 @@ def test_empty_and_textless():
 def test_whitespace_normalized():
     page = "<body><div><p>a\n   b\t c</p></div></body>"
     assert main_content(page) == "a b c"
+
+
+def test_pages_v0_winner_flips_on_doc_id_digits():
+    """The q_main_content oracle's v0 branch: <body> out-scores the <p>
+    only when the doc-id string exceeds 3 digits (score difference is
+    Dlen - 3; ties break toward the deeper node). Pinned here because
+    the sf0.01 gate corpus (doc_id <= 499) only exercises the <p> arm."""
+
+    def v0(i: int, t: str) -> str:
+        return (
+            f'<!DOCTYPE html><html lang="en"><head><title>Doc {i}</title>'
+            "<script>var x = 1 < 2;</script><style>p { color: red }</style>"
+            f"</head><body><h1>Doc {i}</h1><!-- src:web -->"
+            f'<p class="c{i % 7}">{t}</p>'
+            f'<a href="https://example.com/doc/{i}">more</a></body></html>'
+        )
+
+    text = "some sentence with several words in it"
+    for i in (0, 9, 99, 999):
+        assert main_content(v0(i, text)) == text
+    for i in (1000, 4999, 123456):
+        assert main_content(v0(i, text)) == f"Doc {i} {text} more"

@@ -440,13 +440,9 @@ def test_pdf_spans_and_text(spark):
 
 
 def test_main_content_udf_shape(spark):
-    from pyspark.sql.types import StringType
+    from htmlparser2_spark.functions.udfs import main_content_udf
 
-    from htmlparser2_spark.engine.readability import main_content
-
-    @F.pandas_udf(StringType())
-    def main_udf(html: pd.Series) -> pd.Series:
-        return html.map(lambda b: main_content(bytes(b).decode("utf-8", "replace")))
+    main_udf = main_content_udf()
 
     page = (
         b'<body><div id=n><a href=/>Home</a><a href=/a>About</a></div>'
