@@ -575,8 +575,10 @@ def _q_css_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural pseudo-classes compiled to window-ranked relational
     plans: per url, match counts for a child+nth selector
     ('ul > li:nth-child(2)'), a universal last-child ('head >
-    *:last-child'), a first-child ('tr:first-child'), and a negation
-    under the descendant axis ('body :not(p)') — all template-
+    *:last-child'), a first-child ('tr:first-child'), a negation
+    under the descendant axis ('body :not(p)'), a :has semi-join
+    ('body:has(a)'), a subtree-text match ('*:contains(Doc)'), and
+    their composition ('ul:has(li:contains(Doc))') — all template-
     predictable per page variant."""
     from htmlparser2_spark.operators.cssselect import css_select
     from htmlparser2_spark.operators.domquery import explode_nodes
@@ -597,12 +599,22 @@ def _q_css_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(count_of("head > *:last-child", "n_head_last"), "url", "left")
         .join(count_of("tr:first-child", "n_tr_first"), "url", "left")
         .join(count_of("body :not(p)", "n_not_p"), "url", "left")
+        .join(count_of("body:has(a)", "n_has_a"), "url", "left")
+        .join(count_of("*:contains(Doc)", "n_contains_doc"), "url", "left")
+        .join(
+            count_of("ul:has(li:contains(Doc))", "n_has_li_doc"),
+            "url",
+            "left",
+        )
         .select(
             "url",
             F.coalesce("n_li2", F.lit(0)).alias("n_li2"),
             F.coalesce("n_head_last", F.lit(0)).alias("n_head_last"),
             F.coalesce("n_tr_first", F.lit(0)).alias("n_tr_first"),
             F.coalesce("n_not_p", F.lit(0)).alias("n_not_p"),
+            F.coalesce("n_has_a", F.lit(0)).alias("n_has_a"),
+            F.coalesce("n_contains_doc", F.lit(0)).alias("n_contains_doc"),
+            F.coalesce("n_has_li_doc", F.lit(0)).alias("n_has_li_doc"),
         )
     )
 
@@ -2421,7 +2433,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_tr_first, "
             "CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 7 END "
-            "AS BIGINT) AS n_not_p FROM pages"
+            "AS BIGINT) AS n_not_p, "
+            # body:has(a): only variant 0 carries a link.
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_has_a, "
+            # *:contains(Doc): ancestor chains of the 'Doc N' text nodes
+            # (corpus text never contains 'Doc'): v0 title+head+html+
+            # h1+body (5), v1 li+ul+body+html (4), v2 td+tr+table+body+
+            # html (5).
+            "CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 4 ELSE 5 END "
+            "AS BIGINT) AS n_contains_doc, "
+            # ul:has(li:contains(Doc)): only variant 1 has a ul.
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_has_li_doc FROM pages"
         ),
         "q_warc_roundtrip": (
             # The oracle re-synthesizes the record in DuckDB's dialect

@@ -31,13 +31,33 @@ Supported grammar (the high-traffic subset)::
                    | ':first-of-type' | ':last-of-type' | ':only-of-type'
                    | ':nth-of-type(An+B)' | ':nth-last-of-type(An+B)'
                    | ':not(compound)' | ':empty' | ':root'
+                   | ':is(compound-list)' | ':where(...)' | ':matches(...)'
+                   | ':contains(text)' | ':icontains(text)'
+                   | ':has(compound-list)' | ':has(> compound-list)'
 
 Structural pseudo-classes follow CSS child-indexing semantics: the
 position counts **element** siblings (rank among element children, or
 among same-name element children for the ``-of-type`` family) — the
-same window-ranked columns the sibling combinators use. Anything else
-(non-structural pseudos like ``:hover``, ``:nth`` expressions the An+B
-parser rejects) raises ``ValueError`` loudly rather than silently
+same window-ranked columns the sibling combinators use.
+
+The css-select content/relational pseudos compile to relational shapes:
+
+* ``:contains``/``:icontains`` match on subtree text (domutils getText
+  semantics: text + CDATA descendants in document order, ``<br>`` as a
+  newline, script/style text included). The subtree text is built once
+  per selector — text rows explode their ``ancestors`` column and
+  concat per element — so using these pseudos costs one extra
+  within-document shuffle of O(text nodes x depth) and requires a
+  nodes table built ``with_ancestors=True``.
+* ``:has(inner)`` is a semi-join against the inner matches: descendant
+  mode joins on the inner matches' ``ancestors`` membership
+  (``with_ancestors=True`` required), ``:has(> inner)`` on their
+  ``parent_id``. The inner selector is a compound list (no deeper
+  combinator chains, no nested ``:has``) — anything else raises.
+
+Anything else (non-structural pseudos like ``:hover``, ``:nth``
+expressions the An+B parser rejects, nested parentheses the tokenizer
+cannot see into) raises ``ValueError`` loudly rather than silently
 matching wrong rows.
 """
 
@@ -53,16 +73,19 @@ __all__ = ["css_select"]
 _ELEMENT_TYPES = ("tag", "script", "style")
 # A compound token is a run of plain chars, [...] groups, and (...)
 # groups — combinator chars inside brackets/parens (e.g. the '+' in
-# ':nth-child(2n+1)') must not split the compound.
-_TOKEN = re.compile(r"[>+~]|(?:\[[^\]]*\]|\([^)]*\)|[^\s>+~\[(]+)+")
+# ':nth-child(2n+1)') must not split the compound. Paren groups allow
+# one nesting level so ':not(:contains(x))' / ':has(li:nth-child(2))'
+# parse; deeper nesting fails the compound match and raises loudly.
+_PARENS = r"\((?:[^()]|\([^()]*\))*\)"
+_TOKEN = re.compile(rf"[>+~]|(?:\[[^\]]*\]|{_PARENS}|[^\s>+~\[(]+)+")
 _COMBINATORS = {">": "child", "+": "adjacent", "~": "general"}
 _COMPOUND = re.compile(
     r"^(?P<tag>\*|[A-Za-z][A-Za-z0-9-]*)?(?P<rest>(?:[#.][\w-]+|\[[^\]]+\])*)"
-    r"(?P<pseudo>(?::[\w-]+(?:\([^()]*\))?)*)$"
+    rf"(?P<pseudo>(?::[\w-]+(?:{_PARENS})?)*)$"
 )
 _SIMPLE = re.compile(r"[#.][\w-]+|\[[^\]]+\]")
 _ATTR_TEST = re.compile(r"^([\w-]+)(?:([~|^$*]?=)(.*))?$")
-_PSEUDO = re.compile(r":([\w-]+)(?:\(([^()]*)\))?")
+_PSEUDO = re.compile(rf":([\w-]+)(?:\(((?:[^()]|\([^()]*\))*)\))?")
 # CSS An+B micro-syntax: a bare integer, or [sign][a]n[±b], odd, even.
 _NTH = re.compile(r"^(?:([+-]?\d+)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?)$")
 
@@ -99,45 +122,104 @@ def _nth_pred(rank: Column, a: int, b: int) -> Column:
     return cond & (rank >= b if a > 0 else rank <= b)
 
 
-def _pseudo_pred(name: str, arg: str | None) -> tuple[Column, bool]:
-    """(predicate, needs_rank) for one structural pseudo-class. All of
-    these need the window-ranked columns except :not of a rank-free
-    inner compound."""
+def _split_top(s: str) -> list[str]:
+    """Split a selector list on commas outside [...] / (...) groups."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    if not all(parts):
+        raise ValueError(f"empty branch in selector list: {s!r}")
+    return parts
+
+
+def _strip_quotes(value: str) -> str:
+    if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+        return value[1:-1]
+    return value
+
+
+def _pseudo_pred(name: str, arg: str | None) -> tuple[Column, bool, bool]:
+    """(predicate, needs_rank, needs_text) for one column-compilable
+    pseudo-class. ``:has`` is handled by _compound_pred (it is a
+    semi-join, not a column)."""
     er, ec = F.col("__erank"), F.col("__ecount")
     tr, tc = F.col("__trank"), F.col("__tcount")
     if name == "first-child":
-        return er == 1, True
+        return er == 1, True, False
     if name == "last-child":
-        return er == ec, True
+        return er == ec, True, False
     if name == "only-child":
-        return ec == 1, True
+        return ec == 1, True, False
     if name == "first-of-type":
-        return tr == 1, True
+        return tr == 1, True, False
     if name == "last-of-type":
-        return tr == tc, True
+        return tr == tc, True, False
     if name == "only-of-type":
-        return tc == 1, True
+        return tc == 1, True, False
     if name in ("nth-child", "nth-last-child"):
         a, b = _parse_nth(arg, name)
         rank = er if name == "nth-child" else ec - er + 1
-        return _nth_pred(rank, a, b), True
+        return _nth_pred(rank, a, b), True, False
     if name in ("nth-of-type", "nth-last-of-type"):
         a, b = _parse_nth(arg, name)
         rank = tr if name == "nth-of-type" else tc - tr + 1
-        return _nth_pred(rank, a, b), True
+        return _nth_pred(rank, a, b), True, False
     if name == "empty":
-        return F.col("__kidcount") == 0, True
+        return F.col("__kidcount") == 0, True, False
     if name == "root":
-        return F.col("parent_id") == -1, False
+        return F.col("parent_id") == -1, False, False
+    if name in ("contains", "icontains"):
+        if arg is None:
+            raise ValueError(f":{name}() needs a text argument")
+        value = _strip_quotes(arg)
+        if name == "icontains":
+            return (
+                F.lower(F.col("__subtext")).contains(value.lower()),
+                False,
+                True,
+            )
+        return F.col("__subtext").contains(value), False, True
+    if name in ("is", "matches", "where"):
+        if arg is None or not arg.strip():
+            raise ValueError(f":{name}() needs a compound list")
+        pred = None
+        needs_rank = needs_text = False
+        for part in _split_top(arg):
+            p, r, t, has_specs = _compound_pred(part)
+            if has_specs:
+                raise ValueError(f":has is not supported inside :{name}()")
+            pred = p if pred is None else (pred | p)
+            needs_rank = needs_rank or r
+            needs_text = needs_text or t
+        return pred, needs_rank, needs_text
     if name == "not":
         if arg is None or not arg.strip():
             raise ValueError(":not() needs an inner compound")
-        inner, inner_rank = _compound_pred(arg.strip())
-        return ~inner, inner_rank
+        inner, inner_rank, inner_text, has_specs = _compound_pred(arg.strip())
+        if has_specs:
+            raise ValueError(":has is not supported inside :not()")
+        return ~inner, inner_rank, inner_text
     raise ValueError(f"unsupported pseudo-class: :{name}")
 
 
-def _compound_pred(compound: str) -> tuple[Column, bool]:
+def _compound_pred(
+    compound: str,
+) -> tuple[Column, bool, bool, list[list[tuple[str, Column, bool, bool]]]]:
+    """(pred, needs_rank, needs_text, has_specs). Each has_spec is one
+    ``:has()`` occurrence — a list of (mode, inner_pred, inner_rank,
+    inner_text) alternatives (the comma list inside the parens), AND-ed
+    across occurrences and OR-ed within one."""
     m = _COMPOUND.match(compound)
     if not m or (
         not m.group("tag") and not m.group("rest") and not m.group("pseudo")
@@ -145,13 +227,31 @@ def _compound_pred(compound: str) -> tuple[Column, bool]:
         raise ValueError(f"unsupported CSS compound: {compound!r}")
     pred = F.col("type").isin(*_ELEMENT_TYPES)
     needs_rank = False
+    needs_text = False
+    has_specs: list[list[tuple[str, Column, bool, bool]]] = []
     tag = m.group("tag")
     if tag and tag != "*":
         pred = pred & (F.col("name") == tag.lower())
     for pname, parg in _PSEUDO.findall(m.group("pseudo")):
-        p, r = _pseudo_pred(pname, parg if parg != "" else None)
+        if pname == "has":
+            if parg is None or not parg.strip():
+                raise ValueError(":has() needs an inner compound list")
+            spec: list[tuple[str, Column, bool, bool]] = []
+            for part in _split_top(parg):
+                mode = "descendant"
+                if part.startswith(">"):
+                    mode = "child"
+                    part = part[1:].strip()
+                ip, ir, it, inner_has = _compound_pred(part)
+                if inner_has:
+                    raise ValueError(":has() cannot nest :has()")
+                spec.append((mode, ip, ir, it))
+            has_specs.append(spec)
+            continue
+        p, r, t = _pseudo_pred(pname, parg if parg != "" else None)
         pred = pred & p
         needs_rank = needs_rank or r
+        needs_text = needs_text or t
     for simple in _SIMPLE.findall(m.group("rest")):
         if simple.startswith("#"):
             pred = pred & (F.col("attrs")["id"] == simple[1:])
@@ -194,7 +294,42 @@ def _compound_pred(compound: str) -> tuple[Column, bool]:
                 )
             else:  # *=
                 pred = pred & col.contains(value)
-    return pred, needs_rank
+    return pred, needs_rank, needs_text, has_specs
+
+
+def _subtree_text(nodes: DataFrame, key_col: str) -> DataFrame:
+    """(key, node_id, __subtext): per-element subtree text with domutils
+    getText semantics — text + CDATA descendant data in document order
+    (DFS node_id order), ``<br>`` rendered as a newline, script/style
+    text included, comments/PIs excluded. One explode of the
+    contributors' ``ancestors`` stacks + one within-document shuffle;
+    only elements that contain any text get a row (callers coalesce
+    to '')."""
+    if "ancestors" not in nodes.columns:
+        raise ValueError(
+            ":contains()/:has() need a nodes table built with "
+            "dom_nodes_udf(with_ancestors=True)"
+        )
+    contributors = nodes.filter(
+        F.col("type").isin("text", "cdata")
+        | (F.col("type").isin(*_ELEMENT_TYPES) & (F.col("name") == "br"))
+    ).select(
+        key_col,
+        F.col("node_id").alias("__tid"),
+        F.when(F.col("type").isin(*_ELEMENT_TYPES), F.lit("\n"))
+        .otherwise(F.coalesce(F.col("data"), F.lit("")))
+        .alias("__piece"),
+        F.explode("ancestors").alias("node_id"),
+    )
+    return contributors.groupBy(key_col, "node_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tid", "__piece"))),
+                lambda s: s["__piece"],
+            ),
+        ).alias("__subtext")
+    )
 
 
 def _augmented(nodes: DataFrame, key_col: str) -> DataFrame:
@@ -240,10 +375,8 @@ def css_select(
     quadratic in document count or corpus size. A selector list
     (comma) unions its branches and de-duplicates per element.
     """
-    if "," in selector:
-        parts = [p.strip() for p in selector.split(",")]
-        if not all(parts):
-            raise ValueError(f"unsupported CSS selector: {selector!r}")
+    parts = _split_top(selector) if "," in selector else [selector]
+    if len(parts) > 1:
         out = css_select(nodes, parts[0], key_col=key_col)
         for part in parts[1:]:
             out = out.unionByName(css_select(nodes, part, key_col=key_col))
@@ -253,6 +386,7 @@ def css_select(
         raise ValueError(f"unsupported CSS selector: {selector!r}")
     ctx: DataFrame | None = None
     ranked: DataFrame | None = None
+    subtexted: DataFrame | None = None
     combinator = None
     expect_compound = True
 
@@ -262,6 +396,62 @@ def css_select(
             ranked = _augmented(nodes, key_col)
         return ranked
 
+    def subtext() -> DataFrame:
+        nonlocal subtexted
+        if subtexted is None:
+            subtexted = _subtree_text(nodes, key_col)
+        return subtexted
+
+    def matches_of(
+        pred: Column,
+        needs_rank: bool,
+        needs_text: bool,
+        has_specs,
+        *,
+        keep_aug: bool = False,
+    ) -> DataFrame:
+        src = aug() if (needs_rank or keep_aug) else nodes
+        if needs_text:
+            src = src.join(
+                subtext(), [key_col, "node_id"], "left"
+            ).withColumn("__subtext", F.coalesce("__subtext", F.lit("")))
+        m = src.filter(pred)
+        drop = ["__subtext"] if needs_text else []
+        if (needs_rank or keep_aug) and not keep_aug:
+            drop.extend(_AUG_COLS)
+        if drop:
+            m = m.drop(*drop)
+        for spec in has_specs:
+            # One semi-join per :has() occurrence; the comma list inside
+            # it unions its candidate anchors first.
+            cand: DataFrame | None = None
+            for mode, ipred, irank, itext in spec:
+                im = matches_of(ipred, irank, itext, [])
+                if mode == "child":
+                    part = im.select(
+                        F.col(key_col).alias("__hkey"),
+                        F.col("parent_id").alias("__hid"),
+                    )
+                else:
+                    if "ancestors" not in im.columns:
+                        raise ValueError(
+                            ":has() with descendant semantics needs a "
+                            "nodes table built with "
+                            "dom_nodes_udf(with_ancestors=True)"
+                        )
+                    part = im.select(
+                        F.col(key_col).alias("__hkey"),
+                        F.explode("ancestors").alias("__hid"),
+                    )
+                cand = part if cand is None else cand.unionByName(part)
+            m = m.join(
+                cand.distinct(),
+                (F.col(key_col) == F.col("__hkey"))
+                & (F.col("node_id") == F.col("__hid")),
+                "leftsemi",
+            )
+        return m
+
     for tok in tokens:
         if tok in _COMBINATORS:
             if expect_compound:
@@ -269,12 +459,9 @@ def css_select(
             combinator = _COMBINATORS[tok]
             expect_compound = True
             continue
-        pred, needs_rank = _compound_pred(tok)
+        pred, needs_rank, needs_text, has_specs = _compound_pred(tok)
         if ctx is None:
-            src = aug() if needs_rank else nodes
-            ctx = src.filter(pred)
-            if needs_rank:
-                ctx = ctx.drop(*_AUG_COLS)
+            ctx = matches_of(pred, needs_rank, needs_text, has_specs)
         elif combinator in ("adjacent", "general"):
             anchor_info = aug().join(
                 ctx.select(key_col, "node_id").distinct(),
@@ -284,7 +471,9 @@ def css_select(
                 F.col("parent_id").alias("__aparent"),
                 F.col("__erank").alias("__arank"),
             )
-            m = aug().filter(pred)
+            m = matches_of(
+                pred, needs_rank, needs_text, has_specs, keep_aug=True
+            )
             rank_cond = (
                 F.col("__erank") == F.col("__arank") + 1
                 if combinator == "adjacent"
@@ -300,10 +489,7 @@ def css_select(
                 "__akey", "__aparent", "__arank", *_AUG_COLS
             ).drop_duplicates([key_col, "node_id"])
         else:
-            src = aug() if needs_rank else nodes
-            matches = src.filter(pred)
-            if needs_rank:
-                matches = matches.drop(*_AUG_COLS)
+            matches = matches_of(pred, needs_rank, needs_text, has_specs)
             anchors = ctx.select(
                 key_col, F.col("node_id").alias("__anchor")
             ).distinct()

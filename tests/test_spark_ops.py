@@ -1278,6 +1278,64 @@ def test_css_select_attr_dashmatch(spark):
     assert css_select(nodes, "[lang~=en-US]").count() == 1
 
 
+def test_css_select_contains_is_has(spark):
+    import pytest as _pytest
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<div id="a"><p>Hello <b>World</b></p></div>'
+                '<div id="b"><p>line one<br>line two</p></div>'
+                '<div id="c"><span>hello world</span>'
+                "<script>var Hello = 1;</script></div>"
+                '<ul><li><a href="/x">link</a></li><li>plain</li></ul>',
+            ),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def ids(sel):
+        return sorted(
+            r["attrs"].get("id", r["name"])
+            for r in css_select(nodes, sel).collect()
+        )
+
+    # :contains is case-sensitive subtree text (getText semantics):
+    # div#a via <p><b>, div#c via its <script> text (getText includes
+    # script text), but NOT the lowercase 'hello world' span.
+    assert ids("div:contains(Hello)") == ["a", "c"]
+    assert ids("div:icontains(HELLO)") == ["a", "c"]
+    # quoted argument + text crossing an element boundary: getText of
+    # div#a is 'Hello World' (b's text concatenated in document order).
+    assert ids('div:contains("Hello World")') == ["a"]
+    # <br> renders as newline in getText, so 'one\nline' matches b.
+    assert ids("p:contains(one\nline)") == ["p"]
+    # :is unions compounds (and composes with other tests).
+    assert ids(":is(#a, #b)") == ["a", "b"]
+    assert ids("div:is(#a, #c):contains(Hello)") == ["a", "c"]
+    # :has descendant and child modes.
+    assert ids("li:has(a)") == ["li"]
+    assert ids("div:has(b)") == ["a"]
+    assert ids("div:has(> span)") == ["c"]
+    assert ids("div:has(> b)") == []  # b is under p, not a direct child
+    assert ids("div:has(b, span)") == ["a", "c"]  # comma = union
+    # :not composes with the new column pseudos.
+    assert ids("div:not(:contains(Hello))") == ["b"]
+    for bad in (
+        "div:has(p:has(b))",
+        "div:not(:has(b))",
+        ":is(p:has(b))",
+        "p:contains",
+        ":has()",
+    ):
+        with _pytest.raises(ValueError):
+            css_select(nodes, bad).collect()
+
+
 def test_frequent_line_removal(spark):
     from htmlparser2_spark.operators.dedup import frequent_line_removal
 
