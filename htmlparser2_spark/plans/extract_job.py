@@ -58,57 +58,95 @@ PARSED_SCHEMA = StructType(
 )
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: parse every document in every Arrow batch."""
-    from pyspark import TaskContext
+def _make_extract(mode: str):
+    """Per-worker extractor: doc string -> (extracted_text, n_tags).
 
+    ``text`` is the hot path (tokenizer-only FastTextExtractor, full
+    textContent); ``main`` parses to a DOM and runs the readability-lite
+    main-content selection (north rule's boilerplate strip) — one
+    reused handler+parser per worker, reset per document."""
+    if mode == "main":
+        from ..engine.dom import DomArrayHandler
+        from ..engine.parser import Parser
+        from ..engine.readability import main_content_text
+
+        handler = DomArrayHandler(with_indices=False)
+        parser = Parser(handler)
+        element_types = ("tag", "script", "style")
+
+        def extract(doc: str) -> tuple[str, int]:
+            parser.parse(doc)
+            nodes = handler.nodes
+            n_tags = sum(1 for n in nodes if n["type"] in element_types)
+            return main_content_text(nodes), n_tags
+
+        return extract
+    if mode != "text":
+        raise ValueError(f"unknown extract mode: {mode!r}")
     from ..engine.fast_text import FastTextExtractor
 
-    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-    t0 = time.perf_counter()
+    return FastTextExtractor().extract
 
-    extractor = FastTextExtractor()
-    extract = extractor.extract
-    for batch in batches:
-        # Series.__iter__ is slow; pull plain python lists once per batch.
-        htmls = batch["html"].tolist()
-        # Real crawls carry no expected-extraction column; golden_match
-        # is then reported as 0 matches over 0 checks (sum stays usable).
-        goldens = (
-            batch["text"].tolist() if "text" in batch.columns else [None] * len(htmls)
-        )
-        extracted_col = []
-        match_col = []
-        tags_col = []
-        events_col = []
-        bytes_col = []
-        for html, golden in zip(htmls, goldens):
-            # NULL payloads (fetch failures in real crawls) parse as
-            # empty documents instead of failing the task.
-            doc = html.decode("utf-8", "replace") if html is not None else ""
-            extracted, n_tags = extract(doc)
-            extracted_col.append(extracted)
-            match_col.append(
-                1 if golden is not None and extracted == golden else 0
+
+def _parse_batches_fn(mode: str):
+    def _parse_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        """mapInPandas worker: parse every document in every Arrow batch."""
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        t0 = time.perf_counter()
+
+        extract = _make_extract(mode)
+        for batch in batches:
+            # Series.__iter__ is slow; pull plain python lists once per
+            # batch.
+            htmls = batch["html"].tolist()
+            # Real crawls carry no expected-extraction column;
+            # golden_match is then reported as 0 matches over 0 checks
+            # (sum stays usable). In mode="main" the golden column is
+            # the FULL-extraction text, so matches stay 0 by design.
+            goldens = (
+                batch["text"].tolist()
+                if "text" in batch.columns
+                else [None] * len(htmls)
             )
-            tags_col.append(n_tags)
-            # Lineage-only approximation: opens+closes pair up, so event
-            # volume ~ 2 x tags (exact counting lives in doc_stats_udf).
-            events_col.append(2 * n_tags)
-            bytes_col.append(len(html) if html is not None else 0)
-        yield pd.DataFrame(
-            {
-                "url": batch["url"],
-                "lang": batch["lang"],
-                "extracted": extracted_col,
-                "golden_match": match_col,
-                "n_tags": tags_col,
-                "n_events": events_col,
-                "html_bytes": bytes_col,
-                "pid": pid,
-                "wall_ms": int((time.perf_counter() - t0) * 1000),
-            }
-        )
+            extracted_col = []
+            match_col = []
+            tags_col = []
+            events_col = []
+            bytes_col = []
+            for html, golden in zip(htmls, goldens):
+                # NULL payloads (fetch failures in real crawls) parse as
+                # empty documents instead of failing the task.
+                doc = html.decode("utf-8", "replace") if html is not None else ""
+                extracted, n_tags = extract(doc)
+                extracted_col.append(extracted)
+                match_col.append(
+                    1 if golden is not None and extracted == golden else 0
+                )
+                tags_col.append(n_tags)
+                # Lineage-only approximation: opens+closes pair up, so
+                # event volume ~ 2 x tags (exact counting lives in
+                # doc_stats_udf).
+                events_col.append(2 * n_tags)
+                bytes_col.append(len(html) if html is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "url": batch["url"],
+                    "lang": batch["lang"],
+                    "extracted": extracted_col,
+                    "golden_match": match_col,
+                    "n_tags": tags_col,
+                    "n_events": events_col,
+                    "html_bytes": bytes_col,
+                    "pid": pid,
+                    "wall_ms": int((time.perf_counter() - t0) * 1000),
+                }
+            )
+
+    return _parse_batches
 
 
 def parse_pages(
@@ -117,6 +155,7 @@ def parse_pages(
     n_partitions: int | None = None,
     repartition: bool | None = None,
     jumbo_bytes: int | None = None,
+    mode: str = "text",
 ) -> DataFrame:
     """Parse a pages DataFrame with one ``mapInPandas`` pass.
 
@@ -148,9 +187,12 @@ def parse_pages(
             pages.filter(~is_jumbo),
             n_partitions=n_partitions,
             repartition=repartition,
+            mode=mode,
         )
         jumbo = pages.filter(is_jumbo).repartition(n, F.xxhash64("url"))
-        return normal.unionByName(jumbo.mapInPandas(_parse_batches, PARSED_SCHEMA))
+        return normal.unionByName(
+            jumbo.mapInPandas(_parse_batches_fn(mode), PARSED_SCHEMA)
+        )
     if repartition is None:
         # Estimate scan parallelism without touching df.rdd (which
         # converts the whole logical plan to an RDD on every call just
@@ -166,7 +208,7 @@ def parse_pages(
         repartition = n_in < n
     if repartition:
         pages = pages.repartition(n, F.xxhash64("url"))
-    return pages.mapInPandas(_parse_batches, PARSED_SCHEMA)
+    return pages.mapInPandas(_parse_batches_fn(mode), PARSED_SCHEMA)
 
 
 def partition_metrics(parsed: DataFrame) -> DataFrame:
@@ -189,10 +231,14 @@ def run_extract(
     resume: bool = True,
     n_partitions: int | None = None,
     jumbo_bytes: int | None = None,
+    mode: str = "text",
 ) -> dict:
     """Bucketed, checkpoint-resumable extraction run.
 
-    Returns a summary dict (docs, matches, buckets written/skipped).
+    ``mode="main"`` runs the readability-lite main-content selection
+    instead of full textContent (golden matches stay 0 — the pages
+    golden is the full extraction). Returns a summary dict (docs,
+    matches, buckets written/skipped).
     """
     manifest_path = os.path.join(out_dir, "manifest.json")
     done: list[int] = []
@@ -210,6 +256,7 @@ def run_extract(
         todo_pages.select(*keep),
         n_partitions=n_partitions,
         jumbo_bytes=jumbo_bytes,
+        mode=mode,
     )
     # Re-derive the bucket from the url (cheap Catalyst expression,
     # avoids threading it through the UDF schema).

@@ -33,6 +33,11 @@ def main() -> None:
         help="isolate documents larger than this into their own partitions",
     )
     parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument(
+        "--mode", choices=("text", "main"), default="text",
+        help="text = full textContent; main = readability-lite "
+        "main-content selection (boilerplate strip)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +61,7 @@ def main() -> None:
         resume=not args.no_resume,
         n_partitions=args.partitions,
         jumbo_bytes=args.jumbo_bytes,
+        mode=args.mode,
     )
     print(json.dumps({k: (v if not hasattr(v, "item") else v.item()) for k, v in summary.items()}))
     spark.stop()

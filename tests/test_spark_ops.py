@@ -251,6 +251,32 @@ def test_run_extract_checkpoint_resume(spark, tmp_path):
     assert summary2["docs"] == 500  # no duplicated output rows
 
 
+def test_run_extract_main_content_mode(spark, tmp_path):
+    """mode='main' swaps the full-textContent extractor for the
+    readability-lite block selection end-to-end through the bucketed
+    resumable job; per-row output must equal the engine run on the
+    same html, and golden matches stay 0 (the pages golden is the full
+    extraction)."""
+    from htmlparser2_spark.engine.readability import main_content
+    from htmlparser2_spark.plans.extract_job import run_extract
+    from htmlparser2_spark.sources.pages import build_pages
+
+    out = str(tmp_path / "extract_main")
+    pages = build_pages(spark, SF).limit(30).cache()
+    summary = run_extract(
+        spark, pages, out, n_buckets=4, resume=True, mode="main"
+    )
+    assert summary["docs"] == 30 and summary["matches"] == 0
+    got = {
+        r["url"]: r["extracted"]
+        for r in spark.read.parquet(out + "/parsed").collect()
+    }
+    for row in pages.collect():
+        html = bytes(row["html"]).decode("utf-8")
+        assert got[row["url"]] == main_content(html)
+    pages.unpersist()
+
+
 def test_run_extract_resume_idempotent_after_crash(spark, tmp_path):
     """Crash-before-manifest simulation: bucket data landed on disk but
     the manifest was never written. A resume must re-parse the todo
