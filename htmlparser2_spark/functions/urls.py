@@ -23,7 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["url_scheme", "url_host", "url_port", "url_path", "url_query",
-           "canonicalize_url"]
+           "canonicalize_url", "resolve_url"]
 
 _AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 
@@ -84,3 +84,86 @@ def canonicalize_url(url: Column | str) -> Column:
         F.concat(F.lit("?"), sorted_query)
     )
     return F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+
+
+# Dot-segment nesting bound for resolve_url: each regexp pass resolves
+# one level of '..' nesting everywhere in the path, so K passes handle
+# paths up to K levels of '/a/b/../..' chains — far beyond anything a
+# real crawl emits. The passes are pure Catalyst regexp_replace (no
+# loop at execution time; the plan just contains K nested Projects).
+_DOT_PASSES = 8
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path ('' treated as '/')."""
+    # '/./' collapses in one global pass (zero-width lookahead keeps the
+    # following '/' as the next match's anchor); a trailing '/.' keeps
+    # the directory slash.
+    p = F.regexp_replace(path, r"/\.(?=/)", "")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(_DOT_PASSES):
+        # '/seg/../' -> '/' where seg is itself neither '.' nor '..'
+        # (a '..' consumed as seg would resolve the wrong level).
+        p = F.regexp_replace(p, r"/(?!\.\.(?:/|$))[^/]+/\.\./", "/")
+        p = F.regexp_replace(p, r"/(?!\.\.$)[^/]+/\.\.$", "/")
+        # '..' above the root is a no-op (RFC: skip it).
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+        p = F.regexp_replace(p, r"^/\.\.$", "/")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def resolve_url(base: Column | str, href: Column | str) -> Column:
+    """Resolve ``href`` against ``base`` (RFC 3986 §5.2 for the
+    http(s) URLs a crawl handles), entirely in Catalyst — the outlink
+    normalization step between link extraction (q_links) and frontier
+    admission (plans/crawl_job.py).
+
+    Contract (differential-tested against urllib.parse.urljoin, whose
+    quirks we match deliberately — a frontier mixing Python-side and
+    Spark-side resolution must not disagree with itself):
+
+    * fragments are dropped from the result (crawl convention — the
+      frontier never distinguishes fragments)
+    * absolute hrefs (with scheme) pass through untouched, including
+      non-fetchable schemes (``mailto:``, ``javascript:``) — admission
+      filtering is the frontier's job
+    * scheme-relative hrefs (``//host/p/../q``) take the base scheme
+      with the href's authority+path verbatim — like urljoin, which
+      skips dot-segment removal when the reference has its own
+      authority
+    * root-relative (``/a/../b``), query-only (``?q``), empty, and
+      relative hrefs merge per the RFC, with dot-segment removal
+      bounded at ``_DOT_PASSES`` nesting levels
+    * base must be absolute http(s); no authority-less bases
+
+    Dot-segment removal is applied exactly once, on a pre-merged path
+    column shared by the two branches that need it — keeping the
+    expression tree inside the 64 KB whole-stage-codegen method limit
+    (one chain of regexp_replace per row, not one per branch).
+    """
+    b = _col(base)
+    h = F.trim(_col(href))
+    h = F.substring_index(h, "#", 1)
+    b_nofrag = F.substring_index(b, "#", 1)
+    scheme = url_scheme(b)
+    origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    b_path = url_path(b)
+    b_dir = F.when(b_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(b_path, r"[^/]*$", "")
+    )
+    h_path = F.substring_index(h, "?", 1)
+    h_query = F.regexp_extract(h, r"(\?.*)$", 1)
+    # The only two branches that normalize share one merged-path column,
+    # so _remove_dot_segments appears once in the plan.  (The "//" case
+    # never reaches these branches — its earlier `when` wins.)
+    merged = F.when(h.startswith("/"), h_path).otherwise(
+        F.concat(b_dir, h_path)
+    )
+    norm_path = _remove_dot_segments(merged)
+    return (
+        F.when(h == "", b_nofrag)
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("?"), F.concat(origin, b_path, h))
+        .otherwise(F.concat(origin, norm_path, h_query))
+    )

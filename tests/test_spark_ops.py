@@ -704,6 +704,55 @@ def test_url_fragment_and_ipv6_edge_cases(spark):
     assert hosts[2] == "[2001:db8::1]" and hosts[4] == "[::1]"
 
 
+def test_resolve_url_differential_vs_urljoin(spark):
+    """resolve_url must agree with urllib.parse.urljoin (modulo the
+    documented fragment drop) across the href branch space."""
+    from urllib.parse import urldefrag, urljoin
+
+    from htmlparser2_spark.functions.urls import resolve_url
+
+    bases = [
+        "https://host.example/a/b/page.html?q=1#frag",
+        "https://host.example/a/b/",
+        "https://host.example",
+        "http://h2.example/one",
+    ]
+    hrefs = [
+        "",
+        "#section",
+        "?x=2",
+        "?x=2#f",
+        "/rooted/path",
+        "/rooted/../up",
+        "//other.example/p/q",
+        "//other.example/p/../q",
+        "https://abs.example/x",
+        "mailto:someone@example.com",
+        "rel.html",
+        "rel.html?k=v",
+        "./same-dir",
+        "../up-one",
+        "../../up-two",
+        "../../../../beyond-root",
+        "a/b/../c",
+        "dir/",
+        ".",
+        "..",
+        "  spaced.html  ",
+    ]
+    cases = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = [
+        r["out"]
+        for r in df.select(
+            resolve_url("base", "href").alias("out")
+        ).collect()
+    ]
+    for (b, h), out in zip(cases, got):
+        want = urldefrag(urljoin(b, h.strip()))[0]
+        assert out == want, f"urljoin({b!r}, {h!r}) = {want!r}, got {out!r}"
+
+
 def test_duplicate_clusters_raises_when_not_converged(spark):
     from htmlparser2_spark.operators.dedup import duplicate_clusters
 
