@@ -857,6 +857,37 @@ def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", canonicalize_url(messy).alias("canonical_url"))
 
 
+def _q_resolve_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink resolution (RFC 3986 merge in pure Catalyst): an href
+    grid covering every resolve_url branch — empty, relative,
+    dot-segment, root-relative, query-only, scheme-relative, absolute,
+    fragment-bearing — is synthesized per doc_id and resolved against
+    the page URL; the oracle predicts each resolution analytically
+    from the same doc_id arithmetic."""
+    from htmlparser2_spark.functions.urls import resolve_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = F.col("doc_id").cast("string")
+    host = F.when(F.col("doc_id") % 5 < 2, F.lit("0")).otherwise(
+        (F.col("doc_id") % 41).cast("string")
+    )
+    base = F.concat(F.lit("https://host"), host, F.lit(".example/doc/"), ids)
+    m = F.col("doc_id") % 8
+    href = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.concat(F.lit("page"), ids))
+        .when(m == 2, F.concat(F.lit("../up/"), ids))
+        .when(m == 3, F.concat(F.lit("/rooted/"), ids))
+        .when(m == 4, F.concat(F.lit("?q="), ids))
+        .when(m == 5, F.concat(F.lit("//cdn.example/x/"), ids))
+        .when(m == 6, F.concat(F.lit("https://abs.example/"), ids))
+        .otherwise(F.concat(F.lit("./same/"), ids, F.lit("#frag")))
+    )
+    return docs.select(
+        "doc_id", resolve_url(base, href).alias("resolved_url")
+    )
+
+
 def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode over REAL encoded bytes: a valid GIF header is
     synthesized per document (SQL shared with the oracle — only byte
@@ -1644,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_rolling_fp": _q_rolling_fp,
         "q_url_canon": _q_url_canon,
+        "q_resolve_links": _q_resolve_links,
         "q_image_meta": _q_image_meta,
         "q_clean_text": _q_clean_text,
         "q_main_content": _q_main_content,
@@ -2640,6 +2672,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'https://host' || CAST(doc_id % 7 AS STRING) || "
             "'.example/p/' || CAST(doc_id AS STRING) || '?a=1&z=' || "
             "CAST(doc_id AS STRING) END AS canonical_url FROM documents"
+        ),
+        "q_resolve_links": (
+            # Each href pattern's resolution predicted analytically
+            # from the base path '/doc/{id}' (dir '/doc/').
+            "WITH b AS (SELECT doc_id, CAST(doc_id AS STRING) AS ids, "
+            "'https://host' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0 "
+            "ELSE doc_id % 41 END AS STRING) || '.example' AS origin "
+            "FROM documents) "
+            "SELECT doc_id, CASE doc_id % 8 "
+            "WHEN 0 THEN origin || '/doc/' || ids "
+            "WHEN 1 THEN origin || '/doc/page' || ids "
+            "WHEN 2 THEN origin || '/up/' || ids "
+            "WHEN 3 THEN origin || '/rooted/' || ids "
+            "WHEN 4 THEN origin || '/doc/' || ids || '?q=' || ids "
+            "WHEN 5 THEN 'https://cdn.example/x/' || ids "
+            "WHEN 6 THEN 'https://abs.example/' || ids "
+            "ELSE origin || '/doc/same/' || ids END AS resolved_url "
+            "FROM b"
         ),
         "q_image_meta": (
             # The real GIF header parser must recover the synthesized
