@@ -1001,6 +1001,97 @@ def _q_node_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_dom_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomUtils compareDocumentPosition over the relational nodes
+    table: for a per-variant spec of (a_name, b_name) first-occurrence
+    element pairs, the domutils bitmask (PRECEDING=2 / FOLLOWING=4 |
+    CONTAINS=8 / CONTAINED_BY=16) computed from pre-order node ids +
+    ancestors arrays; the oracle predicts every mask from the page
+    templates' known structure."""
+    from pyspark.sql import Window
+
+    from htmlparser2_spark.operators.domquery import position_mask
+
+    pages = build_pages(spark, sf_dir, with_doc_id=True)
+    nodes = pages.select(
+        "doc_id",
+        "url",
+        F.explode(dom_nodes_udf(with_ancestors=True)(F.col("html"))).alias("n"),
+    ).select("doc_id", "url", "n.*")
+    names = [
+        "html", "head", "body", "p", "a", "h1",
+        "ul", "li", "img", "table", "td", "div", "textarea",
+    ]
+    w = Window.partitionBy("url", "name").orderBy("node_id")
+    first = (
+        nodes.filter(F.col("name").isin(*names))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            (F.col("doc_id") % 3).alias("variant"),
+            "url", "name", "node_id", "ancestors",
+        )
+    )
+    spec = spark.createDataFrame(
+        [
+            (0, "head", "body"), (0, "html", "p"),
+            (0, "a", "h1"), (0, "p", "body"),
+            (1, "ul", "li"), (1, "img", "ul"),
+            (1, "li", "body"), (1, "ul", "p"),
+            (2, "table", "td"), (2, "div", "table"),
+            (2, "td", "body"), (2, "textarea", "div"),
+        ],
+        "sv int, sa string, sb string",
+    )
+    f_a = first.select(
+        "variant", "url",
+        F.col("name").alias("a_name"),
+        F.col("node_id").alias("a_id"),
+        F.col("ancestors").alias("a_anc"),
+    )
+    f_b = first.select(
+        F.col("url").alias("url_b"),
+        F.col("name").alias("b_name"),
+        F.col("node_id").alias("b_id"),
+        F.col("ancestors").alias("b_anc"),
+    )
+    paired = (
+        f_a.join(
+            F.broadcast(spec),
+            (f_a.variant == spec.sv) & (f_a.a_name == spec.sa),
+        )
+        .join(f_b, (F.col("url_b") == f_a.url) & (f_b.b_name == spec.sb))
+    )
+    return paired.select(
+        "url", "a_name", "b_name",
+        position_mask(
+            F.col("a_id"), F.col("a_anc"), F.col("b_id"), F.col("b_anc")
+        ).alias("position"),
+    )
+
+
+def _q_remove_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomUtils removeSubsets + uniqueSort: from the name-filtered
+    selection, rows whose ancestor is also selected must drop (li under
+    ul, td under table), document-order dedup via uniqueSort; the
+    oracle lists the surviving element names per variant."""
+    from htmlparser2_spark.operators.domquery import (
+        remove_subsets,
+        unique_sort,
+    )
+
+    pages = build_pages(spark, sf_dir)
+    nodes = pages.select(
+        "url",
+        F.explode(dom_nodes_udf(with_ancestors=True)(F.col("html"))).alias("n"),
+    ).select("url", "n.*")
+    picked = nodes.filter(
+        F.col("name").isin("ul", "li", "p", "table", "td", "div", "h1", "a")
+    )
+    kept = remove_subsets(unique_sort(picked))
+    return kept.groupBy("url", "name").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def _page_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host->host edges extracted from the pages' DOM: anchors
     plus embedded resources, so relative ``img src`` references become
@@ -1683,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inner_html": _q_inner_html,
         "q_prev_siblings": _q_prev_siblings,
         "q_node_types": _q_node_types,
+        "q_dom_position": _q_dom_position,
+        "q_remove_subsets": _q_remove_subsets,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
@@ -2307,6 +2400,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(s.k) AS BIGINT) AS cnt "
             "FROM pages p JOIN sib s ON p.doc_id % 3 = s.variant "
             "GROUP BY 1, 2"
+        ),
+        "q_dom_position": (
+            # compareDocumentPosition bitmasks predicted from the fixed
+            # templates: PRECEDING=2 / FOLLOWING=4, |CONTAINS=8 /
+            # |CONTAINED_BY=16 (domutils helpers.ts constants).
+            f"WITH {_PAGES_CTE}, "
+            "spec(variant, a_name, b_name, mask) AS (VALUES "
+            "(0, 'head', 'body', 2), (0, 'html', 'p', 10), "
+            "(0, 'a', 'h1', 4), (0, 'p', 'body', 20), "
+            "(1, 'ul', 'li', 10), (1, 'img', 'ul', 4), "
+            "(1, 'li', 'body', 20), (1, 'ul', 'p', 2), "
+            "(2, 'table', 'td', 10), (2, 'div', 'table', 4), "
+            "(2, 'td', 'body', 20), (2, 'textarea', 'div', 2)) "
+            "SELECT url, a_name, b_name, "
+            "CAST(mask AS INTEGER) AS position "
+            "FROM pages p JOIN spec s ON p.doc_id % 3 = s.variant"
+        ),
+        "q_remove_subsets": (
+            # Survivors of removeSubsets on {ul,li,p,table,td,div,h1,a}:
+            # li drops under ul (v1), td under table (v2); v0's picks
+            # are all body children so nothing drops.
+            f"WITH {_PAGES_CTE}, "
+            "keep(variant, name, k) AS (VALUES "
+            "(0, 'h1', 1), (0, 'p', 1), (0, 'a', 1), "
+            "(1, 'ul', 1), (1, 'p', 1), "
+            "(2, 'table', 1), (2, 'div', 1)) "
+            "SELECT url, name, CAST(k AS BIGINT) AS cnt "
+            "FROM pages p JOIN keep s ON p.doc_id % 3 = s.variant"
         ),
         "q_ann_topk": _ANN_TOPK_SQL,
         # Full-probe IVF must be lossless — byte-identical to the exact

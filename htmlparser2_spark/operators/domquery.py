@@ -26,7 +26,11 @@ __all__ = [
     "get_element_by_id",
     "find_all",
     "find_one",
+    "find_one_child",
     "exists_one",
+    "has_attrib",
+    "test_element",
+    "get_elements",
     "children_of",
     "siblings_of",
     "element_siblings",
@@ -37,6 +41,11 @@ __all__ = [
     "outer_html",
     "inner_html",
     "remove_elements",
+    "unique_sort",
+    "remove_subsets",
+    "compare_document_position",
+    "position_mask",
+    "DocumentPosition",
 ]
 
 
@@ -389,4 +398,163 @@ def remove_elements(nodes: DataFrame, predicate) -> DataFrame:
         doomed,
         (nodes.url == doomed.rm_url) & (nodes.node_id == doomed.rm_id),
         "left_anti",
+    )
+
+
+def find_one_child(nodes: DataFrame, predicate) -> DataFrame:
+    """findOneChild-equivalent: among the DIRECT children of each
+    parent, the first (document-order) row matching ``predicate`` —
+    one row per (url, parent_id) group. domutils' findOneChild scans a
+    single child array; partitioning by the parent instead of the url
+    gives every parent its own answer in one window pass (reference
+    re-export: /root/reference/src/index.ts:86)."""
+    w = Window.partitionBy("url", "parent_id").orderBy("node_id")
+    return (
+        nodes.filter(predicate(nodes))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+def has_attrib(nodes: DataFrame, attr: str) -> DataFrame:
+    """hasAttrib-equivalent: element rows with a ``has_attrib`` boolean
+    for key PRESENCE (an empty-string value still counts, matching
+    domutils — ``attrs[k] IS NOT NULL`` alone would conflate a missing
+    key with a present-but-NULL one only for maps that store NULLs,
+    which ours never do; map_contains_key states the intent)."""
+    return nodes.filter(F.col("type") == "tag").withColumn(
+        "has_attrib", F.map_contains_key(F.col("attrs"), F.lit(attr))
+    )
+
+
+def test_element(options: dict):
+    """testElement-equivalent: compile domutils' legacy options object
+    (``tag_name``, ``tag_type``, ``tag_contains``, plus any attribute
+    name -> required value) into one Column predicate usable with
+    find_all/find_one/filter. Values may be strings (equality) or
+    callables taking a Column (reference legacy surface: domutils
+    legacy.js, re-exported at /root/reference/src/index.ts:86).
+
+    Returns a function ``nodes -> Column`` like every other predicate
+    in this module."""
+
+    def _pred(nodes: DataFrame):
+        conds = []
+        for key, want in options.items():
+            if key == "tag_name":
+                col = F.col("name")
+            elif key == "tag_type":
+                col = F.col("type")
+            elif key == "tag_contains":
+                col = F.col("data")
+            else:
+                col = F.col("attrs")[key]
+            conds.append(want(col) if callable(want) else (col == want))
+        out = F.lit(True)
+        for c in conds:
+            out = out & c
+        return out
+
+    return _pred
+
+
+def get_elements(options: dict, nodes: DataFrame) -> DataFrame:
+    """getElements-equivalent (legacy query-by-options): all rows
+    matching the compiled :func:`test_element` predicate."""
+    return nodes.filter(test_element(options)(nodes))
+
+
+def unique_sort(nodes: DataFrame) -> DataFrame:
+    """uniqueSort-equivalent: dedupe a node subset and return it in
+    document order. Relationally, (url, node_id) IS document identity
+    and pre-order position, so this is a distinct + within-url sort —
+    no pointer walks. sortWithinPartitions keeps the sort local (no
+    global range shuffle); consumers needing a total order already key
+    on (url, node_id)."""
+    return nodes.dropDuplicates(["url", "node_id"]).sortWithinPartitions(
+        "url", "node_id"
+    )
+
+
+def remove_subsets(nodes: DataFrame) -> DataFrame:
+    """removeSubsets-equivalent: drop rows that have an ANCESTOR in the
+    same set (domutils removes nodes replaced by their own containers
+    before serializing a selection). Requires ``with_ancestors=True``
+    rows; containment is one within-url self-join testing membership of
+    the candidate ancestor's id in the row's root-first ``ancestors``
+    array — no tree walk, and the join key (url) keeps all comparisons
+    document-local at 100 TB."""
+    cand = nodes.select(
+        F.col("url").alias("rs_url"), F.col("node_id").alias("rs_id")
+    )
+    return nodes.join(
+        cand,
+        (nodes.url == cand.rs_url)
+        & F.array_contains(nodes.ancestors, cand.rs_id),
+        "left_anti",
+    )
+
+
+class DocumentPosition:
+    """domutils' DocumentPosition bitmask constants (helpers.ts)."""
+
+    DISCONNECTED = 1
+    PRECEDING = 2
+    FOLLOWING = 4
+    CONTAINS = 8
+    CONTAINED_BY = 16
+
+
+def compare_document_position(
+    a: DataFrame, b: DataFrame, *, mask_col: str = "position"
+) -> DataFrame:
+    """compareDocumentPosition-equivalent over node PAIRS: for each
+    (url-matched) row pair from ``a`` x ``b``, the domutils bitmask
+    describing a's position relative to b — PRECEDING(2)/FOLLOWING(4)
+    by document order, plus CONTAINS(8)/CONTAINED_BY(16) for ancestry,
+    DISCONNECTED(1) across documents is represented by the pair simply
+    not joining (a relational set has no cross-document pairs).
+
+    Both inputs need ``with_ancestors=True`` rows. Pre-order node ids
+    make order a comparison and ancestry an array-membership test —
+    semantics follow the DOM tree order spec; domutils' path-walk
+    degenerates for two childless siblings (both paths stop at the
+    shared parent, so it answers PRECEDING regardless of order) and we
+    deliberately return true document order there instead.
+
+    Output: (url, a_id, b_id, <mask_col>).
+    """
+    left = a.select(
+        F.col("url").alias("url"),
+        F.col("node_id").alias("a_id"),
+        F.col("ancestors").alias("a_anc"),
+    )
+    right = b.select(
+        F.col("url").alias("b_url"),
+        F.col("node_id").alias("b_id"),
+        F.col("ancestors").alias("b_anc"),
+    )
+    paired = left.join(right, left.url == right.b_url)
+    mask = position_mask(
+        F.col("a_id"), F.col("a_anc"), F.col("b_id"), F.col("b_anc")
+    )
+    return paired.select("url", "a_id", "b_id", mask.alias(mask_col))
+
+
+def position_mask(a_id, a_anc, b_id, b_anc):
+    """The DocumentPosition bitmask as a Column expression over an
+    already-paired row — for callers that pair nodes themselves (a spec
+    join, a within-query comparison) instead of taking the full a x b
+    per-document product of :func:`compare_document_position`."""
+    contains = F.array_contains(b_anc, a_id)
+    contained = F.array_contains(a_anc, b_id)
+    return (
+        F.when(a_id == b_id, F.lit(0))
+        .when(contains, F.lit(
+            DocumentPosition.PRECEDING | DocumentPosition.CONTAINS))
+        .when(contained, F.lit(
+            DocumentPosition.FOLLOWING | DocumentPosition.CONTAINED_BY))
+        .when(a_id < b_id, F.lit(DocumentPosition.PRECEDING))
+        .otherwise(F.lit(DocumentPosition.FOLLOWING))
     )

@@ -704,6 +704,98 @@ def test_url_fragment_and_ipv6_edge_cases(spark):
     assert hosts[2] == "[2001:db8::1]" and hosts[4] == "[::1]"
 
 
+def test_domutils_helper_completions(spark):
+    """findOneChild / hasAttrib / getElements / uniqueSort /
+    removeSubsets over the relational nodes table."""
+    from htmlparser2_spark.operators.domquery import (
+        explode_nodes,
+        find_one_child,
+        get_elements,
+        has_attrib,
+        remove_subsets,
+        unique_sort,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html><body><ul id="u"><li class="a">one'
+                   '<li class="b">two</ul><p data-x="">p1</p>'
+                   "<p>p2</p></body></html>"),
+            ("u2", "<div><span>s</span></div>"),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True).cache()
+
+    # findOneChild: first matching DIRECT child per parent.
+    first_li = find_one_child(nodes, lambda n: F.col("name") == "li").collect()
+    assert len(first_li) == 1 and first_li[0]["attrs"]["class"] == "a"
+
+    # hasAttrib: key presence, empty-string value still counts.
+    ha = {
+        (r["url"], r["name"], r["node_id"]): r["has_attrib"]
+        for r in has_attrib(nodes, "data-x").collect()
+    }
+    p_flags = sorted(v for (u, n, _), v in ha.items() if n == "p")
+    assert p_flags == [False, True]
+    assert all(not v for (u, n, _), v in ha.items() if n != "p")
+
+    # getElements: legacy options object (tag_name + attribute value).
+    li_b = get_elements({"tag_name": "li", "class": "b"}, nodes).collect()
+    assert len(li_b) == 1 and li_b[0]["attrs"]["class"] == "b"
+    # callable matcher + tag_type
+    txt = get_elements(
+        {"tag_type": "text", "tag_contains": lambda c: c.startswith("p")},
+        nodes,
+    ).collect()
+    assert sorted(r["data"] for r in txt) == ["p1", "p2"]
+
+    # uniqueSort: dedupe + document order.
+    lis = nodes.filter(F.col("name") == "li")
+    us = unique_sort(lis.unionByName(lis)).collect()
+    assert [r["attrs"]["class"] for r in us] == ["a", "b"]
+    assert us[0]["node_id"] < us[1]["node_id"]
+
+    # removeSubsets: rows with an ancestor in the set are dropped.
+    subset = nodes.filter(F.col("name").isin("ul", "li", "p", "div", "span"))
+    kept = remove_subsets(subset).collect()
+    got = sorted((r["url"], r["name"]) for r in kept)
+    assert got == [("u1", "p"), ("u1", "p"), ("u1", "ul"), ("u2", "div")]
+
+
+def test_compare_document_position(spark):
+    from htmlparser2_spark.operators.domquery import (
+        DocumentPosition as DP,
+        compare_document_position,
+        explode_nodes,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<body><ul><li>one</li></ul><p>x</p></body>"),
+            ("u2", "<i>other</i>"),
+        ],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True).cache()
+    ul = nodes.filter(F.col("name") == "ul")
+    li = nodes.filter(F.col("name") == "li")
+    p = nodes.filter(F.col("name") == "p")
+    i = nodes.filter(F.col("name") == "i")
+
+    def mask(a, b):
+        rows = compare_document_position(a, b).collect()
+        return [r["position"] for r in rows]
+
+    assert mask(ul, li) == [DP.PRECEDING | DP.CONTAINS]
+    assert mask(li, ul) == [DP.FOLLOWING | DP.CONTAINED_BY]
+    assert mask(ul, p) == [DP.PRECEDING]
+    assert mask(p, li) == [DP.FOLLOWING]
+    assert mask(ul, ul) == [0]
+    # cross-document pairs never join (relational DISCONNECTED)
+    assert mask(ul, i) == []
+
+
 def test_resolve_url_differential_vs_urljoin(spark):
     """resolve_url must agree with urllib.parse.urljoin (modulo the
     documented fragment drop) across the href branch space."""
