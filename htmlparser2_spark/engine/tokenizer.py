@@ -64,6 +64,24 @@ _RE_TAG_SECTION_END = re.compile(r"[ \t\n\f\r/>]")
 _RE_ATTR_NAME_END = re.compile(r"[ \t\n\f\r/>=]")
 _RE_NQ_VALUE_END = re.compile(r"[ \t\n\f\r>&]")
 _RE_NQ_VALUE_END_NODECODE = re.compile(r"[ \t\n\f\r>]")
+# Whole-attribute-section skip for the light_attrs path: quotes are
+# consumable ONLY directly after '=' + optional whitespace — the exact
+# condition under which the attribute machine enters a quoted-value
+# state. Any other quote placement fails the match (no alternative can
+# consume a bare quote) and the caller bails to the exact machine. The
+# alternatives are first-character-disjoint ('=' is excluded from the
+# char class), so the scan is backtrack-free/linear.
+_RE_LIGHT_ATTRS = re.compile(
+    r"""(?:[^>"'=]|=[ \t\n\f\r]*(?:"[^"]*"|'[^']*')?)*>"""
+)
+# Light-path whole-tag match (name + attribute section + '>') — the
+# group-1 end is the tag-name end (first section-end char), saving the
+# separate _RE_TAG_SECTION_END search on the hot per-tag path. Same
+# quote grammar and bail semantics as _RE_LIGHT_ATTRS.
+_RE_LIGHT_TAG = re.compile(
+    r"""([^ \t\n\f\r/>]*)"""
+    r"""(?:>|[ \t\n\f\r/](?:[^>"'=]|=[ \t\n\f\r]*(?:"[^"]*"|'[^']*')?)*>)"""
+)
 _RE_COMMENT_END = re.compile(r"--!?>")
 _RE_TRAILING_BANG_DASHES = re.compile(r"--+!$")
 _RE_TRAILING_DASHES = re.compile(r"--+$")
@@ -529,6 +547,26 @@ class Tokenizer:
                         # trailing-data rule for SpecialStartSequence).
                         return n, name_start
 
+        if self.light_attrs:
+            # One linear regex scan over the whole tag — name section
+            # plus attributes to the tag-ending '>' (_RE_LIGHT_TAG). A
+            # quote is a value delimiter only when preceded by '='
+            # (+ optional ws) — the exact condition under which the
+            # attribute machine enters a quoted-value state. Any other
+            # quote placement (quote in a name or unquoted value:
+            # pathological markup) fails the match and bails to the
+            # exact machine below, as does EOF inside the tag (the
+            # exact machine's EOF paths then drop the tag). Attribute
+            # events are skipped by contract; '/>' is equivalent to
+            # '>' here (recognize_self_closing off).
+            m = _RE_LIGHT_TAG.match(buf, name_start)
+            if m is not None:
+                cbs.on_open_tag_name(name_start, m.end(1))
+                end = m.end() - 1
+                cbs.on_open_tag_end(end)
+                return self._enter_tag_body(buf, lbuf, end + 1, special)
+            # No match: fall through to the exact attribute machine.
+
         m = _RE_TAG_SECTION_END.search(buf, i)
         if m is None:
             return n, n  # EOF inside tag name: tag dropped
@@ -539,41 +577,6 @@ class Tokenizer:
         if buf[j] == ">":
             cbs.on_open_tag_end(j)
             return self._enter_tag_body(buf, lbuf, j + 1, special)
-
-        if self.light_attrs:
-            # Scan for the tag-ending '>' treating a quote as a value
-            # delimiter only when preceded by '=' (+ optional ws) — the
-            # exact condition under which the attribute machine enters a
-            # quoted-value state. Any other quote placement (quote in a
-            # name or unquoted value: pathological markup) bails to the
-            # exact machine. Attribute events are skipped by contract;
-            # '/>' is equivalent to '>' here (recognize_self_closing off).
-            pos = j
-            end = -2  # -2: bail to exact machine; -1: EOF drop; >=0: '>'
-            while True:
-                g = buf.find(">", pos)
-                q1 = buf.find('"', pos, g if g != -1 else n)
-                q2 = buf.find("'", pos, g if g != -1 else n)
-                q = q1 if q2 == -1 else q2 if q1 == -1 else min(q1, q2)
-                if q == -1:
-                    end = g
-                    break
-                k = q - 1
-                while k >= j and buf[k] in _WS:
-                    k -= 1
-                if k < j or buf[k] != "=":
-                    break  # suspicious quote: exact machine decides
-                mate = buf.find(buf[q], q + 1)
-                if mate == -1:
-                    end = -1  # EOF inside quoted value: tag dropped
-                    break
-                pos = mate + 1
-            if end >= 0:
-                cbs.on_open_tag_end(end)
-                return self._enter_tag_body(buf, lbuf, end + 1, special)
-            if end == -1:
-                return n, n
-            # end == -2: fall through to the exact attribute machine.
 
         # --------- attribute loop (BeforeAttributeName etc.) ---------
         i = j
