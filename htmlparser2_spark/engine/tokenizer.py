@@ -82,6 +82,16 @@ _RE_LIGHT_TAG = re.compile(
     r"""([^ \t\n\f\r/>]*)"""
     r"""(?:>|[ \t\n\f\r/](?:[^>"'=]|=[ \t\n\f\r]*(?:"[^"]*"|'[^']*')?)*>)"""
 )
+# Closing-tag light path (HTML mode): name section ([a-zA-Z] then
+# anything that isn't a section-end char), after which
+# AfterClosingTagName skips EVERYTHING up to the terminating '>' — so
+# one linear match reproduces the exact machine's positions (group-1
+# end = name end, match end = '>' + 1). The junk+'>' suffix is
+# optional because the exact machine still EMITS on_close_tag when EOF
+# arrives during the junk skip (only EOF inside the name drops the
+# event) — the caller distinguishes the three EOF shapes by where the
+# match ends.
+_RE_LIGHT_CLOSE = re.compile(r"([a-zA-Z][^ \t\n\f\r/>]*)(?:[^>]*>)?")
 _RE_COMMENT_END = re.compile(r"--!?>")
 _RE_TRAILING_BANG_DASHES = re.compile(r"--+!$")
 _RE_TRAILING_DASHES = re.compile(r"--+$")
@@ -168,29 +178,36 @@ class Tokenizer:
         open_tag = self._open_tag
         closing_tag = self._closing_tag
         markup_declaration = self._markup_declaration
-        text_stop_search = _RE_TEXT_STOP.search
         find = buf.find
 
         i = start  # cursor
         sec = start  # section start of the current text run
+        # Text-stop scanning: the next '<' and next '&' are tracked as
+        # lazily-refreshed str.find positions instead of a per-text-run
+        # `[<&]` regex search — C-level find beats the regex machinery,
+        # and an entity-free document (the common web shape) pays ONE
+        # failed '&' probe total instead of one regex scan per text run.
+        # A cached position is stale once the cursor passes it (< i);
+        # -1 ("none ahead") is final, find from a later start can only
+        # re-confirm it.
+        lt = find("<", i)
+        amp = find("&", i) if decode else -1
         while i < n:
             if should_pause is not None and should_pause():
                 return sec
             # ---------------- Text ----------------
-            if decode:
-                m = text_stop_search(buf, i)
-                if m is None:
-                    i = n
-                    break
-                j = m.start()
-                if buf[j] == "&":
-                    i, sec = entity(buf, j, text_mode, sec, False)
+            if lt != -1 and lt < i:
+                lt = find("<", i)
+            if amp != -1:
+                if amp < i:
+                    amp = find("&", i)
+                if amp != -1 and (lt == -1 or amp < lt):
+                    i, sec = entity(buf, amp, text_mode, sec, False)
                     continue
-            else:
-                j = find("<", i)
-                if j == -1:
-                    i = n
-                    break
+            j = lt
+            if j == -1:
+                i = n
+                break
             # '<' found at j.
             if j > sec:
                 on_text(sec, j)
@@ -732,6 +749,21 @@ class Tokenizer:
                 # '</>' ignored; the section (from '<') stays in the text.
                 return i + 1, i - 2
             return i + 1, i + 1
+        if not self.xml_mode and ("a" <= c <= "z" or "A" <= c <= "Z"):
+            # Light path: one linear match replaces the section-end
+            # search + junk-skip find (see _RE_LIGHT_CLOSE). Three EOF
+            # shapes, mirroring the exact machine below: name ran to
+            # EOF -> event dropped; name ended but no '>' -> event
+            # emitted, rest dropped; '>' found -> resume past it.
+            m = _RE_LIGHT_CLOSE.match(buf, i)
+            j = m.end(1)
+            if j >= n:
+                return n, n  # EOF in closing tag name: dropped
+            cbs.on_close_tag(i, j)
+            e = m.end()
+            if e > j:
+                return e, e
+            return n, n  # junk-skip hit EOF: no '>' anywhere ahead
         if self._is_tag_start(c):
             m = _RE_TAG_SECTION_END.search(buf, i)
             if m is None:
