@@ -26,9 +26,11 @@ Arrow-batched UDF workers with zero per-row setup cost.
 
 from __future__ import annotations
 
+import re
+
 from html.entities import html5 as _HTML5
 
-__all__ = ["STRICT", "LEGACY", "ATTRIBUTE", "decode_at", "decode_text"]
+__all__ = ["STRICT", "LEGACY", "ATTRIBUTE", "decode_at", "decode_text", "decode_text_span"]
 
 STRICT = 0
 LEGACY = 1
@@ -106,6 +108,11 @@ def _replace_codepoint(cp: int) -> int:
 
 _HEX_DIGITS = set("0123456789abcdefABCDEF")
 _DEC_DIGITS = set("0123456789")
+
+# Numeric reference matched at the '#': decimal or hex body, optional
+# ';'. Decode rules around it (STRICT requires the ';'; no digits backs
+# out fully) are applied by the caller — mirrors decode_at's branch.
+_RE_NUM_REF = re.compile(r"#([0-9]+|[xX][0-9a-fA-F]+)(;?)")
 
 # Fast path for the handful of references that dominate real HTML.
 # Maps the exact text following '&' to (codepoints, consumed-from-&).
@@ -213,6 +220,72 @@ def decode_at(s: str, amp: int, mode: int):
                 ):
                     return None
     return ([ord(ch) for ch in best_value], best_end - amp)
+
+
+def decode_text_span(s: str, start: int, end: int, mode: int) -> str:
+    """Decode every reference in ``s[start:end]`` exactly as the
+    tokenizer's sequential per-'&' scan would (failed references stay
+    literal, rescan past the '&').
+
+    The span boundary is semantics-preserving: ``end`` is either
+    ``len(s)`` or the position of a ``<`` (the tokenizer's text-run
+    terminator), and no reference can extend across ``<`` — trie edges
+    are alphanumeric/';' and numeric bodies are digits — so bounding
+    only the '&' search while letting :func:`decode_at` look at the
+    full string is exact. Used by the batched fast-text path
+    (``on_text_decoded``), which replaces per-entity event dispatch
+    with one call per text run.
+    """
+    find = s.find
+    out: list[str] = []
+    append = out.append
+    pos = start
+    common_get = (_COMMON_XML if mode == STRICT else _COMMON_HTML).get
+    num_match = _RE_NUM_REF.match
+    strict = mode == STRICT
+    while True:
+        amp = find("&", pos, end)
+        if amp == -1:
+            append(s[pos:end])
+            return "".join(out)
+        semi = find(";", amp + 1, amp + 9)
+        if semi != -1:
+            hit = common_get(s[amp + 1 : semi + 1])
+            if hit is not None:
+                cps, consumed = hit
+                if amp > pos:
+                    append(s[pos:amp])
+                append(chr(cps[0]) if len(cps) == 1 else "".join(map(chr, cps)))
+                pos = amp + consumed
+                continue
+        if s[amp + 1 : amp + 2] == "#":
+            # Numeric reference, decoded inline: one regex match + one
+            # int() replaces decode_at's per-digit set-membership loop.
+            m = num_match(s, amp + 1)
+            if m is not None and (not strict or m.group(2)):
+                body = m.group(1)
+                value = (
+                    int(body[1:], 16) if body[0] in "xX" else int(body)
+                )
+                if amp > pos:
+                    append(s[pos:amp])
+                append(chr(_replace_codepoint(value)))
+                pos = m.end()
+            else:
+                # No digits (back out fully) or STRICT without ';'.
+                append(s[pos : amp + 1])
+                pos = amp + 1
+            continue
+        res = decode_at(s, amp, mode)
+        if res is None:
+            append(s[pos : amp + 1])
+            pos = amp + 1
+            continue
+        cps, consumed = res
+        if amp > pos:
+            append(s[pos:amp])
+        append("".join(map(chr, cps)))
+        pos = amp + consumed
 
 
 def decode_text(s: str, mode: int = LEGACY) -> str:

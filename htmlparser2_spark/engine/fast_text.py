@@ -49,6 +49,14 @@ class _FastHandler:
         self.parts.append(self.buf[start:end])
         self.n_texts += 1
 
+    def on_text_decoded(self, s: str) -> None:
+        # Batched contract (tokenizer run loop): one pre-decoded string
+        # per entity-carrying text run — replaces the alternating
+        # on_text/on_text_entity stream on the hot path. RCDATA content
+        # (<title>/<textarea>) still arrives via the per-event methods.
+        self.parts.append(s)
+        self.n_texts += 1
+
     def on_text_entity(self, cp: int, end: int) -> None:
         self.parts.append(chr(cp))
         self.n_texts += 1

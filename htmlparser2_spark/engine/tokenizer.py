@@ -26,7 +26,15 @@ from __future__ import annotations
 
 import re
 
-from .entities import ATTRIBUTE, LEGACY, STRICT, decode_at
+from .entities import (
+    ATTRIBUTE,
+    LEGACY,
+    STRICT,
+    _COMMON_HTML,
+    _COMMON_XML,
+    decode_at,
+    decode_text_span,
+)
 
 __all__ = ["Tokenizer", "QUOTE_NONE", "QUOTE_UNQUOTED", "QUOTE_SINGLE", "QUOTE_DOUBLE"]
 
@@ -92,6 +100,23 @@ _RE_LIGHT_TAG = re.compile(
 # event) — the caller distinguishes the three EOF shapes by where the
 # match ends.
 _RE_LIGHT_CLOSE = re.compile(r"([a-zA-Z][^ \t\n\f\r/>]*)(?:[^>]*>)?")
+# Per-attribute light path for the exact machine (attribute events
+# wanted — the full parser): ONE linear match replaces the non-ws /
+# name-end / non-ws / value scans for the dominant shapes — quoted
+# entity-free value, or a valueless attribute. The terminator
+# lookahead after the name group blocks backtracking from re-matching
+# a shortened name as valueless when the value branch fails (e.g. a
+# '&' inside the quotes); any failure — EOF anywhere, unquoted or
+# entity-carrying value, empty name — falls through to the exact
+# machine, which re-scans from the same position.
+_RE_ATTR_LIGHT = re.compile(
+    r"[ \t\n\f\r]*"
+    r"([^ \t\n\f\r/>=]+)(?=[ \t\n\f\r/>=])"
+    r"(?:"
+    r"""[ \t\n\f\r]*=[ \t\n\f\r]*(?:"([^"&]*)"|'([^'&]*)')"""
+    r"|(?=[ \t\n\f\r]*[^ \t\n\f\r=])"
+    r")"
+)
 _RE_COMMENT_END = re.compile(r"--!?>")
 _RE_TRAILING_BANG_DASHES = re.compile(r"--+!$")
 _RE_TRAILING_DASHES = re.compile(r"--+$")
@@ -174,7 +199,6 @@ class Tokenizer:
         # per-token loop (same technique as the reference's hot-state
         # dispatch ordering, Tokenizer.ts:893-897).
         on_text = cbs.on_text
-        entity = self._entity
         open_tag = self._open_tag
         closing_tag = self._closing_tag
         markup_declaration = self._markup_declaration
@@ -192,6 +216,23 @@ class Tokenizer:
         # re-confirm it.
         lt = find("<", i)
         amp = find("&", i) if decode else -1
+        # Dominant-entity inline probe: the handful of references that
+        # carry most of the web's escaping (&amp; &lt; &nbsp; …, all
+        # fully ';'-terminated and mode-independent given the table)
+        # resolve with one find + one dict probe right here, skipping
+        # the _entity -> decode_at call chain. A miss falls through to
+        # the exact decoder unchanged.
+        common = _COMMON_XML if text_mode == STRICT else _COMMON_HTML
+        common_get = common.get
+        on_text_entity = cbs.on_text_entity
+        # Batched-text opt-in: a handler exposing ``on_text_decoded``
+        # (the fast text path) receives each entity-carrying text run
+        # as ONE pre-decoded string — decode_text_span reproduces the
+        # sequential per-'&' scan exactly (see its docstring for why
+        # the '<' boundary is semantics-preserving) — instead of
+        # alternating on_text/on_text_entity events. Positional
+        # handlers (parser, collectors) keep the exact event stream.
+        on_text_decoded = getattr(cbs, "on_text_decoded", None)
         while i < n:
             if should_pause is not None and should_pause():
                 return sec
@@ -202,7 +243,35 @@ class Tokenizer:
                 if amp < i:
                     amp = find("&", i)
                 if amp != -1 and (lt == -1 or amp < lt):
-                    i, sec = entity(buf, amp, text_mode, sec, False)
+                    if on_text_decoded is not None:
+                        seg_end = lt if lt != -1 else n
+                        on_text_decoded(
+                            decode_text_span(buf, sec, seg_end, text_mode)
+                        )
+                        i = sec = seg_end
+                        continue
+                    semi = find(";", amp + 1, amp + 9)
+                    hit = (
+                        common_get(buf[amp + 1 : semi + 1])
+                        if semi != -1
+                        else None
+                    )
+                    if hit is None:
+                        # Exact decoder, inlined from _entity's text
+                        # branch (the wrapper call was measurable at
+                        # real-web entity densities).
+                        res = decode_at(buf, amp, text_mode)
+                        if res is None:
+                            i = amp + 1  # '&' stays literal; rescan
+                            continue
+                        hit = res
+                    cps, consumed = hit
+                    if amp > sec:
+                        on_text(sec, amp)
+                    end = amp + consumed
+                    for cp in cps:
+                        on_text_entity(cp, end)
+                    i = sec = end
                     continue
             j = lt
             if j == -1:
@@ -597,7 +666,30 @@ class Tokenizer:
 
         # --------- attribute loop (BeforeAttributeName etc.) ---------
         i = j
+        attr_light_match = _RE_ATTR_LIGHT.match
+        on_attrib_name = cbs.on_attrib_name
+        on_attrib_data = cbs.on_attrib_data
+        on_attrib_end = cbs.on_attrib_end
         while True:
+            # Light per-attribute path (see _RE_ATTR_LIGHT): quoted
+            # entity-free values and valueless attributes in one match,
+            # with event positions identical to the exact machine below.
+            m = attr_light_match(buf, i)
+            if m is not None:
+                on_attrib_name(m.start(1), m.end(1))
+                v = m.start(2)
+                if v != -1:
+                    on_attrib_data(v, m.end(2))
+                    on_attrib_end(QUOTE_DOUBLE, m.end())
+                else:
+                    v = m.start(3)
+                    if v != -1:
+                        on_attrib_data(v, m.end(3))
+                        on_attrib_end(QUOTE_SINGLE, m.end())
+                    else:
+                        on_attrib_end(QUOTE_NONE, m.end(1))
+                i = m.end()
+                continue
             m = _RE_NON_WS.search(buf, i)
             if m is None:
                 return n, n  # EOF between attributes: tag dropped

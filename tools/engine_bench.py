@@ -61,6 +61,22 @@ def text_heavy_page(i: int) -> str:
     return f"<html><body><h1>Doc {i}</h1>{paras}</body></html>"
 
 
+def entity_heavy_page(i: int) -> str:
+    # Escaped-web density: an entity every few words (named + numeric,
+    # ~5 KB/page). Exercises the '&' cursor of the text scanner and the
+    # decoder hot path — the round-3 cached-find rewrite made '<' and
+    # '&' separate find() cursors, so this corpus pins the
+    # entity-dense end of that tradeoff.
+    words = " ".join(
+        f"{WORDS[(i * 5 + k) % len(WORDS)]} &amp; x &lt; {k} &#8212;"
+        for k in range(80)
+    )
+    return (
+        f"<html><head><title>Doc {i} &copy;</title></head>"
+        f'<body><p class="q">{words}</p><p>{words}</p></body></html>'
+    )
+
+
 def synthetic_page(i: int) -> str:
     t = _text(i, 18).replace("the", "a & b")
     return (
@@ -111,6 +127,7 @@ def main(n_docs: int = 20000, repeats: int = 3) -> None:
     out = {"n_docs": n_docs, "repeats": repeats}
     for name, gen in (("realistic", realistic_page),
                       ("text_heavy", text_heavy_page),
+                      ("entity_heavy", entity_heavy_page),
                       ("synthetic", synthetic_page)):
         docs = [gen(i) for i in range(n_docs)]
         out[f"{name}_bytes"] = sum(len(d) for d in docs)
