@@ -911,6 +911,50 @@ def _q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media).select("media_id", "width", "height", "channels")
 
 
+def _q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse over REAL text operators (north rule names
+    "PDF/layout parse" beside HTML extraction): a two-page uncompressed
+    PDF is synthesized per document — page 1 shows a title line via Td
+    then the first half of the text via T* + the ' (line-feed
+    show-text) operator, page 2 the second half positioned by Tm — and
+    parsed back to layout spans by the text-operator interpreter in
+    functions/pdf.py (Td/TD/Tm/T*/Tj/'/TJ + escape/octal literal
+    decoding). pdf_text reassembles reading order (page asc, y desc,
+    span order); the oracle predicts the exact concatenation from the
+    same halves arithmetic, so positioning, line-feed semantics, and
+    literal decoding are all hash-checked per document. The corpus
+    text is ASCII without ()/backslash (PDF literal metachars are
+    escaped on synthesis anyway; the oracle predicts the unescaped
+    halves because the parser unescapes)."""
+    from htmlparser2_spark.functions.pdf import pdf_spans, pdf_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    esc1 = F.expr(
+        r"replace(replace(replace(substring(text, 1, cast(length(text)/2 as int)),"
+        r" '\\', '\\\\'), '(', '\\('), ')', '\\)')"
+    )
+    esc2 = F.expr(
+        r"replace(replace(replace(substring(text, cast(length(text)/2 as int) + 1),"
+        r" '\\', '\\\\'), '(', '\\('), ')', '\\)')"
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("%PDF-1.4\n1 0 obj\nstream\nBT\n72 720 Td\n(Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(") Tj\nT*\n("),
+            esc1,
+            F.lit(") '\nET\nendstream\nstream\nBT\n1 0 0 1 72 700 Tm\n("),
+            esc2,
+            F.lit(") Tj\nET\nendstream\n%%EOF"),
+        ),
+        "utf-8",
+    )
+    pdfs = docs.select("doc_id", payload.alias("payload"))
+    return pdf_text(pdf_spans(pdfs)).select(
+        "doc_id", F.col("text").alias("pdf_text")
+    )
+
+
 def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-stripped main-content extraction (script/style removed,
     whitespace normalized) — the north rule's 'HTML boilerplate strip'."""
@@ -1768,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": _q_url_canon,
         "q_resolve_links": _q_resolve_links,
         "q_image_meta": _q_image_meta,
+        "q_pdf_text": _q_pdf_text,
         "q_clean_text": _q_clean_text,
         "q_main_content": _q_main_content,
         "q_inner_text": _q_inner_text,
@@ -2819,6 +2864,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(257 + doc_id % 96 AS INTEGER) AS width, "
             "CAST(513 + (doc_id * 7) % 96 AS INTEGER) AS height, "
             "CAST(3 AS INTEGER) AS channels FROM documents"
+        ),
+        "q_pdf_text": (
+            # Reading-order prediction: page 1 title line (y=720), then
+            # the first half after T* + ' line feeds (y=696), then page
+            # 2's Tm-positioned second half — the parser unescapes, so
+            # the oracle concatenates the raw halves.
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+            "substring(text, 1, len(text) // 2) || chr(10) || "
+            "substring(text, len(text) // 2 + 1) AS pdf_text FROM documents"
         ),
         "q_langid": (
             # The marker-vote cascade ported verbatim: per-language
