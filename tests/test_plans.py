@@ -68,9 +68,10 @@ def test_minhash_signatures_map_only(spark):
     from htmlparser2_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    p = plan(minhash_signatures(docs, n_perm=8))
-    assert "Exchange" not in p
-    assert "Aggregate" not in p
+    for engine in ("jvm", "arrow"):
+        p = plan(minhash_signatures(docs, n_perm=8, engine=engine))
+        assert "Exchange" not in p
+        assert "Aggregate" not in p
 
 
 def test_simhash_map_only(spark):

@@ -131,6 +131,27 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark, dup_docs):
     assert near_found >= 7  # prefix-noised docs: high jaccard, most found
 
 
+def test_minhash_engines_bit_identical(spark, dup_docs):
+    """The Arrow/numpy permutation+min fold must reproduce the pure-
+    Catalyst HOF fold exactly — including the all-null signature for
+    shingle-less documents."""
+    from htmlparser2_spark.operators.dedup import minhash_signatures
+
+    docs = dup_docs.unionByName(
+        spark.createDataFrame([(999_999, "one two")], "doc_id long, text string")
+    )
+    jvm = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(docs, engine="jvm").collect()
+    }
+    arrow = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(docs, engine="arrow").collect()
+    }
+    assert jvm == arrow
+    assert arrow[999_999] == [None] * 32  # too short for 3-shingles
+
+
 def test_ngram_jaccard_pairs(spark, dup_docs):
     from htmlparser2_spark.operators.dedup import ngram_jaccard_pairs
 
