@@ -283,6 +283,34 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=8)
 
 
+def _q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen: the benchmark's 8-gram set
+    compressed to an 8192-bit / 3-probe filter (deliberately small so
+    the false-positive branch is live), every document scored by how
+    many of its distinct shingles the filter flags. The oracle rebuilds
+    the identical filter from the same portable md5 probes — a bit is
+    set iff the position is in the benchmark's probe set, so every
+    per-document decision INCLUDING each false positive is replayed
+    exactly, not just bounded."""
+    from htmlparser2_spark.operators.contamination import (
+        bloom_contamination_hits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = bloom_contamination_hits(
+        docs, bench, n=8, m_bits=8192, k=3, hash_fn="portable"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        "contaminated",
+    )
+
+
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline's stage funnel: quality gate ->
     dedup -> benchmark decontamination -> stratified sampling, with
@@ -1795,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quota_sample": _q_quota_sample,
         "q_token_shards": _q_token_shards,
         "q_contamination": _q_contamination,
+        "q_bloom_decontam": _q_bloom_decontam,
         "q_curation_funnel": _q_curation_funnel,
         "q_descendants": _q_descendants,
         "q_warc_roundtrip": _q_warc_roundtrip,
@@ -1874,6 +1903,49 @@ _TAG_COUNTS = [
     ("html", 2, 1), ("body", 2, 1), ("table", 2, 1), ("tr", 2, 2),
     ("td", 2, 2), ("textarea", 2, 1), ("div", 2, 1),
 ]
+
+
+def _bloom_decontam_sql(*, m_bits: int, k: int) -> str:
+    """Oracle for q_bloom_decontam: rebuilds the Bloom filter from the
+    same portable md5 probes (operators/contamination.py `_probe_hash`
+    — hash of ``shingle || '#i'``, mod ``m_bits``). A filter bit is set
+    iff its position is in the benchmark's probe-position set, so
+    set-membership on positions replays the Spark side's bitset test
+    decision-for-decision — false positives (two different shingles
+    colliding on all ``k`` positions) reproduce identically because
+    both engines compute the same positions."""
+
+    def probe(i: int) -> str:
+        return (
+            f"('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT"
+            f" % {m_bits}"
+        )
+
+    probes = ", ".join(probe(i) for i in range(k))
+    return (
+        "WITH dsh AS (SELECT doc_id, unnest(list_distinct("
+        "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+        "toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || "
+        "toks[i+6] || ' ' || toks[i+7] "
+        "for i in generate_series(1, len(toks) - 7)])) AS shingle "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents)), "
+        f"bpos AS (SELECT DISTINCT unnest([{probes}]) AS pos "
+        "FROM (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 50 = 0)), "
+        f"prb AS (SELECT doc_id, shingle, unnest([{probes}]) AS pos "
+        "FROM dsh), "
+        "shhit AS (SELECT p.doc_id, p.shingle, "
+        "bool_and(b.pos IS NOT NULL) AS hit "
+        "FROM prb p LEFT JOIN bpos b USING (pos) GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+        "CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_flagged "
+        "FROM shhit GROUP BY 1) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles, "
+        "CAST(COALESCE(a.n_flagged, 0) AS BIGINT) AS n_flagged, "
+        "COALESCE(a.n_flagged, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
 
 
 def _hash_embed_ctes(dim: int = 8, carry: str = "") -> str:
@@ -2680,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared "
             "FROM dsh d JOIN bsh b USING (shingle) GROUP BY 1, 2"
         ),
+        "q_bloom_decontam": _bloom_decontam_sql(m_bits=8192, k=3),
         "q_curation_funnel": (
             # Replays every stage decision: token-count quality gate,
             # exact+near dedup (recursive-CTE components over the

@@ -172,6 +172,26 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_bloom_screen_corpus_side_map_only(spark):
+    """With a pre-built (checkpointed) filter, the Bloom screen's plan
+    over the corpus is Scan -> broadcast-cross-join of ONE tiny row ->
+    Project: the only Exchange is that broadcast — no corpus shuffle,
+    no corpus join key, no Python."""
+    from htmlparser2_spark.operators.contamination import (
+        bloom_build,
+        bloom_contamination_hits,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    bl = bloom_build(bench, m_bits=4096).localCheckpoint()
+    p = plan(bloom_contamination_hits(docs, bloom=bl, m_bits=4096))
+    assert ") BroadcastNestedLoopJoin" in p  # 1-row build side
+    assert ") BroadcastExchange" in p
+    assert ") Exchange" not in p  # zero shuffles anywhere
+    assert "Python" not in p
+
+
 def test_lm_score_no_python_no_cartesian(spark):
     """LM training + scoring must stay JVM-side (pure Catalyst — no
     Arrow/Python eval nodes) and never degrade to a nested-loop join

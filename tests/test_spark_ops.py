@@ -1081,6 +1081,79 @@ def test_contamination_hits_and_decontaminate(spark):
     assert kept == {1, 4}  # short overlap (< 8-gram) survives
 
 
+def test_bloom_decontaminate_superset_and_fp_behavior(spark):
+    """The Bloom screen must never miss an exact hit (one-sided error)
+    at ANY filter size; a saturated tiny filter produces false
+    positives but still only over-drops. Both hash engines agree on
+    the well-sized filter."""
+    from pyspark.sql import functions as SF
+    from htmlparser2_spark.operators.contamination import (
+        bloom_build,
+        bloom_contamination_hits,
+        contamination_hits,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench = docs.filter(SF.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id div 50 AS bench_id", "text"
+    )
+    exact = {
+        r["doc_id"]
+        for r in contamination_hits(docs, bench, n=8)
+        .select("doc_id").distinct().collect()
+    }
+    assert exact  # benchmark docs flag at least themselves
+
+    for m_bits, k in ((1 << 18, 4), (16384, 3), (4096, 3)):
+        flagged = {
+            r["doc_id"]
+            for r in bloom_contamination_hits(
+                docs, bench, m_bits=m_bits, k=k, hash_fn="portable"
+            ).filter("contaminated").collect()
+        }
+        assert exact <= flagged  # no false negatives, ever
+    # the saturated 4096-bit filter must actually show false positives
+    # (otherwise the FP branch is untested)
+    small = bloom_contamination_hits(
+        docs, bench, m_bits=4096, k=3, hash_fn="portable"
+    ).filter("contaminated").count()
+    assert small > len(exact)
+
+    # well-sized filter: xxhash64 and portable agree doc-for-doc here
+    # (different bit patterns, same decisions at ~0 FP rate)
+    xx = {
+        r["doc_id"]
+        for r in bloom_contamination_hits(docs, bench)
+        .filter("contaminated").collect()
+    }
+    assert xx == exact
+
+    kept = decontaminate_bloom(docs, bench)
+    assert set(kept.columns) == {"doc_id", "text"}  # bloom col dropped
+    assert kept.count() == docs.count() - len(exact)
+
+
+def test_bloom_build_empty_benchmark_all_zero(spark):
+    """An empty benchmark yields a full-width all-zero filter (the
+    densify step), and nothing is ever flagged against it."""
+    from htmlparser2_spark.operators.contamination import (
+        bloom_build,
+        bloom_contamination_hits,
+    )
+
+    empty = spark.createDataFrame([], "bench_id long, text string")
+    row = bloom_build(empty, m_bits=4096).collect()[0]
+    assert len(row["bloom"]) == 64 and not any(row["bloom"])
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    out = bloom_contamination_hits(docs, bloom=bloom_build(empty), n=8).collect()
+    assert out[0]["n_shingles"] == 13 and out[0]["n_flagged"] == 0
+
+
 def test_run_curation_funnel_monotone_and_consistent(spark):
     """Stage counts decrease monotonically, the final corpus count
     equals the last funnel row, and stages compose in order."""
