@@ -151,21 +151,25 @@ def _bloom_probes(
 ) -> Column:
     """``array<struct<w:int, mask:long>>`` of the ``k`` (word-index,
     bit-mask) probes for one shingle. Computing word+mask here keeps
-    the membership lambda to an ``element_at`` + bitwise AND."""
-    probes = []
-    for i in range(k):
-        pos = F.pmod(
-            _probe_hash(shingle, i, hash_fn), F.lit(m_bits)
-        ).cast("int")
-        probes.append(
-            F.struct(
-                F.floor(pos / 64).cast("int").alias("w"),
-                F.element_at(
-                    _BIT_MASKS, F.pmod(pos, F.lit(64)) + 1
-                ).alias("mask"),
-            )
+    the membership lambda to an ``element_at`` + bitwise AND. The raw
+    hash enters through a ``transform`` lambda variable so it is
+    evaluated ONCE per probe — higher-order lambdas are interpreted
+    (no codegen subexpression elimination), and word + mask would
+    otherwise each recompute the md5 on the corpus hot path."""
+    hashes = F.array(
+        *[_probe_hash(shingle, i, hash_fn) for i in range(k)]
+    )
+
+    def to_probe(h: Column) -> Column:
+        pos = F.pmod(h, F.lit(m_bits)).cast("int")
+        return F.struct(
+            F.floor(pos / 64).cast("int").alias("w"),
+            F.element_at(_BIT_MASKS, F.pmod(pos, F.lit(64)) + 1).alias(
+                "mask"
+            ),
         )
-    return F.array(*probes)
+
+    return F.transform(hashes, to_probe)
 
 
 def bloom_build(
