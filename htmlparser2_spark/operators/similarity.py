@@ -69,12 +69,39 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "jvm",
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
 
     Returns (query_id, neighbor_id, rank, sim) with sim rounded to 4
-    decimals (ranking uses the unrounded value).
+    decimals (ranking uses the unrounded value; ties break on the
+    lower neighbor id).
+
+    * ``engine="jvm"`` (default): broadcast-join + ``zip_with``/
+      ``aggregate`` cosine + window top-k — pure Catalyst with strict
+      left-to-right fold order, so a sequential SQL oracle reproduces
+      every double bit-for-bit (this is the exactness-oracle baseline
+      the scale operators are validated against; keep it the default).
+    * ``engine="arrow"``: the fast path. The (small, broadcast-by-
+      contract) query side is collected ONCE into an ``nq x dim``
+      numpy matrix and closure-shipped into a ``mapInPandas`` over the
+      corpus: per batch one BLAS matmul scores every (query, corpus)
+      pair, and a per-batch **partial top-k** emits only ``nq * k``
+      candidate rows per batch — so the exchange feeding the final
+      window shrinks from ``|C| * |Q|`` rows to ``batches * |Q| * k``
+      (the partial/global top-k decomposition is exact: the global
+      top-k is a subset of the union of per-batch top-ks). numpy's
+      pairwise summation can differ from the sequential fold in the
+      last ulp, so ranks agree wherever neighbors aren't ulp-degenerate
+      (pinned by a parity test on real data); oracle rows keep the jvm
+      engine.
     """
+    if engine == "arrow":
+        return _brute_force_topk_arrow(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col
+        )
+    if engine != "jvm":
+        raise ValueError(f"unknown engine {engine!r} (jvm|arrow)")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -89,6 +116,89 @@ def brute_force_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int"), F.round("sim", 4).alias("sim"))
+    )
+
+
+def _brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow engine for :func:`brute_force_topk` (see its docstring)."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows:
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+        q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        # zero-norm queries rank everything at sim 0.0, like _cosine
+        q_unit = np.divide(
+            q_mat, q_norm, out=np.zeros_like(q_mat), where=q_norm != 0
+        )
+    else:
+        q_ids = np.empty(0, dtype=np.int64)
+        q_unit = None
+    kk = k
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if not len(pdf) or q_unit is None:
+                continue
+            c_ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["_cv"]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_unit = np.divide(
+                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm != 0
+            )
+            sims = c_unit @ q_unit.T  # (batch, nq)
+            take = min(kk, len(c_ids))
+            # per query: k best by (sim desc, id asc); argpartition
+            # narrows to k candidates, lexsort settles boundary ties
+            if take < len(c_ids):
+                cand = np.argpartition(-sims, take - 1, axis=0)[:take]
+            else:
+                cand = np.tile(
+                    np.arange(len(c_ids))[:, None], (1, len(q_ids))
+                )
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                rows = cand[:, j]
+                order = np.lexsort((c_ids[rows], -sims[rows, j]))
+                sel = rows[order]
+                out_q.append(np.full(len(sel), q_ids[j]))
+                out_n.append(c_ids[sel])
+                out_s.append(sims[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    prepared = corpus.select(
+        F.col(id_col).cast("long").alias("_nid"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    )
+    partial = prepared.mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int"),
+            F.round("sim", 4).alias("sim"),
+        )
     )
 
 

@@ -255,6 +255,35 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert all(rank for rank in range(1, 4))
 
 
+def test_brute_force_engines_agree(spark):
+    """The Arrow partial-top-k engine must produce the same ranking as
+    the pure-Catalyst fold on real embeddings (neighbors there are not
+    ulp-degenerate), including sims at the 4dp rounding, and must
+    handle a zero-norm query like _cosine (everything at sim 0.0)."""
+    from htmlparser2_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    c = emb.filter(F.col("vec_id") >= 8)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    jvm = {key(r): (r["neighbor_id"], r["sim"])
+           for r in brute_force_topk(q, c, k=5).collect()}
+    arrow = {key(r): (r["neighbor_id"], r["sim"])
+             for r in brute_force_topk(q, c, k=5, engine="arrow").collect()}
+    assert jvm == arrow
+
+    dim = len(emb.first()["embedding"])
+    zq = spark.createDataFrame(
+        [(999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    z = brute_force_topk(zq, c, k=3, engine="arrow").collect()
+    assert [r["sim"] for r in z] == [0.0, 0.0, 0.0]
+    # ties at sim 0.0 resolve to the lowest neighbor ids
+    assert [r["neighbor_id"] for r in z] == sorted(
+        r["neighbor_id"] for r in z
+    )
+
+
 # ---------------------------- pipeline ----------------------------
 
 def test_run_extract_checkpoint_resume(spark, tmp_path):
