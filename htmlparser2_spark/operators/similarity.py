@@ -44,6 +44,39 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine_arrow():
+    """Row-wise Arrow cosine for candidate scoring: one einsum over
+    the batch instead of an interpreted ``zip_with``/``aggregate``
+    fold per row. Same zero-norm -> 0.0 convention as :func:`_cosine`.
+    Used by the ``engine="arrow"`` paths of the candidate-join
+    operators (ivf/lsh), where scored pairs arrive as two array
+    columns rather than a matrix-able corpus batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(
+            np.divide(dots, den, out=np.zeros_like(dots), where=den != 0)
+        )
+
+    return cos
+
+
+def _pair_sim(engine: str):
+    """(qv, cv) -> sim column factory for the candidate-join scorers."""
+    if engine == "arrow":
+        udf = _cosine_arrow()
+        return lambda qv, cv: udf(qv, cv)
+    if engine != "jvm":
+        raise ValueError(f"unknown engine {engine!r} (jvm|arrow)")
+    return lambda qv, cv: _cosine(_as_double(qv), _as_double(cv))
+
+
 def _cosine(a, b):
     """Cosine similarity; 0.0 (not NULL / DIVIDE_BY_ZERO) when either
     vector has zero norm — an all-zero embedding (empty document)
@@ -373,6 +406,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     metric: str = "cosine",
+    engine: str = "jvm",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index.
 
@@ -383,7 +417,9 @@ def ivf_topk(
     corpus snapshot, reuse for every query stream). ``metric`` governs
     both the fit and cell assignment — centroids fit with one metric
     and assigned with another silently degrade recall, so the same
-    value threads through everywhere.
+    value threads through everywhere. ``engine="arrow"`` scores the
+    probed candidates with the batched einsum cosine instead of the
+    interpreted HOF fold (same decisions; see :func:`_cosine_arrow`).
     """
     if centroids is None:
         centroids = ivf_fit_centroids(
@@ -414,7 +450,7 @@ def ivf_topk(
     sims = cb.join(F.broadcast(qb), "cell").select(
         "query_id",
         "neighbor_id",
-        _cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))).alias("sim"),
+        _pair_sim(engine)(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -439,11 +475,14 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "jvm",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The bucket join replaces the full cross join; recall depends on
     ``n_bits`` (fewer bits -> bigger buckets -> higher recall/cost).
+    ``engine="arrow"`` scores candidates with the batched einsum
+    cosine (same decisions; see :func:`_cosine_arrow`).
     """
     qb = hyperplane_lsh_buckets(
         queries, dim=dim, n_bits=n_bits, seed=seed, id_col=id_col, vec_col=vec_col
@@ -454,7 +493,7 @@ def lsh_topk(
     sims = cb.join(F.broadcast(qb), "bucket").select(
         "query_id",
         "neighbor_id",
-        _cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))).alias("sim"),
+        _pair_sim(engine)(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

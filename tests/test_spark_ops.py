@@ -255,6 +255,23 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert all(rank for rank in range(1, 4))
 
 
+def test_candidate_scorer_engines_agree(spark):
+    """ivf_topk and lsh_topk produce identical rankings under the
+    einsum scorer and the Catalyst fold on real embeddings."""
+    from htmlparser2_spark.operators.similarity import ivf_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    for op, kw in ((ivf_topk, {}), (lsh_topk, {"dim": 64, "n_bits": 2})):
+        jvm = {key(r): (r["neighbor_id"], r["sim"])
+               for r in op(q, c, k=3, engine="jvm", **kw).collect()}
+        arrow = {key(r): (r["neighbor_id"], r["sim"])
+                 for r in op(q, c, k=3, engine="arrow", **kw).collect()}
+        assert jvm == arrow and jvm
+
+
 def test_brute_force_engines_agree(spark):
     """The Arrow partial-top-k engine must produce the same ranking as
     the pure-Catalyst fold on real embeddings (neighbors there are not
