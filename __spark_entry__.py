@@ -722,6 +722,20 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries_df, corpus, k=5)
 
 
+def _q_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow brute-force engine (BLAS batch scoring + per-batch
+    partial top-k inside mapInPandas) against the SAME oracle as
+    q_ann_topk: the partial/global top-k decomposition is exact, and
+    on this data the einsum sims round identically at 4dp to the
+    sequential fold (parity margin ~1e-7 vs the 5e-5 boundary)."""
+    from htmlparser2_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return brute_force_topk(queries_df, corpus, k=5, engine="arrow")
+
+
 def _q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed. Oracle-exact
     by construction: at threshold ~1.0 only identical vectors qualify,
@@ -1811,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": _q_quality,
         "q_fingerprint": _q_fingerprint,
         "q_ann_topk": _q_ann_topk,
+        "q_ann_arrow": _q_ann_arrow,
         "q_ivf_topk": _q_ivf_topk,
         "q_element_siblings": _q_element_siblings,
         "q_embedding_dup": _q_embedding_dup,
@@ -2547,6 +2562,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM pages p JOIN keep s ON p.doc_id % 3 = s.variant"
         ),
         "q_ann_topk": _ANN_TOPK_SQL,
+        # The Arrow engine must reproduce the jvm ranking AND the 4dp
+        # sims on this data (numpy pairwise summation differs from the
+        # sequential fold only at the ulp; the nearest sim sits ~1e-7
+        # from a rounding boundary here) — same oracle, so the fast
+        # path gets its own driver-verified row.
+        "q_ann_arrow": _ANN_TOPK_SQL,
         # Full-probe IVF must be lossless — byte-identical to the exact
         # cross-join ranking.
         "q_ivf_topk": _ANN_TOPK_SQL,
