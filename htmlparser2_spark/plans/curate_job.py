@@ -14,7 +14,11 @@ more expensive stage sees a smaller corpus):
    (exact md5 -> LSH candidates -> candidate-only Jaccard verify ->
    components); only ``kept`` rows continue.
 3. **decontaminate** — drop documents sharing word n-grams with a
-   benchmark set (broadcast probe; skipped when ``bench`` is None).
+   benchmark set (skipped when ``bench`` is None).
+   ``contam_mode="exact"`` broadcasts the benchmark shingle hashes;
+   ``"bloom"`` broadcasts a fixed-size Bloom filter instead and keeps
+   the corpus stage map-only — the choice when the benchmark union
+   itself is huge (one-sided error: only ever over-drops).
 4. **sample** — deterministic per-stratum fractions (skipped when
    ``fractions`` is None).
 
@@ -30,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.contamination import decontaminate
+from ..operators.contamination import decontaminate, decontaminate_bloom
 from ..operators.dedup import frequent_line_removal
 from ..operators.quality import gopher_filter
 from ..operators.sampling import stratified_sample
@@ -48,6 +52,9 @@ def run_curation(
     line_dedup_min_docs: int | None = None,
     dedup_threshold: float = 0.7,
     contam_n: int = 8,
+    contam_mode: str = "exact",
+    contam_m_bits: int = 1 << 18,
+    contam_k: int = 4,
     fractions: dict[str, float] | None = None,
     strata_col: str = "lang",
     text_col: str = "text",
@@ -108,11 +115,24 @@ def run_curation(
     stages.append(("dedup", cur))
 
     if bench is not None:
-        cur = maybe_ckpt(
-            decontaminate(
+        if contam_mode == "exact":
+            cur = decontaminate(
                 cur, bench, n=contam_n, text_col=text_col, id_col=id_col
             )
-        )
+        elif contam_mode == "bloom":
+            # The 100-TB shape: the benchmark compresses to one
+            # ~contam_m_bits/8-byte filter row and the corpus stage is
+            # map-only (no shingle broadcast, no anti-join); slightly
+            # over-drops at the standard false-positive rate.
+            cur = decontaminate_bloom(
+                cur, bench, n=contam_n, m_bits=contam_m_bits,
+                k=contam_k, text_col=text_col, id_col=id_col,
+            )
+        else:
+            raise ValueError(
+                f"unknown contam_mode {contam_mode!r} (exact|bloom)"
+            )
+        cur = maybe_ckpt(cur)
         stages.append(("decontaminated", cur))
 
     if fractions is not None:

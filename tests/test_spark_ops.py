@@ -1230,6 +1230,35 @@ def test_run_curation_funnel_monotone_and_consistent(spark):
     assert corpus.count() == counts[-1]
 
 
+def test_run_curation_bloom_decontam_mode(spark):
+    """contam_mode="bloom" with a well-sized filter reproduces the
+    exact funnel on this corpus (FP ~ 0 at 2^18 bits); a saturated
+    filter only over-drops (never under-drops)."""
+    import pyspark.sql.functions as SF
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    bench = docs.filter(SF.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id div 50 AS bench_id", "text"
+    )
+    pred = SF.size(SF.split("text", " ")) >= 40
+
+    def decon_count(**kw):
+        _, funnel = run_curation(docs, bench=bench, quality_pred=pred, **kw)
+        return {r["stage"]: r["n_docs"] for r in funnel.collect()}[
+            "decontaminated"
+        ]
+
+    exact = decon_count(contam_mode="exact")
+    bloom = decon_count(contam_mode="bloom")
+    assert bloom == exact
+    saturated = decon_count(contam_mode="bloom", contam_m_bits=4096,
+                            contam_k=3)
+    assert saturated <= exact
+
+
 def test_run_curation_default_gopher_gate(spark):
     """With no quality_pred the Gopher rules gate stage 1."""
     from htmlparser2_spark.plans.curate_job import run_curation
