@@ -188,11 +188,13 @@ def main() -> None:
         match_rate["extract_large"] = row["m"] / row["docs"]
 
     # Extraction is the headline metric: best-of-3 (others best-of-2).
+    # q_minhash_lsh also gets 3 reps: it is the longest line and this
+    # host's load spikes outlast a 2-rep window (see CLAUDE.md).
     timed("q_extract", q_extract, repeats=3)
     timed("q_extract_large_pages", q_extract_large, repeats=3)
     timed("q_dom_histogram", q_dom)
     timed("q_doc_stats", q_stats)
-    timed("q_minhash_lsh", q_minhash)
+    timed("q_minhash_lsh", q_minhash, repeats=3)
     timed("q_ann_topk", q_ann)
 
     extract_sec = timings["q_extract"]
