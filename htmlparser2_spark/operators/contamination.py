@@ -135,15 +135,21 @@ def _probe_hash(shingle: Column, i: int, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|portable)")
 
 
-# 1 << j for j in 0..63 as *signed* 64-bit literals (bit 63 is the
-# sign bit); indexed by element_at because Spark's shiftleft only
-# takes a literal shift amount, not a column.
-_BIT_MASKS = F.array(
-    *[
-        F.lit((1 << j) - (1 << 64) if j == 63 else (1 << j)).cast("long")
-        for j in range(64)
-    ]
-)
+def _bit_masks():
+    """1 << j for j in 0..63 as *signed* 64-bit literals (bit 63 is
+    the sign bit); indexed by element_at because Spark's shiftleft
+    only takes a literal shift amount, not a column. Built lazily —
+    a module-level Column would make importing this module (and
+    plans/curate_job.py) crash before a SparkContext exists, which is
+    the normal import order for a spark-submit driver."""
+    return F.array(
+        *[
+            F.lit((1 << j) - (1 << 64) if j == 63 else (1 << j)).cast(
+                "long"
+            )
+            for j in range(64)
+        ]
+    )
 
 
 def _bloom_probes(
@@ -159,12 +165,13 @@ def _bloom_probes(
     hashes = F.array(
         *[_probe_hash(shingle, i, hash_fn) for i in range(k)]
     )
+    masks = _bit_masks()
 
     def to_probe(h: Column) -> Column:
         pos = F.pmod(h, F.lit(m_bits)).cast("int")
         return F.struct(
             F.floor(pos / 64).cast("int").alias("w"),
-            F.element_at(_BIT_MASKS, F.pmod(pos, F.lit(64)) + 1).alias(
+            F.element_at(masks, F.pmod(pos, F.lit(64)) + 1).alias(
                 "mask"
             ),
         )
@@ -228,6 +235,50 @@ def bloom_build(
     )
 
 
+# Internal name for the broadcast filter column so a corpus that
+# already carries a "bloom" column neither collides in the crossJoin
+# nor gets silently dropped afterwards.
+_BLOOM_COL = "_bloom_filter_words"
+
+
+def _bloom_screen(
+    docs: DataFrame,
+    bench: DataFrame | None,
+    bloom: DataFrame | None,
+    *,
+    n: int,
+    m_bits: int,
+    k: int,
+    text_col: str,
+    bench_text_col: str,
+    hash_fn: str,
+):
+    """Shared probe-test core for the two Bloom consumers: returns
+    ``(docs x filter row, n_shingles col, n_flagged col)``. One
+    definition so the membership test cannot drift between the
+    hits report and the decontamination filter."""
+    if (bench is None) == (bloom is None):
+        raise ValueError("pass exactly one of bench= or bloom=")
+    if bloom is None:
+        bloom = bloom_build(
+            bench, n=n, m_bits=m_bits, k=k, text_col=bench_text_col,
+            hash_fn=hash_fn,
+        )
+    filt = bloom.select(F.col("bloom").alias(_BLOOM_COL))
+    shingles = F.array_distinct(_shingle_array(text_col, n))
+
+    def hit(s: Column) -> Column:
+        return F.forall(
+            _bloom_probes(s, m_bits=m_bits, k=k, hash_fn=hash_fn),
+            lambda p: F.element_at(F.col(_BLOOM_COL), p["w"] + 1)
+            .bitwiseAND(p["mask"])
+            != 0,
+        )
+
+    joined = docs.crossJoin(F.broadcast(filt))
+    return joined, F.size(shingles), F.size(F.filter(shingles, hit))
+
+
 def bloom_contamination_hits(
     docs: DataFrame,
     bench: DataFrame | None = None,
@@ -254,29 +305,15 @@ def bloom_contamination_hits(
     the build. ``contaminated`` means at least one flagged shingle; a
     doc shorter than ``n`` tokens has no shingles and never flags.
     """
-    if (bench is None) == (bloom is None):
-        raise ValueError("pass exactly one of bench= or bloom=")
-    if bloom is None:
-        bloom = bloom_build(
-            bench, n=n, m_bits=m_bits, k=k, text_col=bench_text_col,
-            hash_fn=hash_fn,
-        )
-    shingles = F.array_distinct(_shingle_array(text_col, n))
-    hit = lambda s: F.forall(  # noqa: E731
-        _bloom_probes(s, m_bits=m_bits, k=k, hash_fn=hash_fn),
-        lambda p: F.element_at(F.col("bloom"), p["w"] + 1)
-        .bitwiseAND(p["mask"])
-        != 0,
+    joined, n_shingles, n_flagged = _bloom_screen(
+        docs, bench, bloom, n=n, m_bits=m_bits, k=k, text_col=text_col,
+        bench_text_col=bench_text_col, hash_fn=hash_fn,
     )
-    return (
-        docs.crossJoin(F.broadcast(bloom))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.size(shingles).alias("n_shingles"),
-            F.size(F.filter(shingles, hit)).alias("n_flagged"),
-        )
-        .withColumn("contaminated", F.col("n_flagged") > 0)
-    )
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        n_shingles.alias("n_shingles"),
+        n_flagged.alias("n_flagged"),
+    ).withColumn("contaminated", F.col("n_flagged") > 0)
 
 
 def decontaminate_bloom(
@@ -298,23 +335,8 @@ def decontaminate_bloom(
     exact :func:`decontaminate` drops. Map-only on the corpus: the
     flag is computed in-row against the broadcast filter and filtered
     immediately, with no anti-join."""
-    if (bench is None) == (bloom is None):
-        raise ValueError("pass exactly one of bench= or bloom=")
-    if bloom is None:
-        bloom = bloom_build(
-            bench, n=n, m_bits=m_bits, k=k, text_col=bench_text_col,
-            hash_fn=hash_fn,
-        )
-    shingles = F.array_distinct(_shingle_array(text_col, n))
-    hit = lambda s: F.forall(  # noqa: E731
-        _bloom_probes(s, m_bits=m_bits, k=k, hash_fn=hash_fn),
-        lambda p: F.element_at(F.col("bloom"), p["w"] + 1)
-        .bitwiseAND(p["mask"])
-        != 0,
+    joined, _, n_flagged = _bloom_screen(
+        docs, bench, bloom, n=n, m_bits=m_bits, k=k, text_col=text_col,
+        bench_text_col=bench_text_col, hash_fn=hash_fn,
     )
-    flagged = F.size(F.filter(shingles, hit))
-    return (
-        docs.crossJoin(F.broadcast(bloom))
-        .filter(flagged < min_hits)
-        .drop("bloom")
-    )
+    return joined.filter(n_flagged < min_hits).drop(_BLOOM_COL)

@@ -163,46 +163,50 @@ def _brute_force_topk_arrow(
     """Arrow engine for :func:`brute_force_topk` (see its docstring)."""
     import numpy as np
 
+    for side, df in (("queries", queries), ("corpus", corpus)):
+        dtype = dict(df.dtypes).get(id_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f'engine="arrow" needs an integral {id_col!r} '
+                f"({side} has {dtype!r}); the jvm engine accepts any "
+                "orderable id type"
+            )
     q_rows = queries.select(id_col, vec_col).collect()
     if q_rows:
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-        q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
-        # zero-norm queries rank everything at sim 0.0, like _cosine
-        q_unit = np.divide(
-            q_mat, q_norm, out=np.zeros_like(q_mat), where=q_norm != 0
-        )
+        q_norm = np.linalg.norm(q_mat, axis=1)
     else:
         q_ids = np.empty(0, dtype=np.int64)
-        q_unit = None
+        q_mat = None
     kk = k
 
     def partial_topk(batches):
         for pdf in batches:
-            if not len(pdf) or q_unit is None:
+            if not len(pdf) or q_mat is None:
                 continue
             c_ids = pdf["_nid"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["_cv"]), dtype=np.float64)
-            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_unit = np.divide(
-                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm != 0
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            # dot / (|a| * |b|), the same arithmetic as _cosine
+            # (normalizing the vectors first would add a second
+            # rounding path); zero norms -> sim 0.0, also like _cosine
+            dots = c_mat @ q_mat.T  # (batch, nq)
+            den = np.outer(c_norm, q_norm)
+            sims = np.divide(
+                dots, den, out=np.zeros_like(dots), where=den != 0
             )
-            sims = c_unit @ q_unit.T  # (batch, nq)
             take = min(kk, len(c_ids))
-            # per query: k best by (sim desc, id asc); argpartition
-            # narrows to k candidates, lexsort settles boundary ties
-            if take < len(c_ids):
-                cand = np.argpartition(-sims, take - 1, axis=0)[:take]
-            else:
-                cand = np.tile(
-                    np.arange(len(c_ids))[:, None], (1, len(q_ids))
-                )
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
-                rows = cand[:, j]
-                order = np.lexsort((c_ids[rows], -sims[rows, j]))
-                sel = rows[order]
-                out_q.append(np.full(len(sel), q_ids[j]))
+                # full (sim desc, id asc) order per query: the
+                # partial/global decomposition is only exact when the
+                # per-batch selection uses the same total order the
+                # final window does — an argpartition on sim alone can
+                # drop the lower id of a tie at the k-th boundary
+                order = np.lexsort((c_ids, -sims[:, j]))
+                sel = order[:take]
+                out_q.append(np.full(take, q_ids[j]))
                 out_n.append(c_ids[sel])
                 out_s.append(sims[sel, j])
             yield pd.DataFrame(

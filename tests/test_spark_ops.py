@@ -295,10 +295,20 @@ def test_brute_force_engines_agree(spark):
     )
     z = brute_force_topk(zq, c, k=3, engine="arrow").collect()
     assert [r["sim"] for r in z] == [0.0, 0.0, 0.0]
-    # ties at sim 0.0 resolve to the lowest neighbor ids
-    assert [r["neighbor_id"] for r in z] == sorted(
-        r["neighbor_id"] for r in z
+    # every sim ties at 0.0, so the (sim desc, id asc) order must pick
+    # exactly the 3 globally lowest corpus ids — this is the case an
+    # argpartition-on-sim-alone per-batch selection gets wrong
+    lowest = [r["vec_id"] for r in
+              c.orderBy("vec_id").select("vec_id").limit(3).collect()]
+    assert [r["neighbor_id"] for r in z] == lowest
+
+    # non-integral ids are an explicit error on the arrow engine
+    sq = spark.createDataFrame(
+        [("a", [1.0] * dim)], "vec_id string, embedding array<double>"
     )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="integral"):
+        brute_force_topk(sq, c, k=1, engine="arrow")
 
 
 # ---------------------------- pipeline ----------------------------
