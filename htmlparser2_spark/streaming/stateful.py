@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["dedup_first_seen", "host_budget"]
+__all__ = ["dedup_first_seen", "dedup_content_first_seen", "host_budget"]
 
 _DEDUP_OUT = StructType(
     [
@@ -71,6 +71,68 @@ def dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf="NoTimeout",
         )
+    )
+
+
+_CONTENT_OUT = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("url", StringType()),
+        StructField("first_warc_ts", TimestampType()),
+        StructField("n_occurrences", LongType()),
+    ]
+)
+_CONTENT_STATE = StructType([StructField("seen", LongType())])
+
+
+def _content_dedup_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    (fp,) = key
+    seen = state.get[0] if state.exists else 0
+    count = 0
+    first_ts = None
+    first_url = None
+    for pdf in pdfs:
+        count += len(pdf)
+        i = pdf["warc_ts"].idxmin()
+        ts = pdf["warc_ts"].loc[i]
+        if first_ts is None or ts < first_ts:
+            first_ts, first_url = ts, pdf["url"].loc[i]
+    state.update((seen + count,))
+    if seen == 0 and count > 0:
+        yield pd.DataFrame(
+            {
+                "fingerprint": [fp],
+                "url": [first_url],
+                "first_warc_ts": [first_ts],
+                "n_occurrences": [seen + count],
+            }
+        )
+
+
+def dedup_content_first_seen(
+    pages_stream: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Streaming first-seen CONTENT dedup: keyed by ``md5(text_col)``
+    instead of url, so re-crawled urls with unchanged content AND
+    cross-host mirrors collapse to one emitted row (the earliest
+    ``warc_ts`` observation wins and carries its url). The batch
+    analogue is ``operators/dedup.exact_dedup``; this is its
+    exactly-once incremental form — the key is a 32-char fingerprint,
+    so cross-batch state and the shuffle stay fingerprint-sized no
+    matter how large the page payloads are."""
+    from pyspark.sql import functions as F
+
+    keyed = pages_stream.select(
+        F.md5(F.col(text_col).cast("string")).alias("fingerprint"),
+        "url",
+        "warc_ts",
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        _content_dedup_fn,
+        outputStructType=_CONTENT_OUT,
+        stateStructType=_CONTENT_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 
