@@ -233,10 +233,12 @@ def minhash_signatures(
       runs in ONE Arrow-batched numpy kernel
       (``(flat_hashes * a + b) % M`` per permutation over the batch's
       concatenated hash buffer, ``np.minimum.reduceat`` per document).
-      Measured ~2x faster end-to-end than the JVM HOF fold on the
-      bench corpus: the interpreted ``zip_with`` allocates an
-      ``n_perm``-long boxed array per shingle, the numpy kernel does
-      3 vector ops per permutation per batch.
+      Measured 1.5-2x faster on the signature stage (5.37s vs 8.17s,
+      sf0.1 single-task) and ~11% on LSH end-to-end in the bench shape
+      (3.44s vs 3.86s warm best-of-3 — shingling and banding dominate
+      there): the interpreted ``zip_with`` allocates an ``n_perm``-long
+      boxed array per shingle, the numpy kernel does 3 vector ops per
+      permutation per batch.
     * ``engine="jvm"``: pure Catalyst — one ``aggregate`` over the
       in-row shingle array with a ``zip_with`` accumulator (no Python
       workers at all; keep for environments where the Python worker
