@@ -72,20 +72,16 @@ _RE_TAG_SECTION_END = re.compile(r"[ \t\n\f\r/>]")
 _RE_ATTR_NAME_END = re.compile(r"[ \t\n\f\r/>=]")
 _RE_NQ_VALUE_END = re.compile(r"[ \t\n\f\r>&]")
 _RE_NQ_VALUE_END_NODECODE = re.compile(r"[ \t\n\f\r>]")
-# Whole-attribute-section skip for the light_attrs path: quotes are
-# consumable ONLY directly after '=' + optional whitespace — the exact
-# condition under which the attribute machine enters a quoted-value
-# state. Any other quote placement fails the match (no alternative can
-# consume a bare quote) and the caller bails to the exact machine. The
-# alternatives are first-character-disjoint ('=' is excluded from the
-# char class), so the scan is backtrack-free/linear.
-_RE_LIGHT_ATTRS = re.compile(
-    r"""(?:[^>"'=]|=[ \t\n\f\r]*(?:"[^"]*"|'[^']*')?)*>"""
-)
 # Light-path whole-tag match (name + attribute section + '>') — the
 # group-1 end is the tag-name end (first section-end char), saving the
-# separate _RE_TAG_SECTION_END search on the hot per-tag path. Same
-# quote grammar and bail semantics as _RE_LIGHT_ATTRS.
+# separate _RE_TAG_SECTION_END search on the hot per-tag path.
+# Attribute-section grammar: quotes are consumable ONLY directly after
+# '=' + optional whitespace — the exact condition under which the
+# attribute machine enters a quoted-value state. Any other quote
+# placement fails the match (no alternative can consume a bare quote)
+# and the caller bails to the exact machine. The alternatives are
+# first-character-disjoint ('=' is excluded from the char class), so
+# the scan is backtrack-free/linear.
 _RE_LIGHT_TAG = re.compile(
     r"""([^ \t\n\f\r/>]*)"""
     r"""(?:>|[ \t\n\f\r/](?:[^>"'=]|=[ \t\n\f\r]*(?:"[^"]*"|'[^']*')?)*>)"""

@@ -146,6 +146,21 @@ def resolve_url(base: Column | str, href: Column | str) -> Column:
     h = F.substring_index(h, "#", 1)
     b_nofrag = F.substring_index(b, "#", 1)
     scheme = url_scheme(b)
+    # Same-scheme references without an authority (href="https:x",
+    # "https:?q", "https:/abs") resolve RELATIVELY: urljoin strips a
+    # scheme equal to the base scheme (case-insensitive) and resolves
+    # the remainder — passing them through verbatim would emit a
+    # non-fetchable "https:x" and key the same outlink two ways in a
+    # mixed Python/Spark frontier. With an authority ("https://other")
+    # the verbatim pass-through below already matches urljoin.
+    h_scheme = F.regexp_extract(h, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    same_scheme_rel = (F.lower(h_scheme) == F.lower(scheme)) & ~h.rlike(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+    )
+    h = F.when(
+        same_scheme_rel,
+        F.regexp_replace(h, r"^[A-Za-z][A-Za-z0-9+.\-]*:", ""),
+    ).otherwise(h)
     origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     b_path = url_path(b)
     b_dir = F.when(b_path == "", F.lit("/")).otherwise(

@@ -252,9 +252,14 @@ def _compound_pred(
         pred = pred & p
         needs_rank = needs_rank or r
         needs_text = needs_text or t
+    # Attribute tests on a missing attribute must be FALSE, never NULL:
+    # a NULL here survives & / | and flips under the :not() inversion
+    # (~NULL is NULL -> the element is wrongly excluded), so every
+    # attribute-derived predicate below is built NULL-free
+    # (eqNullSafe / coalesce-to-False).
     for simple in _SIMPLE.findall(m.group("rest")):
         if simple.startswith("#"):
-            pred = pred & (F.col("attrs")["id"] == simple[1:])
+            pred = pred & F.col("attrs")["id"].eqNullSafe(simple[1:])
         elif simple.startswith("."):
             # class attribute is whitespace-separated tokens
             pred = pred & F.array_contains(
@@ -275,11 +280,15 @@ def _compound_pred(
                 continue
             value = value.strip("\"'")
             if op == "=":
-                pred = pred & (col == value)
+                pred = pred & col.eqNullSafe(value)
             elif op == "^=":
-                pred = pred & col.startswith(value)
+                pred = pred & F.coalesce(
+                    col.startswith(value), F.lit(False)
+                )
             elif op == "$=":
-                pred = pred & col.endswith(value)
+                pred = pred & F.coalesce(
+                    col.endswith(value), F.lit(False)
+                )
             elif op == "~=":
                 # whitespace-separated token list contains the value
                 # exactly (the .class mechanic, generalized)
@@ -289,11 +298,14 @@ def _compound_pred(
             elif op == "|=":
                 # exact match or value followed by a hyphen (the CSS
                 # lang-subcode operator)
-                pred = pred & (
-                    (col == value) | col.startswith(value + "-")
+                pred = pred & F.coalesce(
+                    (col == value) | col.startswith(value + "-"),
+                    F.lit(False),
                 )
             else:  # *=
-                pred = pred & col.contains(value)
+                pred = pred & F.coalesce(
+                    col.contains(value), F.lit(False)
+                )
     return pred, needs_rank, needs_text, has_specs
 
 

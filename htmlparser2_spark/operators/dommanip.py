@@ -201,8 +201,33 @@ def replace_element(nodes: DataFrame, predicate, spec: dict,
     matched = nodes.filter(predicate(nodes)).select(
         F.col(key_col).alias("rm_url"), F.col("node_id").alias("rm_id")
     )
-    doomed = _descendant_ids(nodes, matched, key_col=key_col,
-                             include_roots=False)
+    # Doomed = STRICT descendants of matched nodes — seeded from their
+    # children so a matched node nested inside another match stays in
+    # the doomed set and is dropped with the outer subtree.
+    # (_descendant_ids' include_roots=False subtracts ALL roots from
+    # the closure, which would resurrect such inner matches: replacing
+    # ul and li in <ul><li>x</li></ul> must yield one replacement, not
+    # a replacement inside a replacement.)
+    links = nodes.select(
+        F.col(key_col).alias("rm_url"),
+        F.col("parent_id").alias("rm_parent"),
+        F.col("node_id").alias("rm_child"),
+    )
+    seeds = matched.withColumnsRenamed(
+        {"rm_url": "seed_url", "rm_id": "seed_id"}
+    )
+    child_seed = (
+        links.join(
+            seeds,
+            (links.rm_url == seeds.seed_url)
+            & (links.rm_parent == seeds.seed_id),
+        )
+        .select(links.rm_url.alias("rm_url"),
+                F.col("rm_child").alias("rm_id"))
+        .distinct()
+    )
+    doomed = _descendant_ids(nodes, child_seed, key_col=key_col,
+                             include_roots=True)
     kept = nodes.join(
         doomed,
         (nodes[key_col] == doomed.rm_url) & (nodes.node_id == doomed.rm_id),

@@ -244,7 +244,18 @@ def run_extract(
     done: list[int] = []
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
-            done = json.load(fh)["completed_buckets"]
+            manifest = json.load(fh)
+        done = manifest["completed_buckets"]
+        # A manifest written by an older run may predate the mode
+        # field; treat it as the then-only "text" mode.
+        prev_mode = manifest.get("mode", "text")
+        if prev_mode != mode:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds mode={prev_mode!r} buckets; "
+                f"resuming it with mode={mode!r} would mix extraction "
+                "semantics in one dataset — use a fresh out_dir or "
+                "resume=False to overwrite"
+            )
 
     bucket = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     todo_pages = pages.withColumn("bucket", bucket)
@@ -292,7 +303,11 @@ def run_extract(
     completed = sorted(set(done) | set(todo))
     with open(manifest_path, "w") as fh:
         json.dump(
-            {"completed_buckets": completed, "buckets_on_disk": sorted(on_disk)},
+            {
+                "completed_buckets": completed,
+                "buckets_on_disk": sorted(on_disk),
+                "mode": mode,
+            },
             fh,
         )
 

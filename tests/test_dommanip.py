@@ -215,3 +215,19 @@ def test_replace_drops_subtree(spark):
     assert rendered == (
         "<html><body><section></section><p>keep</p></body></html>"
     )
+
+
+@pytest.mark.spark
+def test_replace_nested_match_drops_inner(spark):
+    """A matched element nested inside another match belongs to the
+    outer match's dropped subtree — only the TOP-LEVEL match is
+    replaced (domutils replaces the outer pointer; the detached
+    element keeps its children, inner match included)."""
+    html = "<html><body><ul><li>x</li></ul><p>keep</p></body></html>"
+    nodes = explode_nodes(_pages(spark, html=html))
+    out = replace_element(
+        nodes, lambda n: F.col("name").isin("ul", "li"),
+        {"type": "tag", "name": "gone"},
+    )
+    rendered = serialize_nodes(out).collect()[0]["manip_html"]
+    assert rendered == "<html><body><gone></gone><p>keep</p></body></html>"

@@ -326,6 +326,11 @@ def test_run_extract_checkpoint_resume(spark, tmp_path):
     summary2 = run_extract(spark, pages, out, n_buckets=8, resume=True)
     assert summary2["buckets_skipped"] == list(range(8))
     assert summary2["docs"] == 500  # no duplicated output rows
+    # Resuming with a different extraction mode would mix text-mode and
+    # main-mode buckets in one dataset — refuse loudly.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        run_extract(spark, pages, out, n_buckets=8, resume=True, mode="main")
 
 
 def test_run_extract_main_content_mode(spark, tmp_path):
@@ -897,6 +902,16 @@ def test_resolve_url_differential_vs_urljoin(spark):
         "//other.example/p/../q",
         "https://abs.example/x",
         "mailto:someone@example.com",
+        # same-scheme references WITHOUT authority: urljoin strips the
+        # scheme and resolves relatively (review finding — these were
+        # passed through verbatim as non-fetchable "https:x")
+        "https:same-scheme.html",
+        "HTTPS:case-fold.html",
+        "https:/rooted-samescheme",
+        "https:?q=3",
+        "https:",
+        "https:a/../b",
+        "http:other-scheme.html",  # differs from the https bases
         "rel.html",
         "rel.html?k=v",
         "./same-dir",
@@ -1526,6 +1541,35 @@ def test_css_select_pseudo_classes(spark):
     assert len(got("div :not(p)")) == 2              # h1 + span
     assert len(got("ul > li:nth-child(2)")) == 1
     assert len(got("li:first-child + li")) == 1      # pseudo then sibling
+
+
+def test_css_select_not_over_missing_attrs(spark):
+    """:not() wrapping #id / attribute-value tests must MATCH elements
+    lacking the attribute — SQL three-valued logic made ~NULL stay
+    NULL, silently excluding them (review finding; attribute predicates
+    are now built NULL-free)."""
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("u1", '<div id="x">a</div><div>b</div><div data-k="v">c</div>'
+                '<div data-k="v-sub">d</div>')],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def n(sel):
+        return css_select(nodes, sel).count()
+
+    assert n("div:not(#x)") == 3
+    assert n("div:not([data-k=v])") == 3
+    assert n("div:not([data-k^=v])") == 2
+    assert n("div:not([data-k$=sub])") == 3
+    assert n("div:not([data-k*=-])") == 3
+    assert n("div:not([data-k|=v])") == 2
+    assert n("div:not([data-k])") == 2
+    # positive direction unchanged: missing attr never matches
+    assert n("div[data-k=v]") == 1 and n("div#x") == 1
 
 
 def test_css_select_empty_and_root(spark):
