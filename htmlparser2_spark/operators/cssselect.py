@@ -28,6 +28,7 @@ Supported grammar (the high-traffic subset)::
                    | '[attr*=v]' | '[attr~=v]' | '[attr|=v]'
     pseudo        := ':first-child' | ':last-child' | ':only-child'
                    | ':nth-child(An+B)' | ':nth-last-child(An+B)'
+                   | '[attr=v i]' (CSS4 case-insensitive value flag)
                    | ':first-of-type' | ':last-of-type' | ':only-of-type'
                    | ':nth-of-type(An+B)' | ':nth-last-of-type(An+B)'
                    | ':not(compound)' | ':empty' | ':root'
@@ -84,7 +85,12 @@ _COMPOUND = re.compile(
     rf"(?P<pseudo>(?::[\w-]+(?:{_PARENS})?)*)$"
 )
 _SIMPLE = re.compile(r"[#.][\w-]+|\[[^\]]+\]")
-_ATTR_TEST = re.compile(r"^([\w-]+)(?:([~|^$*]?=)(.*))?$")
+_ATTR_TEST = re.compile(
+    # optional CSS4 case-sensitivity flag after the value: [attr="v" i]
+    # ('s' — the explicit-sensitive flag — is the default behavior and
+    # also accepted). The flag only parses after an operator+value.
+    r"^([\w-]+)(?:([~|^$*]?=)(.*?)(?:\s+([is]))?)?$"
+)
 _PSEUDO = re.compile(rf":([\w-]+)(?:\(((?:[^()]|\([^()]*\))*)\))?")
 # CSS An+B micro-syntax: a bare integer, or [sign][a]n[±b], odd, even.
 _NTH = re.compile(r"^(?:([+-]?\d+)|([+-]?\d*)n(?:\s*([+-])\s*(\d+))?)$")
@@ -273,12 +279,20 @@ def _compound_pred(
             am = _ATTR_TEST.match(simple[1:-1].strip())
             if not am:
                 raise ValueError(f"unsupported attribute test: {simple!r}")
-            attr, op, value = am.group(1), am.group(2), am.group(3)
+            attr, op, value, flag = (
+                am.group(1), am.group(2), am.group(3), am.group(4)
+            )
             col = F.col("attrs")[attr]
             if op is None:
                 pred = pred & col.isNotNull()
                 continue
             value = value.strip("\"'")
+            if flag == "i":
+                # CSS4 case-insensitive value flag: fold BOTH sides
+                # (ASCII-adequate lower; the attr value space here is
+                # html attribute text). 's' is the default behavior.
+                col = F.lower(col)
+                value = value.lower()
             if op == "=":
                 pred = pred & col.eqNullSafe(value)
             elif op == "^=":

@@ -1572,6 +1572,33 @@ def test_css_select_not_over_missing_attrs(spark):
     assert n("div[data-k=v]") == 1 and n("div#x") == 1
 
 
+def test_css_select_attr_case_flag(spark):
+    """CSS4 [attr=v i] case-insensitive value flag; default and an
+    explicit 's' stay case-sensitive; works across operators and under
+    :not (still NULL-free for missing attrs)."""
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("u1", '<a data-v="Hello">1</a><a data-v="HELLO">2</a>'
+                '<a data-v="other">3</a><a>4</a>')],
+        "url string, html string",
+    )
+    nodes = explode_nodes(pages, with_ancestors=True)
+
+    def n(sel):
+        return css_select(nodes, sel).count()
+
+    assert n("a[data-v=hello]") == 0          # sensitive default
+    assert n('a[data-v="hello" i]') == 2
+    assert n("a[data-v=hello i]") == 2        # unquoted + flag
+    assert n('a[data-v="Hello" s]') == 1      # explicit sensitive
+    assert n("a[data-v^=HE i]") == 2
+    assert n("a[data-v$=LLO i]") == 2
+    assert n("a[data-v*=ell i]") == 2
+    assert n("a:not([data-v=hello i])") == 2  # 'other' + no-attr
+
+
 def test_css_select_empty_and_root(spark):
     from htmlparser2_spark.operators.cssselect import css_select
     from htmlparser2_spark.operators.domquery import explode_nodes
