@@ -647,6 +647,32 @@ def _q_css_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET output roundtrip (the Common-Crawl extracted-text archive
+    shape): synthesize a conversion record per page via the
+    dual-dialect expr, parse it back with warc_record_udf, and emit
+    the parsed header fields + payload byte-length + payload md5 —
+    all of which the oracle computes ANALYTICALLY from the pages
+    table without parsing, pinning the full write->read loop."""
+    from htmlparser2_spark.sources.warc import (
+        warc_record_udf,
+        wet_record_expr,
+    )
+
+    pages = build_pages(spark, sf_dir)
+    recs = pages.selectExpr("url", f"{wet_record_expr('spark')} AS wet")
+    w = recs.select("url", warc_record_udf()(F.col("wet")).alias("r"))
+    return w.select(
+        "url",
+        F.col("r.warc_type").alias("rec_type"),
+        F.col("r.target_uri").alias("target_uri"),
+        F.col("r.content_type").alias("content_type"),
+        F.col("r.warc_date").alias("warc_date"),
+        F.length("r.payload").cast("long").alias("n_bytes"),
+        F.md5("r.payload").alias("text_md5"),
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest roundtrip: synthesize a response record per page,
     parse it back with warc_record_udf, and emit (a) the parsed fields
@@ -1842,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_funnel": _q_curation_funnel,
         "q_descendants": _q_descendants,
         "q_warc_roundtrip": _q_warc_roundtrip,
+        "q_wet_roundtrip": _q_wet_roundtrip,
         "q_css_select": _q_css_select,
         "q_css_pseudo": _q_css_pseudo,
         "q_line_dedup": _q_line_dedup,
@@ -2737,6 +2764,17 @@ def oracle_sql() -> dict[str, str]:
             # ul:has(li:contains(Doc)): only variant 1 has a ul.
             "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_has_li_doc FROM pages"
+        ),
+        "q_wet_roundtrip": (
+            # Every field computed analytically from the pages table —
+            # no oracle-side parsing; the Spark side must recover them
+            # through synthesis -> warc_record_udf.
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "'conversion' AS rec_type, url AS target_uri, "
+            "'text/plain' AS content_type, "
+            "strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS text_md5 FROM pages"
         ),
         "q_warc_roundtrip": (
             # The oracle re-synthesizes the record in DuckDB's dialect

@@ -34,6 +34,7 @@ __all__ = [
     "warc_record_udf",
     "warc_file_records_udf",
     "warc_pages_expr",
+    "wet_record_expr",
 ]
 
 WARC_RECORD_SCHEMA = StructType(
@@ -218,3 +219,38 @@ def warc_pages_expr(dialect: str) -> str:
     if dialect == "spark":
         return f"encode({warc_head} || {http_head}, 'utf-8') || html"
     return f"{warc_head} || {http_head} || page_str"
+
+
+def wet_record_expr(dialect: str) -> str:
+    """SQL expression building a WET ``conversion`` record — the
+    Common-Crawl extracted-text output shape — from (url, warc_ts,
+    text). Identical bytes in both dialects (same contract as
+    :func:`warc_pages_expr`), so the synthesis->parse roundtrip is
+    oracle-checked end-to-end (q_wet_roundtrip).
+
+    The record id derives deterministically from ``md5(url)`` (real
+    WET writers use random uuids; determinism is exactly what lets an
+    oracle replay the bytes — swap in a uuid generator for production
+    archives if global uniqueness across crawls matters)."""
+    crlf = "chr(13) || chr(10)"
+    if dialect == "spark":
+        date = "date_format(warc_ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\")"
+        text_len = "octet_length(text)"
+    elif dialect == "duckdb":
+        date = "strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')"
+        text_len = "octet_length(encode(text))"
+    else:
+        raise ValueError(dialect)
+    head = (
+        f"'WARC/1.0' || {crlf} || "
+        f"'WARC-Type: conversion' || {crlf} || "
+        f"'WARC-Target-URI: ' || url || {crlf} || "
+        f"'WARC-Date: ' || {date} || {crlf} || "
+        f"'WARC-Record-ID: <urn:uuid:' || md5(url) || '>' || {crlf} || "
+        f"'Content-Type: text/plain' || {crlf} || "
+        f"'Content-Length: ' || CAST({text_len} AS STRING) || "
+        f"{crlf} || {crlf}"
+    )
+    if dialect == "spark":
+        return f"encode({head} || text, 'utf-8')"
+    return f"{head} || text"
