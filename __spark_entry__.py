@@ -1293,18 +1293,26 @@ def _robots_bodies(spark: SparkSession) -> DataFrame:
     mod 4 — shared by q_robots and q_frontier."""
     m = F.col("id") % 4
     body = (
+        # Crawl-delay lines are invisible to parse_robots/sitemap_urls
+        # (unsupported-field filter), so adding them leaves the
+        # q_robots / q_robots_sitemaps / q_frontier oracles untouched;
+        # q_crawl_delay reads them via crawl_delays. Shapes: invalid
+        # value (m==0), delay on a specific agent (m==1), none (m==2),
+        # fractional + a larger second line that min() must lose (m==3).
         F.when(m == 0, F.concat(
-            F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok"
+            F.lit("User-agent: *\nCrawl-delay: fast\n"
+                  "Disallow: /private/\nAllow: /private/ok"
                   "\nSitemap: https://host"),
             F.col("id").cast("string"),
             F.lit(".example/sitemap.xml"),
         ))
         .when(m == 1, F.lit(
-            "User-agent: trainbot\nDisallow: /\n\n"
+            "User-agent: trainbot\nCrawl-delay: 2\nDisallow: /\n\n"
             "User-agent: *\nDisallow: /tmp/"))
         .when(m == 2, F.lit("User-agent: *\nDisallow:"))
         .otherwise(F.lit(
-            "# policy\nUser-agent: *\nDisallow: /doc/1\nAllow: /doc/12"))
+            "# policy\nUser-agent: *\nDisallow: /doc/1\nAllow: /doc/12"
+            "\nCrawl-delay: 1.5\nCrawl-delay: 30"))
     )
     return spark.range(41).select(
         F.concat(
@@ -1362,6 +1370,17 @@ def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "host", "host_rank",
         F.col("host_pos").cast("int").alias("host_pos"),
     )
+
+
+def _q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness directives parsed per robots stanza:
+    invalid value -> NULL (m==0), agent-specific delay (m==1),
+    absent (m==2 emits nothing), fractional with a larger duplicate
+    the min() must lose (m==3). Oracle predicts all rows from the
+    host-number arithmetic."""
+    from htmlparser2_spark.operators.robots import crawl_delays
+
+    return crawl_delays(_robots_bodies(spark))
 
 
 def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1903,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_stats": _q_corpus_stats,
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
+        "q_crawl_delay": _q_crawl_delay,
         "q_sitemap": _q_sitemap,
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
@@ -2253,6 +2273,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT regexp_extract(url, 'https://([^/]+)', 1) AS host, "
             "'urlset' AS kind, url AS loc, warc_ts AS lastmod, "
             "CAST(0.5 AS DOUBLE) AS priority FROM pages"
+        ),
+        "q_crawl_delay": (
+            # Predicted from host-number arithmetic: m==0 -> ('*',
+            # NULL) (invalid value), m==1 -> ('trainbot', 2.0),
+            # m==2 -> no row, m==3 -> ('*', 1.5) (min of 1.5 and 30).
+            "SELECT 'host' || CAST(id AS VARCHAR) || '.example' AS host, "
+            "CASE WHEN id % 4 = 1 THEN 'trainbot' ELSE '*' END AS agent, "
+            "CASE WHEN id % 4 = 1 THEN 2.0 WHEN id % 4 = 3 THEN 1.5 "
+            "ELSE NULL END AS delay_sec "
+            "FROM range(41) t(id) WHERE id % 4 IN (0, 1, 3)"
         ),
         "q_robots": (
             f"WITH {_PAGES_CTE} SELECT url, "

@@ -35,7 +35,12 @@ from pyspark.sql.window import Window
 
 from ..functions.urls import url_host, url_path, url_query
 
-__all__ = ["parse_robots", "evaluate_robots", "sitemap_urls"]
+__all__ = [
+    "parse_robots",
+    "evaluate_robots",
+    "sitemap_urls",
+    "crawl_delays",
+]
 
 
 def _one_body(robots: DataFrame, host_col: str, body_col: str) -> DataFrame:
@@ -109,6 +114,59 @@ def parse_robots(robots: DataFrame, *, host_col: str = "host",
     # LEFT join keeps rule-less groups as NULL presence rows.
     return agents.join(rules, ["host", "group_id"], "left").select(
         "host", "agent", "rule", "path"
+    )
+
+
+def crawl_delays(robots: DataFrame, *, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, agent, delay_sec) for every stanza carrying a
+    ``Crawl-delay:`` line — the de-facto politeness extension (not in
+    RFC 9309, but honored by most large crawlers; the frontier turns
+    it into a per-host fetch budget: ``floor(window / delay)``).
+
+    Groups are resolved with the same consecutive-User-agent rule as
+    :func:`parse_robots` (a standalone pass so that adding the extra
+    field cannot perturb parse_robots' adjacency logic). Only groups
+    that HAVE a delay line emit a row; multiple delay lines in one
+    group keep the smallest (conservative politeness); an unparseable
+    value yields ``delay_sec`` NULL — visible corruption rather than a
+    silently-dropped directive.
+    """
+    lines = _one_body(robots, host_col, body_col).select(
+        "host",
+        F.posexplode(F.split(F.col("body"), "\n")).alias("pos", "raw"),
+    )
+    field, value = _line_fields(F.col("raw"))
+    parsed = lines.select(
+        "host", "pos", field.alias("field"), value.alias("value")
+    ).filter(F.col("field").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    new_group = is_ua & ~F.lag(is_ua, 1, False).over(w)
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(new_group.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = grouped.filter(is_ua).select(
+        "host", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    delays = (
+        grouped.filter(~is_ua)
+        .select(
+            "host", "group_id",
+            # try_cast: an unparseable value is data corruption, not a
+            # job failure (ANSI cast would throw on e.g. 'fast')
+            F.col("value").try_cast("double").alias("delay_sec"),
+        )
+        .groupBy("host", "group_id")
+        # min skips NULLs: smallest valid delay wins, and the result
+        # is NULL only when every line in the group was invalid.
+        .agg(F.min("delay_sec").alias("delay_sec"))
+    )
+    return agents.join(delays, ["host", "group_id"]).select(
+        "host", "agent", "delay_sec"
     )
 
 

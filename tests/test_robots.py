@@ -48,6 +48,29 @@ def test_parse_groups_agents_and_comments(spark):
     }
 
 
+def test_crawl_delays_per_group(spark):
+    """Delay attaches to every agent of its stanza; groups without a
+    delay emit nothing; min wins across duplicates; invalid -> NULL."""
+    from htmlparser2_spark.operators.robots import crawl_delays
+
+    df = spark.createDataFrame(
+        [
+            ("h1", BODY_MAIN),  # shared stanza delay 5; '*' has none
+            ("h2", "User-agent: a\nCrawl-delay: 3\nCrawl-delay: 1.5\n"
+                   "\nUser-agent: b\nCrawl-delay: nope"),
+        ],
+        "host string, body string",
+    )
+    got = {(r["host"], r["agent"]): r["delay_sec"]
+           for r in crawl_delays(df).collect()}
+    assert got == {
+        ("h1", "trainbot"): 5.0,
+        ("h1", "otherbot"): 5.0,
+        ("h2", "a"): 1.5,
+        ("h2", "b"): None,
+    }
+
+
 def test_parse_rules_before_any_group_dropped(spark):
     rules = _rules(spark, [("h1", "Disallow: /x\nUser-agent: *\nAllow: /y")])
     got = {(r["agent"], r["rule"], r["path"]) for r in rules.collect()}
