@@ -1372,6 +1372,32 @@ def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_frontier with Crawl-delay politeness: a 6-second batch window
+    tightens m==3 hosts (1.5s star delay) to floor(6/1.5)=4 URLs while
+    everything else keeps the 5-URL budget (m==0's directive is
+    unparseable -> budget only; m==1's trainbot delay never reaches
+    the frontier — those hosts are robots-blocked for TrainBot)."""
+    from htmlparser2_spark.operators.robots import crawl_delays, parse_robots
+    from htmlparser2_spark.plans.crawl_job import run_frontier
+
+    pages = build_pages(spark, sf_dir)
+    bodies = _robots_bodies(spark)
+    frontier, _funnel = run_frontier(
+        pages.select("url"),
+        parse_robots(bodies),
+        _page_host_edges(spark, sf_dir),
+        agent="TrainBot",
+        per_host_budget=5,
+        delays=crawl_delays(bodies),
+        window_sec=6.0,
+    )
+    return frontier.select(
+        "url", "host", "host_rank",
+        F.col("host_pos").cast("int").alias("host_pos"),
+    )
+
+
 def _q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay politeness directives parsed per robots stanza:
     invalid value -> NULL (m==0), agent-specific delay (m==1),
@@ -1923,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": _q_anchor_text,
         "q_robots": _q_robots,
         "q_crawl_delay": _q_crawl_delay,
+        "q_frontier_polite": _q_frontier_polite,
         "q_sitemap": _q_sitemap,
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
@@ -2134,11 +2161,25 @@ def _host_rank_sql(iters: int = 3) -> str:
     )
 
 
-def _frontier_sql(iters: int = 3, budget: int = 5) -> str:
+def _frontier_sql(
+    iters: int = 3, budget: int = 5, window_sec: float | None = None
+) -> str:
     """q_frontier oracle: the canonical stage collapses the injected
     #fragment duplicates back onto the pages urls, so admission,
     rank join, and the per-host budget window chain directly off the
-    pages table + the shared rank CTEs."""
+    pages table + the shared rank CTEs. With ``window_sec``, the
+    budget tightens per host by the Crawl-delay arithmetic of the
+    synthesized bodies: m==3 hosts carry a 1.5s star delay (the m==1
+    trainbot delay never reaches the frontier — those hosts are
+    robots-blocked; m==0's directive is unparseable -> budget only)."""
+    lim: str | int = budget
+    if window_sec is not None:
+        cap3 = int(window_sec // 1.5)
+        lim = (
+            f"least({budget}, CASE WHEN "
+            "CAST(regexp_extract(host, 'host(\\d+)', 1) AS INTEGER) % 4 = 3 "
+            f"THEN {cap3} ELSE {budget} END)"
+        )
     return (
         f"WITH {_PAGES_CTE}, {_host_rank_ctes(iters)}, "
         f"adm AS (SELECT url FROM pages WHERE {_ROBOTS_ALLOWED_CASE}), "
@@ -2151,7 +2192,7 @@ def _frontier_sql(iters: int = 3, budget: int = 5) -> str:
         "row_number() OVER (PARTITION BY host ORDER BY url) AS host_pos "
         "FROM rk) "
         "SELECT url, host, host_rank, CAST(host_pos AS INTEGER) AS host_pos "
-        f"FROM pos WHERE host_pos <= {budget}"
+        f"FROM pos WHERE host_pos <= {lim}"
     )
 
 
@@ -2289,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
             f"{_ROBOTS_ALLOWED_CASE} AS allowed FROM pages"
         ),
         "q_frontier": _frontier_sql(),
+        "q_frontier_polite": _frontier_sql(window_sec=6.0),
         "q_robots_sitemaps": (
             "SELECT 'host' || CAST(i AS STRING) || '.example' AS host, "
             "'https://host' || CAST(i AS STRING) || '.example/sitemap.xml' "

@@ -18,7 +18,9 @@ the rank join and budget window run last on the smallest set.
    per-host ``row_number`` budget (URL-ordered, deterministic under
    reruns) caps any one host's share of the crawl batch — the
    frontier-politeness analog of the skew salting used in the
-   aggregation paths.
+   aggregation paths. With ``delays``/``window_sec``, robots
+   Crawl-delay directives tighten the cap to
+   ``floor(window_sec / delay)`` per host.
 
 Returns ``(frontier, funnel)``: frontier rows are (url, host,
 host_rank, host_pos); the funnel is the (stage_idx, stage, n_urls)
@@ -47,13 +49,25 @@ def run_frontier(
     *,
     agent: str,
     per_host_budget: int | None = None,
+    delays: DataFrame | None = None,
+    window_sec: float | None = None,
     rank_iters: int = 3,
     url_col: str = "url",
     checkpoint_stages: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """See module docstring. ``rules`` is a
     :func:`~htmlparser2_spark.operators.robots.parse_robots` table;
-    ``edges`` a (src, dst, weight) host edge list."""
+    ``edges`` a (src, dst, weight) host edge list.
+
+    ``delays`` (a :func:`~htmlparser2_spark.operators.robots.
+    crawl_delays` table) + ``window_sec`` turn Crawl-delay directives
+    into a per-host batch cap of ``floor(window_sec / delay)`` fetches
+    — politeness as a budget, composable with ``per_host_budget`` (the
+    smaller wins). Exact-agent delays (lowercased match) shadow the
+    ``*`` group's; a host whose only directive is unparseable (NULL
+    delay) falls back to ``per_host_budget`` alone; a delay longer
+    than the window caps the host at 0 URLs (deferred past this
+    batch). The resolved table is one row per host — broadcast."""
     maybe_ckpt = lazy_checkpointer(checkpoint_stages)
     stages: list[tuple[str, DataFrame]] = [("ingest", candidates)]
 
@@ -85,8 +99,38 @@ def run_frontier(
     )
     w = Window.partitionBy("host").orderBy("url")
     frontier = pri.withColumn("host_pos", F.row_number().over(w))
-    if per_host_budget is not None:
-        frontier = frontier.filter(F.col("host_pos") <= per_host_budget)
+    budget = (
+        F.lit(per_host_budget).cast("long")
+        if per_host_budget is not None
+        else F.lit(None).cast("long")
+    )
+    if delays is not None:
+        if window_sec is None:
+            raise ValueError("window_sec is required when delays is given")
+        al = agent.lower()
+        resolved = (
+            delays.filter(F.col("agent").isin(al, "*"))
+            .groupBy("host")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("agent") == al, F.col("delay_sec"))),
+                    F.min(F.when(F.col("agent") == "*", F.col("delay_sec"))),
+                ).alias("_delay_sec")
+            )
+        )
+        cap = F.floor(F.lit(float(window_sec)) / F.col("_delay_sec"))
+        # least() skips NULLs: no directive / unparseable delay -> the
+        # plain budget; no budget -> the cap alone.
+        frontier = (
+            frontier.join(F.broadcast(resolved), "host", "left")
+            .withColumn("_lim", F.least(budget, cap))
+            .drop("_delay_sec")
+        )
+    else:
+        frontier = frontier.withColumn("_lim", budget)
+    frontier = frontier.filter(
+        F.col("_lim").isNull() | (F.col("host_pos") <= F.col("_lim"))
+    ).drop("_lim")
     frontier = maybe_ckpt(frontier)
     stages.append(("frontier", frontier))
 

@@ -162,6 +162,45 @@ def test_run_frontier_funnel_and_budget(spark):
             rows["https://a.ex/p2"]["host_pos"]] == [1, 2]
 
 
+def test_run_frontier_crawl_delay_politeness(spark):
+    """Crawl-delay caps each host at floor(window/delay): exact-agent
+    delay shadows '*', an unparseable (NULL) delay falls back to the
+    plain budget, and a delay longer than the window defers the host
+    entirely (0 URLs this batch)."""
+    from htmlparser2_spark.operators.robots import crawl_delays, parse_robots
+    from htmlparser2_spark.plans.crawl_job import run_frontier
+
+    robots = spark.createDataFrame(
+        [
+            # exact 2s (cap 3) shadows the star group's 1s (cap 6)
+            ("a.ex", "User-agent: bot\nCrawl-delay: 2\nDisallow: /no\n\n"
+                     "User-agent: *\nCrawl-delay: 1"),
+            ("b.ex", "User-agent: *\nCrawl-delay: junk"),   # NULL -> budget
+            ("c.ex", "User-agent: *\nCrawl-delay: 10"),     # 10 > 6 -> 0 URLs
+        ],
+        "host string, body string",
+    )
+    cands = spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("a.ex", "b.ex", "c.ex")
+         for i in range(5)],
+        "url string",
+    )
+    edges = spark.createDataFrame(
+        [("a.ex", "b.ex", 1)], "src string, dst string, weight long"
+    )
+    frontier, _ = run_frontier(
+        cands, parse_robots(robots), edges,
+        agent="Bot", per_host_budget=4,
+        delays=crawl_delays(robots), window_sec=6.0,
+    )
+    per_host = {
+        r["host"]: r["n"]
+        for r in frontier.groupBy("host").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_host == {"a.ex": 3, "b.ex": 4}  # c.ex deferred
+
+
 def test_ruleless_exact_group_shadows_star(spark):
     """The 'User-agent: x / Disallow:' whitelist idiom: the exact
     group survives parsing as a NULL presence row and shadows '*'
