@@ -1204,6 +1204,23 @@ def _q_remove_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("url", "name").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> structure lifted to relational cells
+    (operators/tables.py — the DomUtils composition the reference's
+    users hand-roll, README.md:166-218, as one plan). Only variant-2
+    pages carry a table: two single-cell rows whose second cell is the
+    document text, both reconstructed by the oracle from the synthesis
+    arithmetic (implied tr/td closes included)."""
+    from htmlparser2_spark.operators.tables import table_cells
+
+    pages = build_pages(spark, sf_dir)
+    nodes = pages.select(
+        "url",
+        F.explode(dom_nodes_udf(with_ancestors=True)(F.col("html"))).alias("n"),
+    ).select("url", "n.*")
+    return table_cells(nodes)
+
+
 def _page_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host->host edges extracted from the pages' DOM: anchors
     plus embedded resources, so relative ``img src`` references become
@@ -1937,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_node_types": _q_node_types,
         "q_dom_position": _q_dom_position,
         "q_remove_subsets": _q_remove_subsets,
+        "q_table_cells": _q_table_cells,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
@@ -2659,6 +2677,21 @@ def oracle_sql() -> dict[str, str]:
             "(2, 'table', 1), (2, 'div', 1)) "
             "SELECT url, name, CAST(k AS BIGINT) AS cnt "
             "FROM pages p JOIN keep s ON p.doc_id % 3 = s.variant"
+        ),
+        "q_table_cells": (
+            # v2 is the only templated table: <table><tr><td>Doc N
+            # <tr><td>{text}</table> — implied closes make two 1-cell
+            # rows; the second cell's subtree text decodes back to the
+            # document text.
+            f"WITH {_PAGES_CTE}, "
+            "cell(row_idx, is_text) AS (VALUES (0, FALSE), (1, TRUE)) "
+            "SELECT url, CAST(0 AS INTEGER) AS table_idx, "
+            "CAST(row_idx AS INTEGER) AS row_idx, "
+            "CAST(0 AS INTEGER) AS col_idx, 'td' AS cell_tag, "
+            "CASE WHEN is_text THEN d.text "
+            "ELSE 'Doc ' || CAST(d.doc_id AS STRING) END AS cell_text "
+            "FROM pages p JOIN documents d ON p.doc_id = d.doc_id "
+            "CROSS JOIN cell WHERE d.doc_id % 3 = 2"
         ),
         "q_ann_topk": _ANN_TOPK_SQL,
         # The Arrow engine must reproduce the jvm ranking AND the 4dp
