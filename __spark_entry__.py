@@ -1221,6 +1221,44 @@ def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_cells(nodes)
 
 
+def _q_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode + extract over a mixed-encoding corpus
+    (engine/encoding.py; the ingestion step the reference's
+    WritableStream skips by assuming UTF-8). Four byte shapes by
+    doc_id%4: UTF-8 BOM'd page, UTF-16LE BOM'd page, a latin-1 page
+    declaring <meta charset=ISO-8859-1> (with a real 0xE9 high byte;
+    label folds to windows-1252 per WHATWG), and a bare page hitting
+    the utf-8 default. The oracle predicts (charset, extracted text)
+    analytically — the BOM/meta/decode work happens only Spark-side."""
+    from htmlparser2_spark.functions.udfs import sniff_decode_udf
+
+    pages = build_pages(spark, sf_dir, with_doc_id=True)
+    variant = F.col("doc_id") % 4
+    page_s = F.decode(F.col("html"), "UTF-8")
+    mini = F.concat(
+        F.lit('<meta charset="ISO-8859-1"><p>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" café</p>"),
+    )
+    data = (
+        F.when(variant == 0, F.concat(F.lit(b"\xef\xbb\xbf"), F.col("html")))
+        .when(
+            variant == 1,
+            F.concat(F.lit(b"\xff\xfe"), F.encode(page_s, "UTF-16LE")),
+        )
+        .when(variant == 2, F.encode(mini, "ISO-8859-1"))
+        .otherwise(F.col("html"))
+    )
+    sniffed = pages.select(
+        "url", "text", sniff_decode_udf()(data).alias("s")
+    )
+    return sniffed.select(
+        "url",
+        F.col("s.charset").alias("charset"),
+        extract_text_udf()(F.col("s.decoded")).alias("text_out"),
+    )
+
+
 def _page_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host->host edges extracted from the pages' DOM: anchors
     plus embedded resources, so relative ``img src`` references become
@@ -1955,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dom_position": _q_dom_position,
         "q_remove_subsets": _q_remove_subsets,
         "q_table_cells": _q_table_cells,
+        "q_charset": _q_charset,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
@@ -2692,6 +2731,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'Doc ' || CAST(d.doc_id AS STRING) END AS cell_text "
             "FROM pages p JOIN documents d ON p.doc_id = d.doc_id "
             "CROSS JOIN cell WHERE d.doc_id % 3 = 2"
+        ),
+        "q_charset": (
+            # Sniff outcomes by byte shape: BOMs name the encoding,
+            # the meta variant folds ISO-8859-1 -> windows-1252, bare
+            # pages default to utf-8; extraction must survive the
+            # decode (variant 2 swaps in the mini latin-1 page).
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "CASE doc_id % 4 WHEN 1 THEN 'utf-16le' "
+            "WHEN 2 THEN 'windows-1252' ELSE 'utf-8' END AS charset, "
+            "CASE WHEN doc_id % 4 = 2 "
+            "THEN 'Doc ' || CAST(doc_id AS STRING) || ' café' "
+            "ELSE text END AS text_out FROM pages"
         ),
         "q_ann_topk": _ANN_TOPK_SQL,
         # The Arrow engine must reproduce the jvm ranking AND the 4dp

@@ -46,6 +46,7 @@ __all__ = [
     "parser_events_udf",
     "feed_udf",
     "sitemap_udf",
+    "sniff_decode_udf",
     "doc_stats_udf",
     "NODE_SCHEMA",
     "NODE_COUNT_SCHEMA",
@@ -529,6 +530,32 @@ SITEMAP_SCHEMA = StructType(
         ),
     ]
 )
+
+
+def sniff_decode_udf(default: str = "utf-8"):
+    """Per-document charset sniff + decode (engine/encoding.py: BOM,
+    then WHATWG-style meta prescan of the first 1024 bytes) ->
+    ``struct<charset string, decoded string>``. The ingestion step the
+    reference's byte-stream adapter skips by assuming UTF-8
+    (src/WritableStream.ts:20-41); NULL bytes decode as ('<default>',
+    '')."""
+    schema = StructType(
+        [
+            StructField("charset", StringType()),
+            StructField("decoded", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _sniff(data: pd.Series) -> pd.DataFrame:
+        from ..engine.encoding import decode_html
+
+        rows = [
+            decode_html(v if v is not None else b"", default) for v in data
+        ]
+        return pd.DataFrame(rows, columns=["charset", "decoded"])
+
+    return _sniff
 
 
 def sitemap_udf():
