@@ -1259,6 +1259,20 @@ def _q_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> Markdown conversion over every page
+    (engine/markdown.py; the structure-keeping alternative to
+    textContent a training pipeline ships). The oracle rebuilds the
+    exact markdown per template variant — heading, list, link, image,
+    pipe-table (first row as header), textarea text, transparent div —
+    including the renderer's whitespace collapse and cell pipe
+    escaping applied to the document text."""
+    from htmlparser2_spark.functions.udfs import markdown_udf
+
+    pages = build_pages(spark, sf_dir)
+    return pages.select("url", markdown_udf()(F.col("html")).alias("md"))
+
+
 def _page_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host->host edges extracted from the pages' DOM: anchors
     plus embedded resources, so relative ``img src`` references become
@@ -1994,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remove_subsets": _q_remove_subsets,
         "q_table_cells": _q_table_cells,
         "q_charset": _q_charset,
+        "q_markdown": _q_markdown,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
@@ -2743,6 +2758,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 4 = 2 "
             "THEN 'Doc ' || CAST(doc_id AS STRING) || ' café' "
             "ELSE text END AS text_out FROM pages"
+        ),
+        "q_markdown": (
+            # Exact per-variant markdown; ctext mirrors the renderer's
+            # inline whitespace collapse (identity on this corpus but
+            # kept for parity).
+            f"WITH {_PAGES_CTE}, m AS (SELECT p.url, d.doc_id, "
+            "trim(regexp_replace(d.text, '[ \\t\\r\\n\\f]+', ' ', 'g')) "
+            "AS ctext, CAST(d.doc_id AS STRING) AS ids "
+            "FROM pages p JOIN documents d ON p.doc_id = d.doc_id) "
+            "SELECT url, CASE doc_id % 3 "
+            "WHEN 0 THEN '# Doc ' || ids || chr(10) || chr(10) || ctext || "
+            "chr(10) || chr(10) || '[more](https://example.com/doc/' || ids || ')' "
+            "WHEN 1 THEN '- Doc ' || ids || chr(10) || '- ' || ctext || "
+            "chr(10) || chr(10) || 'A & B <tag> !' || chr(10) || "
+            "'![](i' || ids || '.png)' "
+            "ELSE '| Doc ' || ids || ' |' || chr(10) || '| --- |' || chr(10) || "
+            "'| ' || replace(ctext, '|', '\\|') || ' |' || chr(10) || chr(10) || "
+            "'T & A' || chr(10) || chr(10) || 'tail' END AS md FROM m"
         ),
         "q_ann_topk": _ANN_TOPK_SQL,
         # The Arrow engine must reproduce the jvm ranking AND the 4dp

@@ -46,6 +46,7 @@ __all__ = [
     "parser_events_udf",
     "feed_udf",
     "sitemap_udf",
+    "markdown_udf",
     "sniff_decode_udf",
     "doc_stats_udf",
     "NODE_SCHEMA",
@@ -530,6 +531,28 @@ SITEMAP_SCHEMA = StructType(
         ),
     ]
 )
+
+
+def markdown_udf(**options):
+    """HTML -> Markdown (engine/markdown.py): the structured-text
+    shaping step of a training pipeline — headings/lists/links/tables
+    kept, boilerplate head/script/style dropped. Same batch shape as
+    extract_text_udf: one reused parser per Arrow batch."""
+
+    @F.pandas_udf(StringType())
+    def _md(html: pd.Series) -> pd.Series:
+        from ..engine.markdown import to_markdown
+
+        handler = DomArrayHandler(with_indices=False)
+        parser = _make_parser(handler, options)
+
+        def one(value) -> str:
+            parser.parse(_to_str(value))
+            return to_markdown(handler.nodes)
+
+        return html.map(one)
+
+    return _md
 
 
 def sniff_decode_udf(default: str = "utf-8"):
