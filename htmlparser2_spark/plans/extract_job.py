@@ -63,12 +63,18 @@ def _make_extract(mode: str):
 
     ``text`` is the hot path (tokenizer-only FastTextExtractor, full
     textContent); ``main`` parses to a DOM and runs the readability-lite
-    main-content selection (north rule's boilerplate strip) — one
-    reused handler+parser per worker, reset per document."""
-    if mode == "main":
+    main-content selection (north rule's boilerplate strip);
+    ``markdown`` parses to a DOM and renders structure-keeping Markdown
+    (engine/markdown.py) — one reused handler+parser per worker, reset
+    per document."""
+    if mode in ("main", "markdown"):
         from ..engine.dom import DomArrayHandler
         from ..engine.parser import Parser
-        from ..engine.readability import main_content_text
+
+        if mode == "main":
+            from ..engine.readability import main_content_text as render
+        else:
+            from ..engine.markdown import to_markdown as render
 
         handler = DomArrayHandler(with_indices=False)
         parser = Parser(handler)
@@ -78,7 +84,7 @@ def _make_extract(mode: str):
             parser.parse(doc)
             nodes = handler.nodes
             n_tags = sum(1 for n in nodes if n["type"] in element_types)
-            return main_content_text(nodes), n_tags
+            return render(nodes), n_tags
 
         return extract
     if mode != "text":
@@ -105,8 +111,9 @@ def _parse_batches_fn(mode: str):
             htmls = batch["html"].tolist()
             # Real crawls carry no expected-extraction column;
             # golden_match is then reported as 0 matches over 0 checks
-            # (sum stays usable). In mode="main" the golden column is
-            # the FULL-extraction text, so matches stay 0 by design.
+            # (sum stays usable). In mode="main"/"markdown" the golden
+            # column is the FULL-extraction text, so matches stay 0 by
+            # design.
             goldens = (
                 batch["text"].tolist()
                 if "text" in batch.columns
@@ -235,9 +242,10 @@ def run_extract(
 ) -> dict:
     """Bucketed, checkpoint-resumable extraction run.
 
-    ``mode="main"`` runs the readability-lite main-content selection
-    instead of full textContent (golden matches stay 0 — the pages
-    golden is the full extraction). Returns a summary dict (docs,
+    ``mode="main"`` runs the readability-lite main-content selection,
+    ``mode="markdown"`` the structure-keeping Markdown rendering,
+    instead of full textContent (golden matches stay 0 in both — the
+    pages golden is the full extraction). Returns a summary dict (docs,
     matches, buckets written/skipped).
     """
     manifest_path = os.path.join(out_dir, "manifest.json")

@@ -34,7 +34,7 @@ def main() -> None:
     )
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument(
-        "--mode", choices=("text", "main"), default="text",
+        "--mode", choices=("text", "main", "markdown"), default="text",
         help="text = full textContent; main = readability-lite "
         "main-content selection (boilerplate strip)",
     )

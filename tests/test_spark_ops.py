@@ -359,6 +359,36 @@ def test_run_extract_main_content_mode(spark, tmp_path):
     pages.unpersist()
 
 
+def test_run_extract_markdown_mode(spark, tmp_path):
+    """mode='markdown' ships the structure-keeping renderer through the
+    bucketed resumable job; per-row output must equal to_markdown on
+    the same html, and golden matches stay 0."""
+    from htmlparser2_spark.engine.dom import DomArrayHandler
+    from htmlparser2_spark.engine.markdown import to_markdown
+    from htmlparser2_spark.engine.parser import Parser
+    from htmlparser2_spark.plans.extract_job import run_extract
+    from htmlparser2_spark.sources.pages import build_pages
+
+    out = str(tmp_path / "extract_md")
+    pages = build_pages(spark, SF).limit(30).cache()
+    summary = run_extract(
+        spark, pages, out, n_buckets=4, resume=True, mode="markdown"
+    )
+    assert summary["docs"] == 30 and summary["matches"] == 0
+    got = {
+        r["url"]: r["extracted"]
+        for r in spark.read.parquet(out + "/parsed").collect()
+    }
+    handler = DomArrayHandler(with_indices=False)
+    parser = Parser(handler)
+    for row in pages.collect():
+        parser.parse(bytes(row["html"]).decode("utf-8"))
+        expected = to_markdown(handler.nodes)
+        assert got[row["url"]] == expected
+        assert expected.startswith(("# Doc", "- Doc", "| Doc"))
+    pages.unpersist()
+
+
 def test_run_extract_resume_idempotent_after_crash(spark, tmp_path):
     """Crash-before-manifest simulation: bucket data landed on disk but
     the manifest was never written. A resume must re-parse the todo
