@@ -36,7 +36,8 @@ def main() -> None:
     parser.add_argument(
         "--mode", choices=("text", "main", "markdown"), default="text",
         help="text = full textContent; main = readability-lite "
-        "main-content selection (boilerplate strip)",
+        "main-content selection (boilerplate strip); markdown = "
+        "structure-keeping Markdown rendering",
     )
     args = parser.parse_args()
 
