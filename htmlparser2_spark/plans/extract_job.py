@@ -94,7 +94,7 @@ def _make_extract(mode: str):
     return FastTextExtractor().extract
 
 
-def _parse_batches_fn(mode: str):
+def _parse_batches_fn(mode: str, sniff_charset: bool = False):
     def _parse_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -105,6 +105,21 @@ def _parse_batches_fn(mode: str):
         t0 = time.perf_counter()
 
         extract = _make_extract(mode)
+        if sniff_charset:
+            from ..engine.encoding import decode_html
+
+            def to_doc(html):
+                return "" if html is None else decode_html(html)[1]
+
+        else:
+
+            def to_doc(html):
+                return (
+                    html.decode("utf-8", "replace")
+                    if html is not None
+                    else ""
+                )
+
         for batch in batches:
             # Series.__iter__ is slow; pull plain python lists once per
             # batch.
@@ -126,8 +141,11 @@ def _parse_batches_fn(mode: str):
             bytes_col = []
             for html, golden in zip(htmls, goldens):
                 # NULL payloads (fetch failures in real crawls) parse as
-                # empty documents instead of failing the task.
-                doc = html.decode("utf-8", "replace") if html is not None else ""
+                # empty documents instead of failing the task. With
+                # sniff_charset, bytes go through the BOM + meta
+                # prescan decoder (engine/encoding.py) instead of
+                # assumed-UTF-8.
+                doc = to_doc(html)
                 extracted, n_tags = extract(doc)
                 extracted_col.append(extracted)
                 match_col.append(
@@ -163,6 +181,7 @@ def parse_pages(
     repartition: bool | None = None,
     jumbo_bytes: int | None = None,
     mode: str = "text",
+    sniff_charset: bool = False,
 ) -> DataFrame:
     """Parse a pages DataFrame with one ``mapInPandas`` pass.
 
@@ -195,10 +214,13 @@ def parse_pages(
             n_partitions=n_partitions,
             repartition=repartition,
             mode=mode,
+            sniff_charset=sniff_charset,
         )
         jumbo = pages.filter(is_jumbo).repartition(n, F.xxhash64("url"))
         return normal.unionByName(
-            jumbo.mapInPandas(_parse_batches_fn(mode), PARSED_SCHEMA)
+            jumbo.mapInPandas(
+                _parse_batches_fn(mode, sniff_charset), PARSED_SCHEMA
+            )
         )
     if repartition is None:
         # Estimate scan parallelism without touching df.rdd (which
@@ -215,7 +237,9 @@ def parse_pages(
         repartition = n_in < n
     if repartition:
         pages = pages.repartition(n, F.xxhash64("url"))
-    return pages.mapInPandas(_parse_batches_fn(mode), PARSED_SCHEMA)
+    return pages.mapInPandas(
+        _parse_batches_fn(mode, sniff_charset), PARSED_SCHEMA
+    )
 
 
 def partition_metrics(parsed: DataFrame) -> DataFrame:
@@ -239,14 +263,17 @@ def run_extract(
     n_partitions: int | None = None,
     jumbo_bytes: int | None = None,
     mode: str = "text",
+    sniff_charset: bool = False,
 ) -> dict:
     """Bucketed, checkpoint-resumable extraction run.
 
     ``mode="main"`` runs the readability-lite main-content selection,
     ``mode="markdown"`` the structure-keeping Markdown rendering,
     instead of full textContent (golden matches stay 0 in both — the
-    pages golden is the full extraction). Returns a summary dict (docs,
-    matches, buckets written/skipped).
+    pages golden is the full extraction). ``sniff_charset=True`` routes
+    input bytes through the BOM + meta-prescan decoder instead of
+    assumed-UTF-8 (mixed-encoding crawls). Returns a summary dict
+    (docs, matches, buckets written/skipped).
     """
     manifest_path = os.path.join(out_dir, "manifest.json")
     done: list[int] = []
@@ -257,12 +284,14 @@ def run_extract(
         # A manifest written by an older run may predate the mode
         # field; treat it as the then-only "text" mode.
         prev_mode = manifest.get("mode", "text")
-        if prev_mode != mode:
+        prev_sniff = manifest.get("sniff_charset", False)
+        if prev_mode != mode or prev_sniff != sniff_charset:
             raise ValueError(
-                f"out_dir {out_dir!r} holds mode={prev_mode!r} buckets; "
-                f"resuming it with mode={mode!r} would mix extraction "
-                "semantics in one dataset — use a fresh out_dir or "
-                "resume=False to overwrite"
+                f"out_dir {out_dir!r} holds mode={prev_mode!r} "
+                f"sniff_charset={prev_sniff!r} buckets; resuming it "
+                f"with mode={mode!r} sniff_charset={sniff_charset!r} "
+                "would mix extraction semantics in one dataset — use "
+                "a fresh out_dir or resume=False to overwrite"
             )
 
     bucket = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
@@ -276,6 +305,7 @@ def run_extract(
         n_partitions=n_partitions,
         jumbo_bytes=jumbo_bytes,
         mode=mode,
+        sniff_charset=sniff_charset,
     )
     # Re-derive the bucket from the url (cheap Catalyst expression,
     # avoids threading it through the UDF schema).
@@ -315,6 +345,7 @@ def run_extract(
                 "completed_buckets": completed,
                 "buckets_on_disk": sorted(on_disk),
                 "mode": mode,
+                "sniff_charset": sniff_charset,
             },
             fh,
         )

@@ -34,6 +34,11 @@ def main() -> None:
     )
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument(
+        "--sniff-charset", action="store_true",
+        help="decode input bytes via BOM + meta-prescan charset "
+        "sniffing instead of assumed-UTF-8",
+    )
+    parser.add_argument(
         "--mode", choices=("text", "main", "markdown"), default="text",
         help="text = full textContent; main = readability-lite "
         "main-content selection (boilerplate strip); markdown = "
@@ -63,6 +68,7 @@ def main() -> None:
         n_partitions=args.partitions,
         jumbo_bytes=args.jumbo_bytes,
         mode=args.mode,
+        sniff_charset=args.sniff_charset,
     )
     print(json.dumps({k: (v if not hasattr(v, "item") else v.item()) for k, v in summary.items()}))
     spark.stop()

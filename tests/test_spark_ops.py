@@ -389,6 +389,42 @@ def test_run_extract_markdown_mode(spark, tmp_path):
     pages.unpersist()
 
 
+def test_run_extract_sniff_charset(spark, tmp_path):
+    """sniff_charset=True decodes mixed-encoding crawls: a latin-1 page
+    declaring <meta charset=iso-8859-1>, a UTF-16LE BOM'd page, and a
+    plain UTF-8 page all extract correctly through the bucketed job;
+    resuming with a different sniff setting is refused."""
+    import pytest as _pytest
+
+    from htmlparser2_spark.plans.extract_job import run_extract
+
+    latin = "<meta charset=iso-8859-1><body><p>café crème</p></body>"
+    utf16 = "<body><p>naïve résumé</p></body>"
+    plain = "<body><p>plain utf-8 ✓</p></body>"
+    rows = [
+        ("u-latin", bytearray(latin.encode("latin1")), "café crème", "fr"),
+        (
+            "u-16",
+            bytearray(b"\xff\xfe" + utf16.encode("utf-16le")),
+            "naïve résumé",
+            "fr",
+        ),
+        ("u-plain", bytearray(plain.encode()), "plain utf-8 ✓", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    )
+    out = str(tmp_path / "extract_sniff")
+    summary = run_extract(
+        spark, pages, out, n_buckets=2, resume=True, sniff_charset=True
+    )
+    # golden matches prove the decode end-to-end (text column carries
+    # the expected extraction per page)
+    assert summary["docs"] == 3 and summary["matches"] == 3
+    with _pytest.raises(ValueError, match="sniff_charset"):
+        run_extract(spark, pages, out, n_buckets=2, resume=True)
+
+
 def test_run_extract_resume_idempotent_after_crash(spark, tmp_path):
     """Crash-before-manifest simulation: bucket data landed on disk but
     the manifest was never written. A resume must re-parse the todo
