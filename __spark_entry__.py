@@ -22,7 +22,10 @@ from htmlparser2_spark.functions.udfs import (
     extract_text_udf,
 )
 from htmlparser2_spark.functions.normalize import normalize_sql
-from htmlparser2_spark.functions.textstats import ORACLE_TOKENS_SQL
+from htmlparser2_spark.functions.textstats import (
+    ORACLE_TOKENS_SQL,
+    SENTENCES_SQL,
+)
 from htmlparser2_spark.sources.pages import build_pages, oracle_pages_cte
 
 _PAGES_CTE = oracle_pages_cte()
@@ -1259,6 +1262,29 @@ def _q_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (textstats.sentences — the pinned
+    dual-dialect rule: break at [.!?]+ runs followed by consumed
+    whitespace, no abbreviation logic by design, so 'Dr.' splits).
+    Punctuation is synthesized around the corpus text — every document
+    yields exactly five indexed sentences, value-checked."""
+    from htmlparser2_spark.functions.textstats import sentences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    punct = F.concat(
+        F.lit("Dr. Strange arrived... "),
+        F.col("text"),
+        F.lit("! Really?! Yes. "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(sentences(punct)).alias("sent_idx", "sentence")
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+    )
+
+
 def _q_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> Markdown conversion over every page
     (engine/markdown.py; the structure-keeping alternative to
@@ -2009,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_cells": _q_table_cells,
         "q_charset": _q_charset,
         "q_markdown": _q_markdown,
+        "q_sentences": _q_sentences,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
@@ -2758,6 +2785,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 4 = 2 "
             "THEN 'Doc ' || CAST(doc_id AS STRING) || ' café' "
             "ELSE text END AS text_out FROM pages"
+        ),
+        "q_sentences": (
+            "WITH s AS (SELECT doc_id, "
+            + SENTENCES_SQL.format(
+                col="'Dr. Strange arrived... ' || text || '! Really?! Yes. '"
+            )
+            + " AS sents FROM documents), "
+            "e AS (SELECT doc_id, sents, "
+            "unnest(generate_series(1, len(sents))) AS i FROM s) "
+            "SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx, "
+            "sents[i] AS sentence FROM e"
         ),
         "q_markdown": (
             # Exact per-variant markdown; ctext mirrors the renderer's

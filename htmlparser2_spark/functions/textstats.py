@@ -23,6 +23,8 @@ __all__ = [
     "langid_guess",
     "fingerprint",
     "rolling_fingerprints",
+    "sentences",
+    "SENTENCES_SQL",
 ]
 
 # Tiny public marker sets — a deterministic n-gram/stopword heuristic
@@ -126,6 +128,28 @@ def langid_guess(text: Column | str) -> Column:
             best = F.when(take, F.lit(code)).otherwise(best)
             best_score = F.when(take, score).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+# Dual-dialect sentence segmentation, pinned like ORACLE_TOKENS_SQL:
+# a sentence ends at a run of [.!?] followed by whitespace (the
+# whitespace is consumed). Deliberately no abbreviation logic ("Dr."
+# splits) — a fixed, documented rule both engines reproduce exactly.
+# The break marker is chr(30) (RS), which never occurs in corpus text
+# (normalize_text strips C0 controls). Java regex and RE2 agree on
+# this pattern; replacement syntax differs ($1 vs \1), values don't.
+SENTENCES_SQL = (
+    "list_filter(string_split(regexp_replace(coalesce({col}, ''), "
+    "'([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)), x -> x <> '')"
+)
+
+
+def sentences(text: Column | str) -> Column:
+    """Array of sentences per SENTENCES_SQL (NULL text -> empty)."""
+    col = F.col(text) if isinstance(text, str) else text
+    marked = F.regexp_replace(
+        F.coalesce(col, F.lit("")), r"([.!?]+)\s+", "$1\u001e"
+    )
+    return F.filter(F.split(marked, "\u001e"), lambda s: s != F.lit(""))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -516,6 +516,30 @@ def test_textstats_columns(spark):
     assert len(rows[1]["fp"]) == 32
 
 
+def test_sentences(spark):
+    from htmlparser2_spark.functions import textstats as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two!  Three?! Four"),  # multi-ws, runs, no-dot tail
+            (2, "no terminator at all"),
+            (3, "Trailing. "),
+            (4, None),
+            (5, "Dr. Strange: no abbreviation logic, by design."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", T.sentences("text").alias("s")).collect()
+    }
+    assert got[1] == ["One.", "Two!", "Three?!", "Four"]
+    assert got[2] == ["no terminator at all"]
+    assert got[3] == ["Trailing."]
+    assert got[4] == []
+    assert got[5] == ["Dr.", "Strange: no abbreviation logic, by design."]
+
+
 def test_bpe_ish_tokens(spark):
     from htmlparser2_spark.functions import textstats as T
 
