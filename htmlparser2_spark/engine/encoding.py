@@ -71,16 +71,28 @@ def _normalize_label(label: str, default: str) -> str:
     mapped = _LABEL_TO_ENCODING.get(label)
     if mapped is not None:
         return mapped
+    # codecs.lookup also resolves NON-text codecs (hex, base64, zlib,
+    # rot13 — bytes/str transforms that raise on .decode) and the
+    # 'undefined' codec (claims _is_text_encoding but raises on every
+    # call). A page declaring <meta charset=hex> must fall back, not
+    # kill the Spark task.
+    if label == "undefined":
+        return default
     try:
-        codecs.lookup(label)
+        info = codecs.lookup(label)
     except LookupError:
+        return default
+    if not getattr(info, "_is_text_encoding", False):
         return default
     return label
 
 
 def sniff_charset(data: bytes, default: str = "utf-8") -> tuple[str, int]:
     """-> (normalized encoding label, BOM length to strip)."""
-    data = bytes(data)
+    return _sniff(bytes(data), default)
+
+
+def _sniff(data: bytes, default: str) -> tuple[str, int]:
     if data.startswith(b"\xef\xbb\xbf"):
         return "utf-8", 3
     if data.startswith(b"\xff\xfe"):
@@ -101,6 +113,14 @@ def sniff_charset(data: bytes, default: str = "utf-8") -> tuple[str, int]:
 
 def decode_html(data: bytes, default: str = "utf-8") -> tuple[str, str]:
     """-> (charset, decoded text); undecodable bytes are replaced, the
-    BOM (when present) is stripped before decoding."""
-    charset, bom = sniff_charset(data, default)
-    return charset, bytes(data)[bom:].decode(charset, errors="replace")
+    BOM (when present) is stripped before decoding. Never raises on
+    content: a sniffed codec that still fails at decode time (exotic
+    stateful codecs) falls back to the default. Converts the input
+    buffer at most once (hot path under run_extract sniff_charset)."""
+    data = bytes(data)
+    charset, bom = _sniff(data, default)
+    payload = data[bom:] if bom else data
+    try:
+        return charset, payload.decode(charset, errors="replace")
+    except (UnicodeError, LookupError, ValueError):
+        return default, payload.decode(default, errors="replace")

@@ -42,13 +42,36 @@ _BLOCK = {
 }
 _HEADINGS = {f"h{i}": i for i in range(1, 7)}
 _WS = re.compile(r"[ \t\r\n\f]+")
-_BR = "\x00"  # placeholder so <br> survives whitespace collapsing
+# Placeholder so <br> survives whitespace collapsing. NUL is a valid
+# parsed-text character (the tokenizer passes it through), so document
+# text is scrubbed of the sentinel before splicing — a literal NUL in
+# page text must not become a phantom line break (it is dropped from
+# the markdown output instead, the right call for training text).
+_BR = "\x00"
 
 
 def _collapse(raw: str) -> str:
     out = _WS.sub(" ", raw)
     out = re.sub(rf" ?{_BR} ?", "\n", out)
     return out.strip()
+
+
+def _edge_space(inner: str, side: int) -> str:
+    """The single space an inline wrapper must re-emit outside its
+    markers when the wrapped content had leading/trailing whitespace
+    ('foo<b> bar </b>baz' -> 'foo **bar** baz', not 'foo**bar**baz')."""
+    ch = inner[side] if inner else ""
+    return " " if ch in " \t\r\n\f" else ""
+
+
+def _wrap(inner: str, mark: str) -> str:
+    core = _collapse(inner)
+    if not core:
+        # a whitespace-only wrapper still separates its neighbours
+        return " " if inner else ""
+    return (
+        _edge_space(inner, 0) + mark + core + mark + _edge_space(inner, -1)
+    )
 
 
 class _Renderer:
@@ -71,7 +94,7 @@ class _Renderer:
     def inline(self, node: dict) -> str:
         t = node["type"]
         if t in ("text", "cdata"):
-            return node["data"] or ""
+            return (node["data"] or "").replace(_BR, "")
         if t not in ("tag", "script", "style"):
             return ""  # comments, directives
         name = node["name"]
@@ -84,22 +107,28 @@ class _Renderer:
         if name == "a":
             label = _collapse(inner)
             href = attrs.get("href")
-            return f"[{label}]({href})" if href else label
+            if not href:
+                return inner
+            return (
+                _edge_space(inner, 0)
+                + f"[{label}]({href})"
+                + _edge_space(inner, -1)
+            )
         if name == "img":
             return f"![{attrs.get('alt', '')}]({attrs.get('src', '')})"
         if name in ("strong", "b"):
-            return f"**{_collapse(inner)}**" if _collapse(inner) else ""
+            return _wrap(inner, "**")
         if name in ("em", "i"):
-            return f"*{_collapse(inner)}*" if _collapse(inner) else ""
+            return _wrap(inner, "*")
         if name == "code":
-            return f"`{_collapse(inner)}`" if _collapse(inner) else ""
+            return _wrap(inner, "`")
         return inner  # transparent inline (span, u, small, ...)
 
     def _raw_text(self, node: dict) -> str:
         out = []
         for k in self.kids(node):
             if k["type"] in ("text", "cdata"):
-                out.append(k["data"] or "")
+                out.append((k["data"] or "").replace(_BR, ""))
             elif k["type"] in ("tag", "script", "style"):
                 out.append(self._raw_text(k))
         return "".join(out)

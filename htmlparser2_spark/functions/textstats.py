@@ -135,11 +135,15 @@ def langid_guess(text: Column | str) -> Column:
 # whitespace is consumed). Deliberately no abbreviation logic ("Dr."
 # splits) — a fixed, documented rule both engines reproduce exactly.
 # The break marker is chr(30) (RS), which never occurs in corpus text
-# (normalize_text strips C0 controls). Java regex and RE2 agree on
-# this pattern; replacement syntax differs ($1 vs \1), values don't.
+# (normalize_text strips C0 controls). The whitespace class is spelled
+# out explicitly — Java's \s includes \x0B (vertical tab) while RE2's
+# does not, so a bare \s would silently diverge between the engine
+# and the DuckDB oracle on VT-bearing text; replacement syntax also
+# differs ($1 vs \1), values don't.
 SENTENCES_SQL = (
     "list_filter(string_split(regexp_replace(coalesce({col}, ''), "
-    "'([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)), x -> x <> '')"
+    "'([.!?]+)[ \\t\\n\\f\\r\\x0b]+', '\\1' || chr(30), 'g'), "
+    "chr(30)), x -> x <> '')"
 )
 
 
@@ -147,7 +151,7 @@ def sentences(text: Column | str) -> Column:
     """Array of sentences per SENTENCES_SQL (NULL text -> empty)."""
     col = F.col(text) if isinstance(text, str) else text
     marked = F.regexp_replace(
-        F.coalesce(col, F.lit("")), r"([.!?]+)\s+", "$1\u001e"
+        F.coalesce(col, F.lit("")), r"([.!?]+)[ \t\n\f\r\x0B]+", "$1\u001e"
     )
     return F.filter(F.split(marked, "\u001e"), lambda s: s != F.lit(""))
 

@@ -75,6 +75,32 @@ def test_decode_paths():
     assert decode_html(b"") == ("utf-8", "")
 
 
+def test_non_text_codecs_never_crash():
+    # codecs.lookup resolves bytes-transform codecs (hex, base64, rot13,
+    # zlib) and the raising 'undefined' codec — a page declaring one
+    # must fall back to the default, not kill the Spark task.
+    for label in (b"undefined", b"hex", b"base64", b"rot13", b"zlib"):
+        data = b"<meta charset=" + label + b"><p>x</p>"
+        assert sniff_charset(data) == ("utf-8", 0), label
+        assert decode_html(data)[1].endswith("<p>x</p>"), label
+
+
+def test_decode_fallback_guarantee():
+    # Even if a label slips through sniffing, decode_html never raises.
+    from htmlparser2_spark.engine import encoding as E
+
+    charset, text = E.decode_html(b"payload", default="utf-8")
+    assert (charset, text) == ("utf-8", "payload")
+    # simulate a text codec that fails at decode time
+    orig = E._sniff
+    E._sniff = lambda data, default: ("undefined", 0)
+    try:
+        charset, text = E.decode_html(b"payload", default="utf-8")
+        assert (charset, text) == ("utf-8", "payload")
+    finally:
+        E._sniff = orig
+
+
 def test_no_false_positive_outside_meta():
     # 'charset=' in body text or a non-meta tag must not trigger
     assert sniff_charset(b"<p>use charset=utf-16 here</p>") == ("utf-8", 0)

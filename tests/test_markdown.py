@@ -84,6 +84,28 @@ def test_empty_and_garbage():
     assert md("<body><script>only()</script></body>") == ""
 
 
+def test_inline_edge_whitespace_reemitted():
+    # whitespace just inside a wrapper separates words OUTSIDE the
+    # markers; markdown emphasis forbids spaces inside them
+    assert md("<body><p>foo<strong> bar </strong>baz</p></body>") == (
+        "foo **bar** baz"
+    )
+    assert md("<body><p>x<em>y</em>z</p></body>") == "x*y*z"
+    assert md('<body><p>go<a href="/u"> here </a>now</p></body>') == (
+        "go [here](/u) now"
+    )
+    assert md("<body><p>a<code> c </code>b</p></body>") == "a `c` b"
+    # empty wrappers vanish entirely
+    assert md("<body><p>a<strong>  </strong>b</p></body>") == "a b"
+
+
+def test_nul_in_text_is_not_a_break():
+    # NUL is valid parsed text; it must not alias the <br> sentinel
+    assert md("<body><p>a\x00b</p></body>") == "ab"
+    assert md("<body><p>a\x00b<br>c</p></body>") == "ab\nc"
+    assert md("<body><textarea>a\x00b</textarea></body>") == "ab"
+
+
 def test_page_variant_shapes():
     # the exact shapes q_markdown's oracle predicts (sources/pages.py)
     v0 = (

@@ -538,6 +538,17 @@ def test_sentences(spark):
     assert got[3] == ["Trailing."]
     assert got[4] == []
     assert got[5] == ["Dr.", "Strange: no abbreviation logic, by design."]
+    # Vertical tab: Java \s matches it, RE2 (the DuckDB oracle) does
+    # not — the pinned explicit class makes both engines split on it.
+    vt = spark.createDataFrame([("One.\x0bTwo",)], "text string")
+    assert vt.select(T.sentences("text").alias("s")).collect()[0]["s"] == [
+        "One.",
+        "Two",
+    ]
+    import duckdb
+
+    frag = T.SENTENCES_SQL.format(col="'One.' || chr(11) || 'Two'")
+    assert duckdb.sql(f"SELECT {frag} AS s").fetchone()[0] == ["One.", "Two"]
 
 
 def test_bpe_ish_tokens(spark):
