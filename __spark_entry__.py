@@ -1285,6 +1285,53 @@ def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (OpenGraph + canonical — the head
+    fields a crawl pipeline indexes): a head with og:title /
+    description / link rel=canonical / og:locale is synthesized per
+    document, parsed back through the DOM, and the attrs maps are
+    queried relationally (conditional-max pivot, one url-keyed
+    shuffle); the oracle is the synthesis arithmetic itself."""
+    pages = build_pages(spark, sf_dir, with_doc_id=True)
+    ids = F.col("doc_id").cast("string")
+    head = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Doc '),
+        ids,
+        F.lit('"><meta name="description" content="'),
+        F.col("lang"),
+        F.lit(" page "),
+        ids,
+        F.lit('"><link rel="canonical" href="https://example.com/canon/'),
+        ids,
+        F.lit('"><meta property="og:locale" content="'),
+        F.col("lang"),
+        F.lit('"></head><body></body></html>'),
+    )
+    nodes = pages.select(
+        "url",
+        F.explode(dom_nodes_udf()(F.encode(head, "utf-8"))).alias("n"),
+    ).select("url", "n.*")
+    a = F.col("attrs")
+    return (
+        nodes.filter(F.col("name").isin("meta", "link"))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.when(a["property"] == "og:title", a["content"])
+            ).alias("og_title"),
+            F.max(
+                F.when(a["name"] == "description", a["content"])
+            ).alias("description"),
+            F.max(
+                F.when(a["rel"] == "canonical", a["href"])
+            ).alias("canonical"),
+            F.max(
+                F.when(a["property"] == "og:locale", a["content"])
+            ).alias("og_locale"),
+        )
+    )
+
+
 def _q_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> Markdown conversion over every page
     (engine/markdown.py; the structure-keeping alternative to
@@ -2036,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_charset": _q_charset,
         "q_markdown": _q_markdown,
         "q_sentences": _q_sentences,
+        "q_meta_extract": _q_meta_extract,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_hash_embed": _q_hash_embed,
@@ -2785,6 +2833,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 4 = 2 "
             "THEN 'Doc ' || CAST(doc_id AS STRING) || ' café' "
             "ELSE text END AS text_out FROM pages"
+        ),
+        "q_meta_extract": (
+            # The synthesized head fields reconstruct analytically.
+            f"WITH {_PAGES_CTE} SELECT url, "
+            "'Doc ' || CAST(doc_id AS STRING) AS og_title, "
+            "lang || ' page ' || CAST(doc_id AS STRING) AS description, "
+            "'https://example.com/canon/' || CAST(doc_id AS STRING) "
+            "AS canonical, lang AS og_locale FROM pages"
         ),
         "q_sentences": (
             "WITH s AS (SELECT doc_id, "
