@@ -250,3 +250,41 @@ def test_logreg_score_is_pure_project(spark):
     p = plan(logreg_score(df, [0.1, -0.2, 0.0]))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_sentences_is_map_only(spark):
+    """Sentence segmentation + posexplode must stay Project+Generate:
+    no Exchange, no Python dispatch — it is a map pass at 10^12 docs."""
+    from htmlparser2_spark.functions.textstats import sentences
+
+    df = spark.createDataFrame([(1, "a. b")], "doc_id long, text string")
+    out = df.select(
+        "doc_id", F.posexplode(sentences("text")).alias("i", "s")
+    )
+    p = plan(out)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_markdown_and_charset_are_single_udf_passes(spark):
+    """markdown_udf / sniff_decode_udf ride the scan partitioning:
+    exactly one Arrow UDF eval each, no shuffle."""
+    import __spark_entry__ as entry_mod
+
+    for name in ("q_markdown", "q_charset"):
+        df = entry_mod.queries()[name](spark, SF)
+        p = plan(df)
+        assert "Exchange" not in p, name
+
+
+def test_table_cells_shuffles_stay_document_keyed(spark):
+    """Every exchange in the table-extraction plan hash-partitions on
+    (url, ...) first — no cross-document shuffle key."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_table_cells"](spark, SF)
+    p = plan(df, "simple")
+    keys = re.findall(r"hashpartitioning\((\w+)", p)
+    assert keys and all(k == "url" for k in keys), keys
