@@ -14,7 +14,11 @@ deterministic corpora bench.py uses, one thread, best-of-N:
 
 Both paths are measured: the tokenizer-only fast path that
 extract_text_udf uses for default options, and the full parser with
-the text-only handler. Prints one JSON line.
+the text-only handler. The markdown renderer (DOM build + to_markdown,
+the exact per-row work of markdown_udf) is measured on the realistic
+corpus plus a structure-rich wiki-style corpus (headings/lists/links/
+table — the shapes the renderer actually transforms). Prints one JSON
+line.
 
 Usage: python tools/engine_bench.py [n_docs] [repeats]
 """
@@ -74,6 +78,29 @@ def entity_heavy_page(i: int) -> str:
     return (
         f"<html><head><title>Doc {i} &copy;</title></head>"
         f'<body><p class="q">{words}</p><p>{words}</p></body></html>'
+    )
+
+
+def structured_page(i: int) -> str:
+    # Wiki-style structure-rich page (~4 KB): nested lists, links,
+    # emphasis, a pipe table, code — every markdown rule class fires,
+    # so this corpus bounds the renderer's worst realistic mix.
+    items = "".join(
+        f'<li><a href="/w/{i}-{k}">{_text(i + k, 4)}</a>'
+        f"<ul><li><b>{_text(i + k, 3)}</b> and <i>{_text(k, 3)}</i></li></ul></li>"
+        for k in range(6)
+    )
+    rows = "".join(
+        f"<tr><td>{_text(i + k, 3)}</td><td><code>v{k}</code></td></tr>"
+        for k in range(5)
+    )
+    paras = "".join(f"<p>{_text(i + p, 40)}</p>" for p in range(4))
+    return (
+        f"<html><head><title>Doc {i}</title><style>p{{}}</style></head>"
+        f"<body><h1>Doc {i}</h1>{paras}<h2>Index</h2><ul>{items}</ul>"
+        f"<table><tr><th>key</th><th>val</th></tr>{rows}</table>"
+        f"<pre>x = {i}</pre><blockquote>{_text(i, 12)}</blockquote>"
+        "</body></html>"
     )
 
 
@@ -138,6 +165,24 @@ def main(n_docs: int = 20000, repeats: int = 3) -> None:
         # Consistency: both paths must extract identical text.
         for d in docs[:200]:
             assert fast.extract(d)[0] == full(d), "fast != full"
+
+    # Markdown rendering: DOM build + to_markdown, the per-row work of
+    # markdown_udf (functions/udfs.py) with the same reused handler.
+    from htmlparser2_spark.engine.dom import DomArrayHandler
+    from htmlparser2_spark.engine.markdown import to_markdown
+
+    md_handler = DomArrayHandler(with_indices=False)
+    md_parser = Parser(md_handler)
+
+    def render(d: str) -> str:
+        md_parser.parse(d)
+        return to_markdown(md_handler.nodes)
+
+    for name, gen in (("realistic", realistic_page),
+                      ("structured", structured_page)):
+        docs = [gen(i) for i in range(n_docs)]
+        out[f"{name}_markdown"] = measure(docs, render, repeats)
+        assert render(docs[0])  # non-empty render sanity
     print(json.dumps(out))
 
 
