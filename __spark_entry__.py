@@ -1741,6 +1741,71 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line + page filtering (operators/quality.py
+    c4_line_filter — the published Raffel et al. rule list). Line
+    structure is synthesized around the corpus text: per document,
+    three lines that pass every rule, one too short, one without a
+    terminal mark, one mentioning JavaScript; doc_id%3 adds a
+    'lorem ipsum' line (kept per line rules, but kills the page) or a
+    '{' code line (dropped AND kills the page). The oracle replays
+    every rule over the same synthesized lines in DuckDB — decisions
+    AND the surviving text (md5) are value-checked."""
+    from htmlparser2_spark.operators.quality import c4_line_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    syn = F.concat(
+        F.lit("Intro sentence number "), ids, F.lit(" stands complete."),
+        nl, F.lit("Too short."),
+        nl, F.lit("this line number "), ids, F.lit(" has no terminal mark"),
+        nl, F.lit("Please enable JavaScript to view document "), ids,
+        F.lit("."),
+        nl, F.lit("Does document "), ids, F.lit(" close with a question?"),
+        nl, F.lit("Closing remark for document "), ids, F.lit(" indeed!"),
+        F.when(F.col("doc_id") % 3 == 1,
+               F.concat(nl, F.lit("We need lorem ipsum filler here.")))
+        .when(F.col("doc_id") % 3 == 2,
+              F.concat(nl, F.lit("function f() { return 1; }")))
+        .otherwise(F.lit("")),
+    )
+    filtered = c4_line_filter(docs.select("doc_id", syn.alias("text")))
+    return filtered.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+        "keep_page",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (operators/
+    lm_score.py perplexity_buckets): the q_lm_score model (trained on
+    even doc_ids) scores every document, then ntile(3) within each
+    language over the 4dp-rounded score (doc_id tiebreak) — the exact
+    CCNet corpus cut. The oracle replays the training arithmetic and
+    the windowed NTILE in DuckDB."""
+    from htmlparser2_spark.operators.lm_score import (
+        lm_doc_scores,
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = lm_doc_scores(docs, lm).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    b = perplexity_buckets(scored, part_col="lang")
+    return b.select(
+        F.col("id").alias("doc_id"),
+        "lang",
+        F.col("bucket").cast("int").alias("bucket"),
+        "bucket_label",
+    )
+
+
 def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getOuterHTML coverage: parse -> serialize -> reparse -> extract
     must still be byte-identical to the golden text."""
@@ -2086,6 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_meta_extract": _q_meta_extract,
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
+        "q_c4_filter": _q_c4_filter,
+        "q_lm_buckets": _q_lm_buckets,
         "q_hash_embed": _q_hash_embed,
         "q_chunks": _q_chunks,
         "q_normalize": _q_normalize,
@@ -2587,6 +2654,62 @@ def oracle_sql() -> dict[str, str]:
             "FROM dbg LEFT JOIN lm USING (bigram) GROUP BY 1) "
             "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
             "round(avg, 4) AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id)"
+        ),
+        "q_c4_filter": (
+            # Replays every C4 rule over the same synthesized lines:
+            # terminal punctuation after rtrim, >=5 non-empty words,
+            # no 'javascript'; page: >=3 kept lines, no 'lorem ipsum',
+            # no '{'. md5 of the rejoined survivors pins the text.
+            "WITH syn AS (SELECT doc_id, "
+            "'Intro sentence number ' || CAST(doc_id AS STRING) || "
+            "' stands complete.' || chr(10) || 'Too short.' || chr(10) || "
+            "'this line number ' || CAST(doc_id AS STRING) || "
+            "' has no terminal mark' || chr(10) || "
+            "'Please enable JavaScript to view document ' || "
+            "CAST(doc_id AS STRING) || '.' || chr(10) || "
+            "'Does document ' || CAST(doc_id AS STRING) || "
+            "' close with a question?' || chr(10) || "
+            "'Closing remark for document ' || CAST(doc_id AS STRING) || "
+            "' indeed!' || "
+            "CASE doc_id % 3 "
+            "WHEN 1 THEN chr(10) || 'We need lorem ipsum filler here.' "
+            "WHEN 2 THEN chr(10) || 'function f() { return 1; }' "
+            "ELSE '' END AS t FROM documents), "
+            "kept AS (SELECT doc_id, t, "
+            "list_filter(string_split(t, chr(10)), l -> "
+            "right(rtrim(l), 1) IN ('.', '!', '?', '\"') "
+            "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+            "AND NOT contains(lower(l), 'javascript')) AS k FROM syn) "
+            "SELECT doc_id, CAST(len(k) AS INT) AS n_lines_kept, "
+            "(len(k) >= 3 AND NOT contains(lower(t), 'lorem ipsum') "
+            "AND NOT contains(t, '{')) AS keep_page, "
+            "md5(array_to_string(k, chr(10))) AS clean_md5 FROM kept"
+        ),
+        "q_lm_buckets": (
+            # q_lm_score's training arithmetic + CCNet's per-language
+            # NTILE(3) cut over the 4dp-rounded score, doc_id tiebreak,
+            # NULLS LAST made explicit (Spark and DuckDB default
+            # opposite NULL ends under DESC).
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] "
+            "for i in generate_series(1, len(t) - 1)]) AS bigram FROM toks), "
+            "dbg AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), "
+            "c2 AS (SELECT bigram, SUM(cnt) AS c2 FROM dbg "
+            "WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, bigram, c2 FROM c2), "
+            "c1 AS (SELECT w1, SUM(c2) AS c1 FROM ctx GROUP BY 1), "
+            "lm AS (SELECT bigram, ln(CAST(c2 AS DOUBLE) / c1) AS logp "
+            "FROM ctx JOIN c1 USING (w1)), "
+            "sc AS (SELECT doc_id, SUM(cnt * COALESCE(logp, ln(1e-6))) "
+            "/ SUM(cnt) AS avg FROM dbg LEFT JOIN lm USING (bigram) GROUP BY 1), "
+            "scored AS (SELECT d.doc_id, d.lang, round(sc.avg, 4) AS r "
+            "FROM documents d LEFT JOIN sc USING (doc_id)), "
+            "b AS (SELECT doc_id, lang, NTILE(3) OVER (PARTITION BY lang "
+            "ORDER BY r DESC NULLS LAST, doc_id) AS bucket FROM scored) "
+            "SELECT doc_id, lang, CAST(bucket AS INT) AS bucket, "
+            "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "ELSE 'tail' END AS bucket_label FROM b"
         ),
         "q_serialize_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages"

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from ..functions.textstats import oracle_tokens
 
-__all__ = ["doc_bigrams", "train_bigram_lm", "lm_doc_scores"]
+__all__ = [
+    "doc_bigrams",
+    "train_bigram_lm",
+    "lm_doc_scores",
+    "perplexity_buckets",
+]
 
 DEFAULT_OOV_LOGP = math.log(1e-6)
 
@@ -143,4 +148,59 @@ def lm_doc_scores(
             "avg_logp",
             F.exp(-F.col("avg_logp")).alias("ppl"),
         )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 3,
+    part_col: str | None = None,
+    score_col: str = "avg_logp",
+    id_col: str = "id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing: equal-count
+    buckets by LM score, best-scoring first (CCNet cuts each language
+    into perplexity terciles and trains preferentially on the head).
+
+    ``scored`` is typically :func:`lm_doc_scores` output; pass
+    ``part_col`` (e.g. ``lang``) to bucket within each language the
+    way CCNet does. ntile over a window is the scale shape: one
+    shuffle on the partition key, no driver-side quantile collection.
+    Without ``part_col`` the window is global — a single sort task —
+    which is fine for a sampled calibration set but NOT for a full
+    corpus: at scale always bucket within a real partition key (CCNet
+    itself never buckets across languages).
+
+    Determinism across engines: ordering uses the score ROUNDED to
+    ``round_dp`` (the same precision the oracle gate compares at —
+    raw float ties could order differently engine-to-engine) with the
+    id as tiebreak; unscorable docs (NULL score, no bigrams) sort
+    NULLS LAST, i.e. into the tail — they carry no LM evidence and
+    must not dilute the head.
+
+    Returns the input plus (bucket, bucket_label); labels are
+    head/middle/tail for ``n_buckets=3``, else ``b<i>``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*( [part_col] if part_col else [] ))
+        .orderBy(
+            F.round(F.col(score_col), round_dp).desc_nulls_last(),
+            F.col(id_col).asc(),
+        )
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        label = (
+            F.when(bucket == 1, "head")
+            .when(bucket == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), bucket.cast("string"))
+    return scored.select(
+        "*", bucket.alias("bucket"), label.alias("bucket_label")
     )

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["repetition_stats", "gopher_signals", "gopher_filter"]
+__all__ = [
+    "repetition_stats",
+    "gopher_signals",
+    "gopher_filter",
+    "c4_line_filter",
+]
 
 
 def repetition_stats(
@@ -146,4 +151,58 @@ def gopher_filter(
         F.col(id_col),
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    *,
+    min_words: int = 5,
+    min_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line + page filtering (the published rule list of
+    Raffel et al. 2020 §2.2, reimplemented): a line survives iff it
+    ends in a terminal punctuation mark (``. ! ?`` or a closing
+    double quote after trailing whitespace), has at least
+    ``min_words`` whitespace-separated words, and does not mention
+    "javascript" (case-insensitive); the page survives iff at least
+    ``min_lines`` lines did AND the full text contains neither
+    "lorem ipsum" (case-insensitive) nor ``{``.
+
+    Entirely map-only: line decisions are array HOFs over
+    split(text, '\\n') — no explode, no shuffle; at 100 TB this is a
+    single scan projection, and the page flag lets the caller decide
+    whether to drop or just annotate.
+
+    Returns (id, clean_text, n_lines_kept, keep_page) for every input
+    document; ``clean_text`` is the surviving lines rejoined (original
+    order, '' when none survive).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+    terminal = F.array(*[F.lit(c) for c in (".", "!", "?", '"')])
+
+    def keep_line(line):
+        words = F.filter(F.split(line, " "), lambda w: w != F.lit(""))
+        last = F.substring(F.rtrim(line), -1, 1)
+        return (
+            F.array_contains(terminal, last)
+            & (F.size(words) >= min_words)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    kept = F.filter(F.split(F.col("t"), "\n"), keep_line)
+    keep_page = (
+        (F.size(kept) >= min_lines)
+        & ~F.contains(F.lower(F.col("t")), F.lit("lorem ipsum"))
+        & ~F.contains(F.col("t"), F.lit("{"))
+    )
+    return base.select(
+        "id",
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        keep_page.alias("keep_page"),
     )

@@ -79,3 +79,44 @@ def test_min_count_prunes_after_context_totals(spark):
     # pruning changes coverage, not surviving estimates.
     assert set(lm) == {"a b", "b a"}
     assert lm["a b"] == pytest.approx(math.log(2 / 3))
+
+
+def test_perplexity_buckets_per_lang_and_null_tail(spark):
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.operators.lm_score import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [
+            # lang 'en': six scored docs, descending score order by id.
+            (1, "en", -1.0), (2, "en", -2.0), (3, "en", -3.0),
+            (4, "en", -4.0), (5, "en", -5.0), (6, "en", -6.0),
+            # lang 'de': two docs + one unscorable (NULL -> tail).
+            (7, "de", -1.5), (8, "de", -2.5), (9, "de", None),
+        ],
+        "id long, lang string, avg_logp double",
+    )
+    rows = {
+        r["id"]: r
+        for r in perplexity_buckets(scored, part_col="lang").collect()
+    }
+    assert [rows[i]["bucket_label"] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    assert rows[7]["bucket_label"] == "head"
+    assert rows[8]["bucket_label"] == "middle"
+    assert rows[9]["bucket_label"] == "tail"  # NULLS LAST
+
+    # Rounded-score tie broken by id: equal scores at 4dp bucket in
+    # id order, deterministically.
+    ties = spark.createDataFrame(
+        [(i, "en", -1.0 + i * 1e-9) for i in range(1, 7)],
+        "id long, lang string, avg_logp double",
+    )
+    t = {r["id"]: r["bucket"] for r in
+         perplexity_buckets(ties, part_col="lang").collect()}
+    assert t == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}
+
+    # Non-3 bucket counts get generic labels.
+    two = perplexity_buckets(scored, part_col="lang", n_buckets=2)
+    assert set(r["bucket_label"] for r in two.collect()) == {"b1", "b2"}

@@ -1108,6 +1108,50 @@ def test_gopher_filter_rules(spark):
     assert all(not rows[i]["keep"] for i in range(2, 7))
 
 
+def test_c4_line_filter_rules(spark):
+    from htmlparser2_spark.operators.quality import c4_line_filter
+
+    good = "This complete sentence carries five words."
+    df = spark.createDataFrame(
+        [
+            # Every line rule, one per line; trailing spaces before the
+            # terminal mark must not defeat the punctuation check.
+            (1, "\n".join([
+                good,
+                "Another proper sentence ends with a question?  ",
+                'He said the quoted words matter most."',
+                "Too short.",                       # < 5 words
+                "five full words but no terminal mark",
+                "Please enable JavaScript to view this page.",
+            ])),
+            (2, good + "\nOnly two good lines survive here!\n" + good),
+            (3, "Lorem ipsum appears in this proper sentence.\n"
+                + good + "\n" + good),
+            (4, good + "\nif (x) { return; }\n" + good + "\n" + good),
+            (5, ""),                                 # empty text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in c4_line_filter(df).collect()}
+    assert rows[1]["n_lines_kept"] == 3 and rows[1]["keep_page"]
+    assert rows[1]["clean_text"].count("\n") == 2
+    assert "JavaScript" not in rows[1]["clean_text"]
+    # 3 kept lines required by default: doc 2 has 3 (page keeps).
+    assert rows[2]["n_lines_kept"] == 3 and rows[2]["keep_page"]
+    # lorem ipsum / '{' kill the page even when enough lines survive.
+    assert rows[3]["n_lines_kept"] == 3 and not rows[3]["keep_page"]
+    assert rows[4]["n_lines_kept"] == 3 and not rows[4]["keep_page"]
+    assert rows[5]["n_lines_kept"] == 0 and not rows[5]["keep_page"]
+    assert rows[5]["clean_text"] == ""
+    # min_words / min_lines knobs.
+    loose = {
+        r["id"]: r
+        for r in c4_line_filter(df, min_words=2, min_lines=2).collect()
+    }
+    assert loose[1]["n_lines_kept"] == 4  # "Too short." now passes
+    assert loose[2]["keep_page"]
+
+
 def test_redact_pii(spark):
     from htmlparser2_spark.functions.redact import redact_pii
 
