@@ -1806,6 +1806,36 @@ def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain/keyword blocklist admission (operators/
+    blocklist.py): doc_id%4==1 pages move to a cdn. subdomain (must
+    still be caught by the parent-domain entry via the suffix chain),
+    doc_id%4==2 pages gain a ?utm_tracker query (keyword rule). The
+    oracle predicts every decision from the url-synthesis arithmetic —
+    domain wins over keyword."""
+    from htmlparser2_spark.operators.blocklist import blocklist_admission
+
+    pages = build_pages(spark, sf_dir, with_doc_id=True)
+    variant = F.col("doc_id") % 4
+    url2 = (
+        F.when(
+            variant == 1,
+            F.regexp_replace(F.col("url"), "^https://", "https://cdn."),
+        )
+        .when(variant == 2, F.concat(F.col("url"), F.lit("?utm_tracker=1")))
+        .otherwise(F.col("url"))
+    )
+    blocked = spark.createDataFrame(
+        [("host7.example",), ("host13.example",)], "dom string"
+    )
+    out = blocklist_admission(
+        pages.select("doc_id", url2.alias("url")),
+        blocked,
+        keywords=["tracker"],
+    )
+    return out.select("doc_id", "blocked_reason", "admitted")
+
+
 def _q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getOuterHTML coverage: parse -> serialize -> reparse -> extract
     must still be byte-identical to the golden text."""
@@ -2153,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": _q_lm_score,
         "q_c4_filter": _q_c4_filter,
         "q_lm_buckets": _q_lm_buckets,
+        "q_blocklist": _q_blocklist,
         "q_hash_embed": _q_hash_embed,
         "q_chunks": _q_chunks,
         "q_normalize": _q_normalize,
@@ -2710,6 +2741,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(bucket AS INT) AS bucket, "
             "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
             "ELSE 'tail' END AS bucket_label FROM b"
+        ),
+        "q_blocklist": (
+            # Analytic replay of the url synthesis: host number is the
+            # pages.py arithmetic; domain entries block host 7/13 at
+            # any subdomain depth, the tracker keyword only fires on
+            # the %4==2 query-string variant, domain wins ties.
+            "WITH h AS (SELECT doc_id, CASE WHEN doc_id % 5 < 2 THEN 0 "
+            "ELSE doc_id % 41 END AS hn FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN hn IN (7, 13) THEN 'domain' "
+            "WHEN doc_id % 4 = 2 THEN 'keyword' END AS blocked_reason, "
+            "(hn NOT IN (7, 13) AND doc_id % 4 <> 2) AS admitted FROM h"
         ),
         "q_serialize_roundtrip": (
             f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages"

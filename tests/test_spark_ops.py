@@ -1152,6 +1152,53 @@ def test_c4_line_filter_rules(spark):
     assert loose[2]["keep_page"]
 
 
+def test_blocklist_admission(spark):
+    from htmlparser2_spark.operators.blocklist import (
+        blocklist_admission,
+        domain_suffixes,
+    )
+    from pyspark.sql import functions as F
+
+    sfx = (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("a.b.example.com")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sfx == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+    pages = spark.createDataFrame(
+        [
+            ("https://ok.site/page",),
+            ("https://bad.example/x",),            # exact domain entry
+            ("https://deep.cdn.bad.example/y",),   # subdomain of entry
+            ("https://ok.site/p?utm_tracker=1",),  # keyword
+            ("https://bad.example/t?tracker=1",),  # both -> domain wins
+        ],
+        "url string",
+    )
+    blocked = spark.createDataFrame([("bad.example",)], "dom string")
+    rows = {
+        r["url"]: r
+        for r in blocklist_admission(
+            pages, blocked, keywords=["tracker"]
+        ).collect()
+    }
+    assert rows["https://ok.site/page"]["admitted"]
+    assert rows["https://bad.example/x"]["blocked_reason"] == "domain"
+    assert (
+        rows["https://deep.cdn.bad.example/y"]["blocked_reason"] == "domain"
+    )
+    assert rows["https://ok.site/p?utm_tracker=1"]["blocked_reason"] == "keyword"
+    assert rows["https://bad.example/t?tracker=1"]["blocked_reason"] == "domain"
+
+    # Empty blocklist + no keywords admits everything; row count is
+    # preserved (the blocked-set join must never fan out).
+    none = blocklist_admission(
+        pages, spark.createDataFrame([], "dom string")
+    )
+    assert none.count() == 5 and none.filter("admitted").count() == 5
+
+
 def test_redact_pii(spark):
     from htmlparser2_spark.functions.redact import redact_pii
 
