@@ -2736,8 +2736,12 @@ def oracle_sql() -> dict[str, str]:
             "/ SUM(cnt) AS avg FROM dbg LEFT JOIN lm USING (bigram) GROUP BY 1), "
             "scored AS (SELECT d.doc_id, d.lang, round(sc.avg, 4) AS r "
             "FROM documents d LEFT JOIN sc USING (doc_id)), "
-            "b AS (SELECT doc_id, lang, NTILE(3) OVER (PARTITION BY lang "
-            "ORDER BY r DESC NULLS LAST, doc_id) AS bucket FROM scored) "
+            # NULL scores are forced to the last bucket and excluded
+            # from the ntile slots (window partitions on nullness),
+            # mirroring perplexity_buckets exactly.
+            "b AS (SELECT doc_id, lang, CASE WHEN r IS NULL THEN 3 ELSE "
+            "NTILE(3) OVER (PARTITION BY lang, (r IS NULL) "
+            "ORDER BY r DESC NULLS LAST, doc_id) END AS bucket FROM scored) "
             "SELECT doc_id, lang, CAST(bucket AS INT) AS bucket, "
             "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
             "ELSE 'tail' END AS bucket_label FROM b"

@@ -34,8 +34,13 @@ __all__ = ["domain_suffixes", "blocklist_admission"]
 
 def domain_suffixes(host: Column) -> Column:
     """Array of the host's label suffixes, longest first:
-    ``a.b.example`` -> [``a.b.example``, ``b.example``, ``example``]."""
-    labels = F.split(host, r"\.")
+    ``a.b.example`` -> [``a.b.example``, ``b.example``, ``example``].
+
+    Empty labels are dropped before the chain is built: a trailing-dot
+    FQDN (``bad.example.`` — same host to DNS and browsers) must
+    produce the same suffixes as ``bad.example``, not a dot-suffixed
+    chain that walks past every blocklist entry."""
+    labels = F.filter(F.split(host, r"\."), lambda l: l != F.lit(""))
     n = F.size(labels)
     return F.transform(
         F.sequence(F.lit(1), n),

@@ -176,23 +176,31 @@ def perplexity_buckets(
     Determinism across engines: ordering uses the score ROUNDED to
     ``round_dp`` (the same precision the oracle gate compares at —
     raw float ties could order differently engine-to-engine) with the
-    id as tiebreak; unscorable docs (NULL score, no bigrams) sort
-    NULLS LAST, i.e. into the tail — they carry no LM evidence and
-    must not dilute the head.
+    id as tiebreak. Unscorable docs (NULL score, no bigrams) are
+    FORCED into the last bucket — they carry no LM evidence and must
+    not dilute the head. The window additionally partitions on
+    score-nullness so NULL rows never occupy ntile slots: otherwise a
+    partition where NULLs outnumber a bucket's width would spill them
+    into head/middle.
 
     Returns the input plus (bucket, bucket_label); labels are
     head/middle/tail for ``n_buckets=3``, else ``b<i>``.
     """
     from pyspark.sql import Window
 
+    score = F.col(score_col)
     w = (
-        Window.partitionBy(*( [part_col] if part_col else [] ))
+        Window.partitionBy(
+            *([part_col] if part_col else []), score.isNull()
+        )
         .orderBy(
-            F.round(F.col(score_col), round_dp).desc_nulls_last(),
+            F.round(score, round_dp).desc_nulls_last(),
             F.col(id_col).asc(),
         )
     )
-    bucket = F.ntile(n_buckets).over(w)
+    bucket = F.when(
+        score.isNull(), F.lit(n_buckets)
+    ).otherwise(F.ntile(n_buckets).over(w))
     if n_buckets == 3:
         label = (
             F.when(bucket == 1, "head")

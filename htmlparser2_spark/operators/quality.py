@@ -178,10 +178,14 @@ def c4_line_filter(
 
     Returns (id, clean_text, n_lines_kept, keep_page) for every input
     document; ``clean_text`` is the surviving lines rejoined (original
-    order, '' when none survive).
+    order, '' when none survive). NULL text is treated as '' (0 kept
+    lines, page rejected) so every document gets a real decision —
+    a NULL flag would silently vanish from BOTH sides of a
+    keep/reject funnel report.
     """
     base = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
     )
     terminal = F.array(*[F.lit(c) for c in (".", "!", "?", '"')])
 

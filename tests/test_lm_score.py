@@ -105,7 +105,19 @@ def test_perplexity_buckets_per_lang_and_null_tail(spark):
     ]
     assert rows[7]["bucket_label"] == "head"
     assert rows[8]["bucket_label"] == "middle"
-    assert rows[9]["bucket_label"] == "tail"  # NULLS LAST
+    assert rows[9]["bucket_label"] == "tail"  # unscorable -> tail
+
+    # NULL-majority partition: unscorable docs must NEVER spill into
+    # head/middle, however many there are (they are forced to the
+    # last bucket, outside the ntile slots).
+    nulls = spark.createDataFrame(
+        [(1, "fr", -1.0)] + [(i, "fr", None) for i in range(2, 8)],
+        "id long, lang string, avg_logp double",
+    )
+    n = {r["id"]: r["bucket_label"] for r in
+         perplexity_buckets(nulls, part_col="lang").collect()}
+    assert n[1] == "head"
+    assert all(n[i] == "tail" for i in range(2, 8))
 
     # Rounded-score tie broken by id: equal scores at 4dp bucket in
     # id order, deterministically.

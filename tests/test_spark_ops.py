@@ -1129,6 +1129,7 @@ def test_c4_line_filter_rules(spark):
                 + good + "\n" + good),
             (4, good + "\nif (x) { return; }\n" + good + "\n" + good),
             (5, ""),                                 # empty text
+            (6, None),                               # NULL text
         ],
         "doc_id long, text string",
     )
@@ -1143,6 +1144,10 @@ def test_c4_line_filter_rules(spark):
     assert rows[4]["n_lines_kept"] == 3 and not rows[4]["keep_page"]
     assert rows[5]["n_lines_kept"] == 0 and not rows[5]["keep_page"]
     assert rows[5]["clean_text"] == ""
+    # NULL text gets a real decision (keep_page False, not NULL) so a
+    # keep/reject funnel never loses the row.
+    assert rows[6]["keep_page"] is False and rows[6]["n_lines_kept"] == 0
+    assert rows[6]["clean_text"] == ""
     # min_words / min_lines knobs.
     loose = {
         r["id"]: r
@@ -1173,6 +1178,7 @@ def test_blocklist_admission(spark):
             ("https://deep.cdn.bad.example/y",),   # subdomain of entry
             ("https://ok.site/p?utm_tracker=1",),  # keyword
             ("https://bad.example/t?tracker=1",),  # both -> domain wins
+            ("https://bad.example./z",),           # trailing-dot FQDN
         ],
         "url string",
     )
@@ -1190,13 +1196,16 @@ def test_blocklist_admission(spark):
     )
     assert rows["https://ok.site/p?utm_tracker=1"]["blocked_reason"] == "keyword"
     assert rows["https://bad.example/t?tracker=1"]["blocked_reason"] == "domain"
+    # A trailing-dot FQDN is the same host to DNS/browsers — it must
+    # not walk past the blocklist via dot-suffixed chain labels.
+    assert rows["https://bad.example./z"]["blocked_reason"] == "domain"
 
     # Empty blocklist + no keywords admits everything; row count is
     # preserved (the blocked-set join must never fan out).
     none = blocklist_admission(
         pages, spark.createDataFrame([], "dom string")
     )
-    assert none.count() == 5 and none.filter("admitted").count() == 5
+    assert none.count() == 6 and none.filter("admitted").count() == 6
 
 
 def test_redact_pii(spark):
