@@ -24,6 +24,7 @@ __all__ = [
     "gopher_signals",
     "gopher_filter",
     "c4_line_filter",
+    "c4_page_pred",
 ]
 
 
@@ -187,6 +188,17 @@ def c4_line_filter(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
     )
+    kept = _c4_kept_lines(F.col("t"), min_words)
+    keep_page = _c4_page_rules(F.col("t"), kept, min_lines)
+    return base.select(
+        "id",
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        keep_page.alias("keep_page"),
+    )
+
+
+def _c4_kept_lines(t, min_words: int):
     terminal = F.array(*[F.lit(c) for c in (".", "!", "?", '"')])
 
     def keep_line(line):
@@ -198,15 +210,25 @@ def c4_line_filter(
             & ~F.contains(F.lower(line), F.lit("javascript"))
         )
 
-    kept = F.filter(F.split(F.col("t"), "\n"), keep_line)
-    keep_page = (
+    return F.filter(F.split(t, "\n"), keep_line)
+
+
+def _c4_page_rules(t, kept, min_lines: int):
+    return (
         (F.size(kept) >= min_lines)
-        & ~F.contains(F.lower(F.col("t")), F.lit("lorem ipsum"))
-        & ~F.contains(F.col("t"), F.lit("{"))
+        & ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+        & ~F.contains(t, F.lit("{"))
     )
-    return base.select(
-        "id",
-        F.concat_ws("\n", kept).alias("clean_text"),
-        F.size(kept).alias("n_lines_kept"),
-        keep_page.alias("keep_page"),
-    )
+
+
+def c4_page_pred(
+    text_col: str = "text", *, min_words: int = 5, min_lines: int = 3
+):
+    """The C4 page decision as a standalone boolean Column — usable as
+    ``run_curation(quality_pred=c4_page_pred())`` wherever a plan
+    wants the C4 gate instead of the Gopher rules. Same rules as
+    :func:`c4_line_filter` (NULL text rejects); drop-only: the page
+    keeps its original text (use c4_line_filter when the surviving
+    lines themselves are wanted)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return _c4_page_rules(t, _c4_kept_lines(t, min_words), min_lines)

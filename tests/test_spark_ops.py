@@ -1502,6 +1502,31 @@ def test_run_curation_default_gopher_gate(spark):
     assert {r["doc_id"] for r in corpus.collect()} == {1}
 
 
+def test_run_curation_c4_gate(spark):
+    """quality_pred=c4_page_pred() swaps the Gopher rules for the C4
+    line/page gate at stage 1 — the jobs/run_curate.py --quality c4
+    wiring."""
+    from htmlparser2_spark.operators.quality import c4_page_pred
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    good = "\n".join(
+        [f"This full sentence number {i} stands alone and complete."
+         for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good + "\nif (x) { bad }", "en"),   # '{' kills the page
+            (3, "no terminal marks here at all", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    corpus, funnel = run_curation(docs, quality_pred=c4_page_pred())
+    counts = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert counts["ingest"] == 3 and counts["quality"] == 1
+    assert {r["doc_id"] for r in corpus.collect()} == {1}
+
+
 def test_elements_inside_descendant_axis(spark):
     """li inside ul counts at any depth; a stray li outside any ul
     does not; matches are per matching ancestor."""
