@@ -15,8 +15,12 @@ Spark level (Arrow-batched, cluster scale):
                         feed_udf, doc_stats_udf, clean_text_udf
   operators.domquery:   DomUtils over the exploded nodes table
   operators.dedup:      exact/Jaccard/MinHash-LSH/SimHash/embedding dedup
-  operators.similarity: brute-force + LSH ANN
+  operators.similarity: brute-force + LSH/IVF/PQ ANN
+  operators.quality:    Gopher + C4 gates, repetition signals
+  operators.lm_score:   bigram-LM scoring + CCNet perplexity buckets
+  operators.blocklist:  UT1-style domain/keyword admission
   plans.extract_job:    repartition -> parse -> lineage -> resumable writes
+  plans.curate_job:     quality -> dedup -> decontaminate -> sample funnel
   streaming:            incremental + stateful extraction
   sources:              pages synthesis, snapshot tables
 """
