@@ -1806,6 +1806,23 @@ def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair (functions/normalize.py
+    fix_mojibake): odd doc_ids get their text double-encoded
+    (UTF-8 bytes decoded as latin-1 — Spark-side, with 2/3/4-byte
+    sequences via the appended suffix) and must repair to the clean
+    original; even doc_ids stay clean and must pass through the
+    operator untouched. The oracle is the clean text itself — a
+    roundtrip identity that never computes the corruption."""
+    from htmlparser2_spark.functions.normalize import fix_mojibake
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clean = F.concat(F.col("text"), F.lit(" café — 中文 №42 🚀"))
+    moji = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    inp = F.when(F.col("doc_id") % 2 == 0, clean).otherwise(moji)
+    return docs.select("doc_id", fix_mojibake(inp).alias("fixed"))
+
+
 def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1-style domain/keyword blocklist admission (operators/
     blocklist.py): doc_id%4==1 pages move to a cdn. subdomain (must
@@ -2184,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": _q_c4_filter,
         "q_lm_buckets": _q_lm_buckets,
         "q_blocklist": _q_blocklist,
+        "q_mojibake": _q_mojibake,
         "q_hash_embed": _q_hash_embed,
         "q_chunks": _q_chunks,
         "q_normalize": _q_normalize,
@@ -2745,6 +2763,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, CAST(bucket AS INT) AS bucket, "
             "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
             "ELSE 'tail' END AS bucket_label FROM b"
+        ),
+        "q_mojibake": (
+            # Roundtrip identity: repair(corrupt(clean)) == clean for
+            # odd ids, repair(clean) == clean for even — the oracle
+            # only ever states the clean text.
+            "SELECT doc_id, text || ' café — 中文 №42 🚀' AS fixed "
+            "FROM documents"
         ),
         "q_blocklist": (
             # Analytic replay of the url synthesis: host number is the

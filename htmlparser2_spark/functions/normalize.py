@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_text", "normalize_sql", "TRANSLATE_FROM", "TRANSLATE_TO"]
+__all__ = [
+    "normalize_text",
+    "normalize_sql",
+    "fix_mojibake",
+    "TRANSLATE_FROM",
+    "TRANSLATE_TO",
+]
 
 # 1:1 typographic folds (translate); the 1->3 ellipsis fold needs a
 # regexp_replace and runs before control stripping.
@@ -44,6 +50,48 @@ def normalize_text(text: Column | str) -> Column:
     s = F.regexp_replace(s, "[ \\t]+", " ")
     s = F.regexp_replace(s, " ?\n ?", "\n")
     return F.trim(s)
+
+
+# ftfy-style mojibake detection: a latin-1-decoded-UTF-8 string is one
+# whose every code point is < 0x100 AND whose byte-valued chars form
+# well-formed UTF-8. The well-formedness grammar (RFC 3629 table) is
+# spelled out as a regex over code-point ranges — proving validity
+# BEFORE the decode matters because Spark 4's encode/decode RAISE on
+# malformed input (MALFORMED_CHARACTER_CODING) instead of replacing.
+_UTF8_SEQ = (
+    "(?:[\xc2-\xdf][\x80-\xbf]"
+    "|\xe0[\xa0-\xbf][\x80-\xbf]"
+    "|[\xe1-\xec][\x80-\xbf]{2}"
+    "|\xed[\x80-\x9f][\x80-\xbf]"
+    "|[\xee-\xef][\x80-\xbf]{2}"
+    "|\xf0[\x90-\xbf][\x80-\xbf]{2}"
+    "|[\xf1-\xf3][\x80-\xbf]{3}"
+    "|\xf4[\x80-\x8f][\x80-\xbf]{3})"
+)
+_UTF8_FULL = "^(?:[\x00-\x7f]|" + _UTF8_SEQ + ")*$"
+
+
+def fix_mojibake(text: Column | str) -> Column:
+    """Repair double-encoded UTF-8 ("caf\xc3\xa9" -> "caf\xe9") — the
+    ftfy-style fix for the classic crawl corruption where UTF-8 bytes
+    were decoded as latin-1 somewhere upstream.
+
+    A string is repaired iff it parses COMPLETELY as byte-valued
+    well-formed UTF-8 (the anchored grammar regex: any code point
+    >= 0x100 fails it) and contains at least one multi-byte sequence
+    (pure ASCII round-trips to itself; skipping it avoids the encode).
+    Everything else — including clean text that merely contains
+    accents — passes through untouched, so the operator is safe to run
+    unconditionally. Map-only, pure Catalyst (two rlike + encode/
+    decode inside a short-circuiting CASE). Single-pass by design:
+    doubly-mojibaked text needs a second application (ftfy loops; one
+    pass covers the overwhelmingly common case).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    repairable = col.rlike(_UTF8_FULL) & col.rlike(_UTF8_SEQ)
+    return F.when(
+        repairable, F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")
+    ).otherwise(col)
 
 
 def normalize_sql(col: str) -> str:

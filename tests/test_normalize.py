@@ -43,3 +43,31 @@ def test_normalize_cases_and_duckdb_parity(spark):
             f"SELECT {normalize_sql('?')}", [raw]
         ).fetchone()[0]
         assert ddb == want, (raw, ddb)
+
+
+def test_fix_mojibake(spark):
+    from htmlparser2_spark.functions.normalize import fix_mojibake
+
+    orig = "caf\xe9 — 中文 test \U0001f680 №"
+    moji = orig.encode("utf-8").decode("latin-1")
+    cases = [
+        (1, moji, orig),             # full repair (2/3/4-byte seqs)
+        (2, orig, orig),             # clean non-latin1 passthrough
+        (3, "plain ascii", "plain ascii"),
+        # Clean latin-1 accents: \xe9 is an invalid UTF-8 lead here,
+        # so the grammar regex rejects and the text is untouched.
+        (4, "caf\xe9 clean", "caf\xe9 clean"),
+        (5, None, None),
+        # Truncated continuation (corrupt mojibake): must NOT attempt
+        # the decode (Spark 4 raises on malformed) — passthrough.
+        (6, "bad \xc3", "bad \xc3"),
+        # C1-control mojibake of a curly quote (\xe2\x80\x99).
+        (7, "it\xe2\x80\x99s", "it’s"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "i long, t string"
+    )
+    got = {r["i"]: r["f"] for r in
+           df.select("i", fix_mojibake("t").alias("f")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
