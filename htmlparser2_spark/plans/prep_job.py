@@ -6,7 +6,11 @@ artifact a trainer actually reads:
 
 1. **normalize** — codepoint scrub (:func:`functions.normalize.
    normalize_text`); map-only, runs first so dedup/chunk token
-   boundaries see canonical text.
+   boundaries see canonical text. ``repair_mojibake=True`` prepends
+   the ftfy-style double-encoding fix (:func:`functions.normalize.
+   fix_mojibake`) in the same projection — repair must precede the
+   scrub because normalize strips the C1 controls mojibake is made
+   of, destroying the evidence.
 2. **span_strip** (optional, ``span_window``) — cross-document
    repeated spans marked and elided
    (:mod:`operators.spandedup`); documents emptied by the surgery
@@ -45,6 +49,7 @@ def run_prep(
     overlap: int = 64,
     span_window: int | None = None,
     span_min_docs: int = 2,
+    repair_mojibake: bool = False,
     shard_tokens: int = 1_000_000,
     n_groups: int = 1024,
     text_col: str = "text",
@@ -59,10 +64,15 @@ def run_prep(
     maybe_ckpt = lazy_checkpointer(checkpoint_stages)
     stages: list[tuple[str, DataFrame]] = [("ingest_docs", docs)]
 
+    t = F.col(text_col)
+    if repair_mojibake:
+        from ..functions.normalize import fix_mojibake
+
+        t = fix_mojibake(t)
     cur = maybe_ckpt(
         docs.select(
             F.col(id_col),
-            normalize_text(F.col(text_col)).alias(text_col),
+            normalize_text(t).alias(text_col),
         )
     )
     stages.append(("normalized_docs", cur))

@@ -51,3 +51,30 @@ def test_prep_funnel_and_stages(spark):
     assert "boiler plate sentence" not in joined[2]
     # every chunk carries a shard assignment
     assert all(r["shard"] >= 0 and r["grp"] in (0, 1) for r in rows)
+
+
+def test_prep_repair_mojibake_before_normalize(spark):
+    """repair_mojibake=True must fix double-encoded text BEFORE the
+    codepoint scrub — normalize strips the C1 controls the mojibake
+    encoding is made of, so the reversed order would corrupt."""
+    from htmlparser2_spark.plans.prep_job import run_prep
+
+    orig = "em dash — here and caf\xe9 text words enough for chunks"
+    moji = orig.encode("utf-8").decode("latin-1")
+    docs = spark.createDataFrame(
+        [(1, moji), (2, orig)], "doc_id long, text string"
+    )
+    chunks, _ = run_prep(
+        docs, chunk_tokens=20, overlap=0, repair_mojibake=True
+    )
+    texts = {r["id"]: r["chunk_text"] for r in chunks.collect()}
+    # Both repair+normalize to the same canonical text (em dash folds
+    # to '-', caf\xe9 survives as a real codepoint).
+    want = orig.replace("—", "-")
+    assert texts[1] == want and texts[2] == want
+
+    # Default (no repair): the mojibake C1 controls are stripped by
+    # normalize and the text stays corrupted — the flag matters.
+    chunks_off, _ = run_prep(docs, chunk_tokens=20, overlap=0)
+    off = {r["id"]: r["chunk_text"] for r in chunks_off.collect()}
+    assert "caf\xe9" not in off[1] and "\xc3" in off[1]
