@@ -68,7 +68,12 @@ _UTF8_SEQ = (
     "|[\xf1-\xf3][\x80-\xbf]{3}"
     "|\xf4[\x80-\x8f][\x80-\xbf]{3})"
 )
-_UTF8_FULL = "^(?:[\x00-\x7f]|" + _UTF8_SEQ + ")*$"
+# \A/\z anchors, NOT ^/$: Java's $ matches before a FINAL line
+# terminator (\n, \r, and crucially U+0085 NEL / U+2028 LS / U+2029 PS),
+# so "caf\xc3\xa9\x85" would pass a $-anchored guard and the unguarded
+# decode below would raise MALFORMED_CHARACTER_CODING on the dangling
+# continuation byte. \z matches only at the true end of input.
+_UTF8_FULL = "\\A(?:[\x00-\x7f]|" + _UTF8_SEQ + ")*\\z"
 
 
 def fix_mojibake(text: Column | str) -> Column:

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.normalize import normalize_text
+from ..functions.normalize import fix_mojibake, normalize_text
 from ..operators.chunking import chunk_documents
 from ..operators.sampling import token_budget_shards
 from ..operators.spandedup import repeated_spans, strip_spans
@@ -66,8 +66,6 @@ def run_prep(
 
     t = F.col(text_col)
     if repair_mojibake:
-        from ..functions.normalize import fix_mojibake
-
         t = fix_mojibake(t)
     cur = maybe_ckpt(
         docs.select(

@@ -63,6 +63,21 @@ def test_fix_mojibake(spark):
         (6, "bad \xc3", "bad \xc3"),
         # C1-control mojibake of a curly quote (\xe2\x80\x99).
         (7, "it\xe2\x80\x99s", "it’s"),
+        # Trailing LINE TERMINATORS after an invalid tail: Java's $
+        # matches BEFORE a final \n / U+0085 NEL / U+2028 LS, so a
+        # ^...$-anchored validity guard would wave these through and
+        # the decode would raise MALFORMED_CHARACTER_CODING. The \A/\z
+        # anchors must reject (dangling \xc3) or pass through (U+2028
+        # is >= 0x100, not byte-valued) — never crash.
+        (8, "caf\xc3\xa9\x85\xc3", "caf\xc3\xa9\x85\xc3"),
+        (9, "caf\xc3\xa9\u2028", "caf\xc3\xa9\u2028"),
+        (10, "caf\xc3\xa9\u2029", "caf\xc3\xa9\u2029"),
+        # Trailing newline with VALID mojibake: \n is ASCII, inside
+        # the grammar — must still repair.
+        (11, "caf\xc3\xa9\n", "caf\xe9\n"),
+        # NEL-terminated valid mojibake: \x85 is byte-valued but an
+        # invalid standalone UTF-8 continuation byte — passthrough.
+        (12, "caf\xc3\xa9\x85", "caf\xc3\xa9\x85"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in cases], "i long, t string"
