@@ -563,8 +563,10 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSS selectors compiled to relational plans: per url, match
     counts for a descendant selector with a class filter
-    ('html p.c3'), a child selector ('ul > li'), and an attribute
-    selector ('a[href]') — all template-predictable."""
+    ('html p.c3'), a child selector ('ul > li'), an attribute
+    selector ('a[href]'), sibling combinators, and the jQuery-style
+    inequality ('p[class!=c3]', 'p[class!=""]') — all
+    template-predictable."""
     from htmlparser2_spark.operators.cssselect import css_select
     from htmlparser2_spark.operators.domquery import explode_nodes
 
@@ -590,6 +592,13 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(count_of("h1 + p", "n_h1_p"), "url", "left")
         .join(count_of("li + li", "n_li_li"), "url", "left")
         .join(count_of("table ~ div", "n_tbl_div"), "url", "left")
+        # jQuery-style inequality: variant 0's p carries class
+        # "c{doc_id%7}" (matches iff the token isn't exactly c3),
+        # variant 1's p has NO class attribute (missing attr MATCHES
+        # a non-empty value), variant 2 has no p at all; [class!=""]
+        # instead demands an existing non-empty class (variant 0 only).
+        .join(count_of("p[class!=c3]", "n_p_notc3"), "url", "left")
+        .join(count_of('p[class!=""]', "n_p_anyclass"), "url", "left")
         .select(
             "url",
             F.coalesce("n_p_c3", F.lit(0)).alias("n_p_c3"),
@@ -598,6 +607,8 @@ def _q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_h1_p", F.lit(0)).alias("n_h1_p"),
             F.coalesce("n_li_li", F.lit(0)).alias("n_li_li"),
             F.coalesce("n_tbl_div", F.lit(0)).alias("n_tbl_div"),
+            F.coalesce("n_p_notc3", F.lit(0)).alias("n_p_notc3"),
+            F.coalesce("n_p_anyclass", F.lit(0)).alias("n_p_anyclass"),
         )
     )
 
@@ -3214,7 +3225,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_li_li, "
             "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) "
-            "AS n_tbl_div FROM pages"
+            "AS n_tbl_div, "
+            # p[class!=c3]: v0 matches unless class is exactly c3
+            # (doc_id%7=3); v1's class-less p matches (jQuery
+            # missing-attr semantics); v2 has no p.
+            "CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 3 THEN 1 "
+            "WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_p_notc3, "
+            # p[class!=\"\"]: existing non-empty class required — v0 only.
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_p_anyclass FROM pages"
         ),
         "q_css_pseudo": (
             # Variant 1: second li under ul; variant 0: head's last

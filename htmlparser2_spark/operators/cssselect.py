@@ -25,7 +25,7 @@ Supported grammar (the high-traffic subset)::
     selector      := compound ( ( '>' | ' ' | '+' | '~' ) compound )*
     compound      := [ tag | '*' ] ( '#id' | '.class' | attr-test )* pseudo*
     attr-test     := '[attr]' | '[attr=v]' | '[attr^=v]' | '[attr$=v]'
-                   | '[attr*=v]' | '[attr~=v]' | '[attr|=v]'
+                   | '[attr*=v]' | '[attr~=v]' | '[attr|=v]' | '[attr!=v]'
     pseudo        := ':first-child' | ':last-child' | ':only-child'
                    | ':nth-child(An+B)' | ':nth-last-child(An+B)'
                    | '[attr=v i]' (CSS4 case-insensitive value flag)
@@ -89,7 +89,7 @@ _ATTR_TEST = re.compile(
     # optional CSS4 case-sensitivity flag after the value: [attr="v" i]
     # ('s' — the explicit-sensitive flag — is the default behavior and
     # also accepted). The flag only parses after an operator+value.
-    r"^([\w-]+)(?:([~|^$*]?=)(.*?)(?:\s+([is]))?)?$"
+    r"^([\w-]+)(?:([~|^$*!]?=)(.*?)(?:\s+([is]))?)?$"
 )
 _PSEUDO = re.compile(rf":([\w-]+)(?:\(((?:[^()]|\([^()]*\))*)\))?")
 # CSS An+B micro-syntax: a bare integer, or [sign][a]n[±b], odd, even.
@@ -295,6 +295,18 @@ def _compound_pred(
                 value = value.lower()
             if op == "=":
                 pred = pred & col.eqNullSafe(value)
+            elif op == "!=":
+                # css-select's jQuery-inherited inequality (css-select
+                # attributes.ts, the "not" action): for a non-empty
+                # value, elements MISSING the attribute match too
+                # (getAttributeValue(...) !== value with undefined on
+                # the left is true); [attr!=""] instead requires an
+                # existing non-empty value. eqNullSafe keeps the
+                # negation NULL-free under :not().
+                if value == "":
+                    pred = pred & col.isNotNull() & (col != "")
+                else:
+                    pred = pred & ~col.eqNullSafe(value)
             elif op == "^=":
                 pred = pred & F.coalesce(
                     col.startswith(value), F.lit(False)

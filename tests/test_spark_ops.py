@@ -2083,12 +2083,54 @@ def test_css_select_rejects_unsupported_attr_ops(spark):
                               "url string, html string"),
         with_ancestors=True,
     )
-    for bad in ("a[rel!=y]", "a[rel?=y]", "*p"):
+    for bad in ("a[rel?=y]", "a[rel%=y]", "*p"):
         with _pytest.raises(ValueError):
             css_select(nodes, bad).collect()
-    # ~= and |= are supported since round 3.
+    # ~=, |= and != are supported since round 3.
     assert css_select(nodes, "a[rel~=noopener]").count() == 1
     assert css_select(nodes, "a[rel|=x]").count() == 0
+    assert css_select(nodes, "a[rel!=y]").count() == 1
+
+
+def test_css_select_attr_inequality(spark):
+    """css-select's jQuery-style [attr!=v] (attributes.ts "not"
+    action): missing attribute MATCHES a non-empty value; [attr!=""]
+    requires an existing non-empty value; composes with the i-flag
+    and inverts cleanly (NULL-free) under :not()."""
+    from htmlparser2_spark.operators.cssselect import css_select
+    from htmlparser2_spark.operators.domquery import explode_nodes
+
+    nodes = explode_nodes(
+        spark.createDataFrame(
+            [("u1",
+              "<div id=a rel='X'></div><div id=b rel='y'></div>"
+              "<div id=c></div><div id=d rel=''></div>")],
+            "url string, html string",
+        ),
+        with_ancestors=True,
+    )
+
+    def ids(sel):
+        return sorted(
+            r["node_id"]
+            for r in css_select(nodes, sel).select("node_id").collect()
+        )
+
+    def names(sel):
+        rows = css_select(nodes, sel).collect()
+        attrs = {r["attrs"]["id"] for r in rows}
+        return sorted(a for a in attrs if a)
+
+    # Non-empty value: everything except the exact match, INCLUDING
+    # the attribute-less element (c) and the empty-valued one (d).
+    assert names("div[rel!=y]") == ["a", "c", "d"]
+    # Case-sensitive by default; the CSS4 i-flag folds both sides.
+    assert names("div[rel!=x]") == ["a", "b", "c", "d"]
+    assert names("div[rel!=x i]") == ["b", "c", "d"]
+    # Empty value: existing, non-empty attribute required.
+    assert names('div[rel!=""]') == ["a", "b"]
+    # :not() inversion stays NULL-free: complement within div set.
+    assert names("div:not([rel!=y])") == ["b"]
 
 
 def test_minhash_lsh_rejects_non_divisible_bands(spark, dup_docs):
