@@ -1711,6 +1711,36 @@ def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting paragraph chunk packing (operators/
+    chunking.py pack_paragraph_chunks): each document becomes four
+    paragraphs (text twice plus two fixed tails, blank-line joined),
+    packed to a 24-token budget via the prefix-sum bucketing rule.
+    The oracle replays the full algorithm — split, blank filter,
+    token counts, exclusive prefix window, floor-bucket, ordered
+    reassembly — as one DuckDB CTE chain; chunk text is md5'd so
+    exact reassembly is pinned without bulk strings."""
+    from htmlparser2_spark.operators.chunking import pack_paragraph_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inp = F.concat_ws(
+        "\n\n",
+        F.col("text"),
+        F.lit("alpha beta gamma"),
+        F.col("text"),
+        F.lit("omega tail"),
+    )
+    out = pack_paragraph_chunks(
+        docs.select("doc_id", inp.alias("text")), chunk_tokens=24
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (dim 8) for every document — the
     md5-based integer arithmetic is reproduced verbatim by the DuckDB
@@ -2215,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mojibake": _q_mojibake,
         "q_hash_embed": _q_hash_embed,
         "q_chunks": _q_chunks,
+        "q_chunk_pack": _q_chunk_pack,
         "q_normalize": _q_normalize,
         "q_repeated_spans": _q_repeated_spans,
         "q_prep": _q_prep,
@@ -2689,6 +2720,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(64, len(tk) - start) AS INTEGER) AS n_chunk_tokens, "
             "md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5 "
             "FROM s"
+        ),
+        "q_chunk_pack": (
+            # Full algorithm replay: paragraph split on blank-line
+            # runs, blank filter + token counts via the spelled-out
+            # whitespace class (the Java-vs-RE2 \s VT divergence),
+            # exclusive prefix-sum window, floor(prefix/24) bucket,
+            # ordered blank-line reassembly. NULL text converges with
+            # Spark's concat_ws NULL-skip because the leading empty
+            # paragraph is filtered either way.
+            "WITH src AS (SELECT doc_id, coalesce(text, '') || e'\\n\\n' "
+            "|| 'alpha beta gamma' || e'\\n\\n' || coalesce(text, '') "
+            "|| e'\\n\\n' || 'omega tail' AS t FROM documents), "
+            "sp AS (SELECT doc_id, list_filter("
+            "string_split_regex(t, '\\n{2,}'), "
+            "p -> regexp_matches(p, '[^ \\t\\n\\r\\f\\x0B]')) AS ps "
+            "FROM src), "
+            "e AS (SELECT doc_id, ps, "
+            "unnest(generate_series(1, len(ps))) AS i FROM sp), "
+            "c AS (SELECT doc_id, i, ps[i] AS para, "
+            "len(list_filter(string_split_regex(ps[i], "
+            "'[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS c FROM e), "
+            "a AS (SELECT doc_id, i, para, c, coalesce(SUM(c) OVER ("
+            "PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS pre FROM c) "
+            "SELECT doc_id, CAST(floor(pre / 24) AS INTEGER) AS chunk_id, "
+            "CAST(SUM(c) AS INTEGER) AS n_chunk_tokens, "
+            "md5(string_agg(para, e'\\n\\n' ORDER BY i)) AS chunk_md5 "
+            "FROM a GROUP BY doc_id, CAST(floor(pre / 24) AS INTEGER)"
         ),
         "q_hash_embed": (
             f"WITH {_hash_embed_ctes(8)}, "

@@ -24,12 +24,17 @@ splitting belongs upstream of the token boundary, not here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import tokens
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "pack_paragraph_chunks"]
+
+# Whitespace class spelled out (NOT \s) so the Java and RE2/DuckDB
+# dialects count identical tokens: Java's \s includes \x0B (VT),
+# RE2's does not — the explicit class includes it in both.
+_WS_RUN = "[ \\t\\n\\r\\f\\x0B]+"
 
 
 def chunk_documents(
@@ -81,5 +86,77 @@ def chunk_documents(
         F.array_join(
             F.slice(F.col("toks"), F.col("start") + 1, F.lit(chunk_tokens)),
             " ",
+        ).alias("chunk_text"),
+    )
+
+
+def pack_paragraph_chunks(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_sep: str = "\\n{2,}",
+) -> DataFrame:
+    """Boundary-respecting chunk packing: consecutive paragraphs pack
+    into ~``chunk_tokens``-sized chunks that never cut inside a
+    paragraph — the RAG/pretraining alternative to the sliding window
+    when structure must survive (chunk_documents splits mid-sentence
+    by design; this never does).
+
+    Packing rule (deterministic, prefix-sum bucketing): a paragraph
+    belongs to chunk ``floor(tokens_before_it / chunk_tokens)``, where
+    ``tokens_before_it`` counts all earlier paragraphs in the
+    document. Consequences, documented rather than hidden: every chunk
+    boundary is a paragraph boundary; a chunk can exceed the budget by
+    at most the tail of its last paragraph; a single paragraph larger
+    than the budget owns its chunk whole (route hard-capped corpora
+    through chunk_documents downstream if oversize chunks must split).
+    Unlike greedy first-fit this rule is order-parallel — each
+    paragraph's chunk id depends only on the prefix token sum, so the
+    whole assignment is one within-document window, replayable exactly
+    in ANSI SQL (the oracle does).
+
+    Scale shape: paragraphs explode (output rows ~ paragraphs, bytes ~
+    input text), then ONE shuffle keyed on the document id covers both
+    the prefix-sum window and the chunk reassembly groupBy —
+    HashPartitioning(id) satisfies the (id, chunk_id) clustering, so
+    Catalyst plans no second exchange. Whitespace tokens use the
+    spelled-out class (Java/RE2 VT divergence; see _WS_RUN), counted
+    exactly like the oracle's dual.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text); paragraphs
+    joined back with a blank line. Empty/NULL documents yield no rows.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
+    # Blank-paragraph filter via the spelled-out class, NOT trim():
+    # Spark's trim strips only the space character, so a "\t"
+    # paragraph would survive it and emit an empty zero-token chunk.
+    paras = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), para_sep),
+        lambda p: p.rlike("[^ \\t\\n\\r\\f\\x0B]"),
+    )
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(paras).alias("para_idx", "para"),
+    ).withColumn(
+        "n_para_tokens",
+        F.size(F.filter(F.split("para", _WS_RUN), lambda t: t != F.lit(""))),
+    )
+    before = (
+        Window.partitionBy("id")
+        .orderBy("para_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_para_tokens").over(before), F.lit(0))
+    assigned = e.withColumn(
+        "chunk_id", F.floor(prefix / chunk_tokens).cast("int")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("para_idx", "para")))
+    return assigned.groupBy("id", "chunk_id").agg(
+        F.sum("n_para_tokens").cast("int").alias("n_chunk_tokens"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["para"]), "\n\n"
         ).alias("chunk_text"),
     )

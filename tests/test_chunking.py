@@ -53,3 +53,66 @@ def test_invalid_overlap_rejected(spark):
         chunk_documents(df, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+def _packed(spark, rows, **kw):
+    from htmlparser2_spark.operators.chunking import pack_paragraph_chunks
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_paragraph_chunks(df, **kw).collect()
+    return sorted(
+        (r["id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in out
+    )
+
+
+def test_pack_respects_paragraph_boundaries(spark):
+    # Paragraphs of 2/3/2/4 tokens, budget 5: prefix sums 0,2,5,7 ->
+    # chunks floor(0/5)=0, floor(2/5)=0, floor(5/5)=1, floor(7/5)=1.
+    text = "a b\n\nc d e\n\n\nf g\n\nh i j k"
+    got = _packed(spark, [(1, text)], chunk_tokens=5)
+    assert got == [
+        (1, 0, 5, "a b\n\nc d e"),
+        (1, 1, 6, "f g\n\nh i j k"),
+    ]
+
+
+def test_pack_oversized_paragraph_owns_chunk(spark):
+    # 8-token paragraph with budget 3: owns chunk 0 whole (never
+    # split); the next paragraph starts at prefix 8 -> chunk 2.
+    text = "1 2 3 4 5 6 7 8\n\nx y"
+    got = _packed(spark, [(1, text)], chunk_tokens=3)
+    assert got == [(1, 0, 8, "1 2 3 4 5 6 7 8"), (1, 2, 2, "x y")]
+
+
+def test_pack_blank_and_empty_docs(spark):
+    got = _packed(
+        spark,
+        [(1, "only one para"), (2, ""), (3, None), (4, " \n\n \t\n\n ")],
+        chunk_tokens=10,
+    )
+    assert got == [(1, 0, 3, "only one para")]
+
+
+def test_pack_single_exchange_plan(spark):
+    """The docstring's scale claim, pinned: HashPartitioning(id) from
+    the prefix-sum window satisfies the (id, chunk_id) groupBy
+    clustering, so the whole pack is ONE exchange."""
+    from htmlparser2_spark.operators.chunking import pack_paragraph_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b\n\nc d")], "doc_id long, text string"
+    )
+    plan = (
+        pack_paragraph_chunks(df, chunk_tokens=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_rejects_bad_budget(spark):
+    from htmlparser2_spark.operators.chunking import pack_paragraph_chunks
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_paragraph_chunks(df, chunk_tokens=0)
