@@ -17,6 +17,16 @@ artifact a trainer actually reads:
    drop out.
 3. **chunk** — sliding windows of ``chunk_tokens`` with ``overlap``
    (:mod:`operators.chunking`); one training row per window.
+   ``chunker="paragraphs"`` swaps in boundary-respecting paragraph
+   packing (:func:`operators.chunking.pack_paragraph_chunks`) for
+   corpora whose structure must survive — ``overlap`` does not apply
+   there (paragraph packs never overlap) and must stay at its
+   default. Paragraph boundaries (blank lines) survive normalize_text
+   by design: the scrub collapses horizontal runs and spaces around
+   newlines but never newline runs themselves. They do NOT survive
+   span surgery — strip_spans re-joins surviving tokens with single
+   spaces — so ``span_window`` with the paragraph chunker is rejected
+   loudly rather than silently producing whole-document chunks.
 4. **shard** — token-budget shard assignment over the chunks
    (:func:`operators.sampling.token_budget_shards`), grouped-packing
    with no global sort.
@@ -34,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import fix_mojibake, normalize_text
-from ..operators.chunking import chunk_documents
+from ..operators.chunking import chunk_documents, pack_paragraph_chunks
 from ..operators.sampling import token_budget_shards
 from ..operators.spandedup import repeated_spans, strip_spans
 from .funnel import build_funnel, lazy_checkpointer
@@ -47,6 +57,7 @@ def run_prep(
     *,
     chunk_tokens: int = 512,
     overlap: int = 64,
+    chunker: str = "window",
     span_window: int | None = None,
     span_min_docs: int = 2,
     repair_mojibake: bool = False,
@@ -61,6 +72,20 @@ def run_prep(
     ``shard_hash`` (Column -> Column) overrides the shard-group hash
     of the chunk key — pass ``operators.sampling.portable_hash`` when
     the layout must be reproducible outside Spark."""
+    if chunker not in ("window", "paragraphs"):
+        raise ValueError(f"unknown chunker: {chunker!r}")
+    if chunker == "paragraphs":
+        if overlap != 64:
+            raise ValueError(
+                "overlap does not apply to chunker='paragraphs' "
+                "(paragraph packs never overlap); leave it unset"
+            )
+        if span_window is not None:
+            raise ValueError(
+                "span_window is incompatible with chunker='paragraphs': "
+                "strip_spans re-joins tokens with single spaces, erasing "
+                "the blank-line paragraph boundaries the packer needs"
+            )
     maybe_ckpt = lazy_checkpointer(checkpoint_stages)
     stages: list[tuple[str, DataFrame]] = [("ingest_docs", docs)]
 
@@ -89,15 +114,22 @@ def run_prep(
         cur = maybe_ckpt(stripped.filter(F.col(text_col) != ""))
         stages.append(("span_stripped_docs", cur))
 
-    chunks = maybe_ckpt(
-        chunk_documents(
+    if chunker == "window":
+        chunked = chunk_documents(
             cur,
             chunk_tokens=chunk_tokens,
             overlap=overlap,
             text_col=text_col,
             id_col=id_col,
         )
-    )
+    else:  # chunker == "paragraphs", validated up-front
+        chunked = pack_paragraph_chunks(
+            cur,
+            chunk_tokens=chunk_tokens,
+            text_col=text_col,
+            id_col=id_col,
+        ).withColumnRenamed("chunk_id", "chunk_idx")
+    chunks = maybe_ckpt(chunked)
     stages.append(("chunks", chunks))
 
     sharded = maybe_ckpt(

@@ -78,3 +78,45 @@ def test_prep_repair_mojibake_before_normalize(spark):
     chunks_off, _ = run_prep(docs, chunk_tokens=20, overlap=0)
     off = {r["id"]: r["chunk_text"] for r in chunks_off.collect()}
     assert "caf\xe9" not in off[1] and "\xc3" in off[1]
+
+
+def test_prep_paragraph_chunker(spark):
+    """chunker='paragraphs' swaps in boundary-respecting packing:
+    chunk boundaries land only on blank lines (which normalize_text
+    preserves), the shard stage runs unchanged over the renamed
+    chunk_idx, and a non-default overlap is rejected loudly."""
+    from htmlparser2_spark.plans.prep_job import run_prep
+
+    para = "some words fill this paragraph body"  # 6 tokens
+    docs = spark.createDataFrame(
+        [(1, "\n\n".join([para] * 5)), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    chunks, funnel = run_prep(
+        docs, chunk_tokens=10, chunker="paragraphs",
+        shard_tokens=30, n_groups=2,
+    )
+    rows = sorted(
+        (r["id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunks.collect()
+    )
+    # Prefix sums 0,6,12,18,24 over budget 10 -> chunks 0,0,1,1,2:
+    # every boundary a paragraph boundary, packs never overlap.
+    assert [(i, c, n) for i, c, n, _ in rows] == [
+        (1, 0, 12), (1, 1, 12), (1, 2, 6), (2, 0, 2),
+    ]
+    assert rows[0][3] == f"{para}\n\n{para}"
+    counts = {r["stage"]: r["n_rows"] for r in funnel.collect()}
+    assert counts["chunks"] == 4
+    # shard columns present (token_budget_shards ran over chunk_idx)
+    assert all(len(r) == 6 for r in chunks.collect())
+
+    with pytest.raises(ValueError, match="overlap"):
+        run_prep(docs, chunk_tokens=10, overlap=0, chunker="paragraphs")
+    with pytest.raises(ValueError, match="chunker"):
+        run_prep(docs, chunk_tokens=10, chunker="sentences")
+    # span surgery re-joins tokens with single spaces, erasing the
+    # blank-line boundaries the packer needs — rejected up-front.
+    with pytest.raises(ValueError, match="span_window"):
+        run_prep(docs, chunk_tokens=10, chunker="paragraphs",
+                 span_window=9)
