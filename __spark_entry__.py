@@ -1735,7 +1735,7 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("id").alias("doc_id"),
-        "chunk_id",
+        "chunk_idx",
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     )
@@ -2733,7 +2733,7 @@ def oracle_sql() -> dict[str, str]:
             "|| 'alpha beta gamma' || e'\\n\\n' || coalesce(text, '') "
             "|| e'\\n\\n' || 'omega tail' AS t FROM documents), "
             "sp AS (SELECT doc_id, list_filter("
-            "string_split_regex(t, '\\n{2,}'), "
+            "string_split_regex(t, '(?:\\r?\\n){2,}'), "
             "p -> regexp_matches(p, '[^ \\t\\n\\r\\f\\x0B]')) AS ps "
             "FROM src), "
             "e AS (SELECT doc_id, ps, "
@@ -2745,7 +2745,7 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY doc_id ORDER BY i "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "AS pre FROM c) "
-            "SELECT doc_id, CAST(floor(pre / 24) AS INTEGER) AS chunk_id, "
+            "SELECT doc_id, CAST(floor(pre / 24) AS INTEGER) AS chunk_idx, "
             "CAST(SUM(c) AS INTEGER) AS n_chunk_tokens, "
             "md5(string_agg(para, e'\\n\\n' ORDER BY i)) AS chunk_md5 "
             "FROM a GROUP BY doc_id, CAST(floor(pre / 24) AS INTEGER)"

@@ -31,11 +31,6 @@ from ..functions.textstats import tokens
 
 __all__ = ["chunk_documents", "pack_paragraph_chunks"]
 
-# Whitespace class spelled out (NOT \s) so the Java and RE2/DuckDB
-# dialects count identical tokens: Java's \s includes \x0B (VT),
-# RE2's does not — the explicit class includes it in both.
-_WS_RUN = "[ \\t\\n\\r\\f\\x0B]+"
-
 
 def chunk_documents(
     df: DataFrame,
@@ -96,7 +91,7 @@ def pack_paragraph_chunks(
     chunk_tokens: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
-    para_sep: str = "\\n{2,}",
+    para_sep: str = "(?:\\r?\\n){2,}",
 ) -> DataFrame:
     """Boundary-respecting chunk packing: consecutive paragraphs pack
     into ~``chunk_tokens``-sized chunks that never cut inside a
@@ -120,13 +115,27 @@ def pack_paragraph_chunks(
     Scale shape: paragraphs explode (output rows ~ paragraphs, bytes ~
     input text), then ONE shuffle keyed on the document id covers both
     the prefix-sum window and the chunk reassembly groupBy —
-    HashPartitioning(id) satisfies the (id, chunk_id) clustering, so
-    Catalyst plans no second exchange. Whitespace tokens use the
-    spelled-out class (Java/RE2 VT divergence; see _WS_RUN), counted
-    exactly like the oracle's dual.
+    HashPartitioning(id) satisfies the (id, chunk_idx) clustering, so
+    Catalyst plans no second exchange. Token counts reuse
+    ``textstats.tokens()`` (the shared whitespace convention the chunk
+    budgets, shard packing, and token counters all agree on); the
+    oracle's spelled-out class matches it exactly because Java's
+    ``\\s`` is precisely ``[ \\t\\n\\x0B\\f\\r]``.
 
-    Returns (id, chunk_id, n_chunk_tokens, chunk_text); paragraphs
-    joined back with a blank line. Empty/NULL documents yield no rows.
+    Preconditions: ``id_col`` must be unique per document — the
+    prefix-sum window partitions on it, so duplicate ids would
+    interleave paragraphs from different rows nondeterministically
+    (chunk_documents, being per-row, tolerates duplicates; this
+    operator does not). The default ``para_sep`` matches LF and CRLF
+    blank lines; other line-ending soup belongs upstream in
+    normalize_text.
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text); paragraphs
+    joined back with a blank line. Unlike chunk_documents' contiguous
+    ordinals, chunk_idx here is the prefix-sum BUCKET id — an
+    oversize paragraph consumes several buckets, so ids can skip
+    (0, 2, ...); gaps are meaningful, not missing rows. Empty/NULL
+    documents yield no rows.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
@@ -142,7 +151,7 @@ def pack_paragraph_chunks(
         F.posexplode(paras).alias("para_idx", "para"),
     ).withColumn(
         "n_para_tokens",
-        F.size(F.filter(F.split("para", _WS_RUN), lambda t: t != F.lit(""))),
+        F.size(F.filter(tokens(F.col("para")), lambda t: t != F.lit(""))),
     )
     before = (
         Window.partitionBy("id")
@@ -151,10 +160,10 @@ def pack_paragraph_chunks(
     )
     prefix = F.coalesce(F.sum("n_para_tokens").over(before), F.lit(0))
     assigned = e.withColumn(
-        "chunk_id", F.floor(prefix / chunk_tokens).cast("int")
+        "chunk_idx", F.floor(prefix / chunk_tokens).cast("int")
     )
     ordered = F.array_sort(F.collect_list(F.struct("para_idx", "para")))
-    return assigned.groupBy("id", "chunk_id").agg(
+    return assigned.groupBy("id", "chunk_idx").agg(
         F.sum("n_para_tokens").cast("int").alias("n_chunk_tokens"),
         F.array_join(
             F.transform(ordered, lambda s: s["para"]), "\n\n"

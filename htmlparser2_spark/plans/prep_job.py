@@ -20,8 +20,9 @@ artifact a trainer actually reads:
    ``chunker="paragraphs"`` swaps in boundary-respecting paragraph
    packing (:func:`operators.chunking.pack_paragraph_chunks`) for
    corpora whose structure must survive — ``overlap`` does not apply
-   there (paragraph packs never overlap) and must stay at its
-   default. Paragraph boundaries (blank lines) survive normalize_text
+   there (paragraph packs never overlap) and must stay unset
+   (``overlap=None``; the window path resolves None to 64). Paragraph
+   boundaries (blank lines) survive normalize_text
    by design: the scrub collapses horizontal runs and spaces around
    newlines but never newline runs themselves. They do NOT survive
    span surgery — strip_spans re-joins surviving tokens with single
@@ -56,7 +57,7 @@ def run_prep(
     docs: DataFrame,
     *,
     chunk_tokens: int = 512,
-    overlap: int = 64,
+    overlap: int | None = None,
     chunker: str = "window",
     span_window: int | None = None,
     span_min_docs: int = 2,
@@ -74,8 +75,13 @@ def run_prep(
     the layout must be reproducible outside Spark."""
     if chunker not in ("window", "paragraphs"):
         raise ValueError(f"unknown chunker: {chunker!r}")
-    if chunker == "paragraphs":
-        if overlap != 64:
+    if chunker == "window":
+        # None is the true "unset" sentinel (an explicit 64 and the
+        # old default were indistinguishable, and the paragraphs gate
+        # would silently drift if the default were ever retuned).
+        overlap = 64 if overlap is None else overlap
+    else:  # paragraphs
+        if overlap is not None:
             raise ValueError(
                 "overlap does not apply to chunker='paragraphs' "
                 "(paragraph packs never overlap); leave it unset"
@@ -128,7 +134,7 @@ def run_prep(
             chunk_tokens=chunk_tokens,
             text_col=text_col,
             id_col=id_col,
-        ).withColumnRenamed("chunk_id", "chunk_idx")
+        )
     chunks = maybe_ckpt(chunked)
     stages.append(("chunks", chunks))
 

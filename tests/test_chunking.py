@@ -61,7 +61,7 @@ def _packed(spark, rows, **kw):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = pack_paragraph_chunks(df, **kw).collect()
     return sorted(
-        (r["id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        (r["id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
         for r in out
     )
 
@@ -96,7 +96,7 @@ def test_pack_blank_and_empty_docs(spark):
 
 def test_pack_single_exchange_plan(spark):
     """The docstring's scale claim, pinned: HashPartitioning(id) from
-    the prefix-sum window satisfies the (id, chunk_id) groupBy
+    the prefix-sum window satisfies the (id, chunk_idx) groupBy
     clustering, so the whole pack is ONE exchange."""
     from htmlparser2_spark.operators.chunking import pack_paragraph_chunks
 
@@ -116,3 +116,17 @@ def test_pack_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_paragraph_chunks(df, chunk_tokens=0)
+
+
+def test_pack_crlf_blank_lines(spark):
+    """The default separator must treat CRLF blank lines as paragraph
+    breaks — '\\n{2,}' alone never matches '\\r\\n\\r\\n' and would
+    silently pack Windows-line-ending text into one whole-document
+    chunk per doc."""
+    got = _packed(
+        spark, [(1, "a b c\r\n\r\nd e f\r\n\r\ng h")], chunk_tokens=4
+    )
+    # Token counts 3,3,2 -> prefixes 0,3,6 -> buckets 0,0,1.
+    assert [(i, c, n) for i, c, n, _ in got] == [(1, 0, 6), (1, 1, 2)]
+    assert got[0][3] == "a b c\n\nd e f"
+    assert got[1][3] == "g h"
