@@ -130,3 +130,63 @@ def test_pack_crlf_blank_lines(spark):
     assert [(i, c, n) for i, c, n, _ in got] == [(1, 0, 6), (1, 1, 2)]
     assert got[0][3] == "a b c\n\nd e f"
     assert got[1][3] == "g h"
+
+
+def test_pack_differential_vs_python_reference(spark):
+    """Seeded differential: 200 random documents (mixed LF/CRLF blank
+    lines, tabs, NBSP — NBSP is NOT whitespace to Java's ASCII \\s,
+    and the reference impl spells the same class out) packed by a
+    pure-Python reimplementation of the prefix-sum bucketing rule,
+    compared exactly against the Spark operator in one pass."""
+    import random
+    import re
+
+    from htmlparser2_spark.operators.chunking import pack_paragraph_chunks
+
+    rng = random.Random(20260818)
+    words = ["alpha", "beta", "g\xe9", "x", "longerword", "1.5", "\xa0pad"]
+    seps = ["\n\n", "\r\n\r\n", "\n\n\n", "\r\n\r\n\r\n"]
+
+    def make_doc():
+        paras = []
+        for _ in range(rng.randint(0, 6)):
+            n = rng.randint(0, 8)
+            joiner = rng.choice([" ", "  ", " \t ", "\n"])
+            paras.append(joiner.join(rng.choice(words) for _ in range(n)))
+        return rng.choice(seps).join(paras) if paras else rng.choice(["", " ", None])
+
+    docs = [(i, make_doc()) for i in range(200)]
+    budget = 7
+
+    def ref_pack(text):
+        if text is None:
+            return {}
+        paras = [
+            p
+            for p in re.split(r"(?:\r?\n){2,}", text)
+            if re.search(r"[^ \t\n\r\f\x0b]", p)
+        ]
+        chunks = {}
+        pre = 0
+        for p in paras:
+            c = len([t for t in re.split(r"[ \t\n\r\f\x0b]+", p) if t])
+            cid = pre // budget
+            toks, ps = chunks.setdefault(cid, [0, []])
+            chunks[cid][0] = toks + c
+            ps.append(p)
+            pre += c
+        return {
+            cid: (n, "\n\n".join(ps)) for cid, (n, ps) in chunks.items()
+        }
+
+    want = {
+        (i, cid): v
+        for i, t in docs
+        for cid, v in ref_pack(t).items()
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in pack_paragraph_chunks(df, chunk_tokens=budget).collect()
+    }
+    assert got == want
