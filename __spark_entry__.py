@@ -180,6 +180,18 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (operators/vocab.py): the 100 most
+    frequent tokens with term and document frequency, rank 1-based
+    by (tf desc, token asc) — the deterministic tiebreak makes the
+    cut reproducible across engines. The oracle replays the two-level
+    aggregation and the ordered limit verbatim."""
+    from htmlparser2_spark.operators.vocab import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=100)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split("text", " ")
@@ -2188,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_stats": _q_host_stats,
         "q_dedup_exact": _q_dedup_exact,
         "q_token_stats": _q_token_stats,
+        "q_vocab_topk": _q_vocab_topk,
         "q_quality": _q_quality,
         "q_fingerprint": _q_fingerprint,
         "q_ann_topk": _q_ann_topk,
@@ -2580,6 +2593,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
             "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS INTEGER) AS n_the "
             "FROM documents"
+        ),
+        "q_vocab_topk": (
+            # Two-level aggregation (df = rows of the per-doc level,
+            # no count-distinct), ordered limit with the token
+            # tiebreak, rank over the 100 survivors.
+            "WITH tk AS (SELECT doc_id, "
+            f"unnest({_TOKS}) AS token FROM documents), "
+            "pd AS (SELECT doc_id, token, COUNT(*) AS c "
+            "FROM tk GROUP BY 1, 2), "
+            "v AS (SELECT token, SUM(c) AS tf, COUNT(*) AS df "
+            "FROM pd GROUP BY 1), "
+            "t AS (SELECT token, tf, df FROM v "
+            "ORDER BY tf DESC, token LIMIT 100) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) "
+            "AS INTEGER) AS rank, token, CAST(tf AS BIGINT) AS tf, "
+            "CAST(df AS BIGINT) AS df FROM t"
         ),
         "q_quality": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents) "
