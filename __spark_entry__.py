@@ -192,6 +192,21 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, k=100)
 
 
+def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/vocab.py
+    doc_keywords): top-3 distinctive tokens per document after the
+    df-threshold stopword screen (df >= ceil(0.3 * n_docs), removed
+    via broadcast anti-join). All-integer scoring with the (c desc,
+    token asc) tiebreak keeps ranks exact across engines; the oracle
+    replays the screen and the ranking verbatim."""
+    from htmlparser2_spark.operators.vocab import doc_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_keywords(docs, n=3, max_df_ratio=0.3).select(
+        F.col("id").alias("doc_id"), "rank", "token", "c"
+    )
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split("text", " ")
@@ -2201,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": _q_dedup_exact,
         "q_token_stats": _q_token_stats,
         "q_vocab_topk": _q_vocab_topk,
+        "q_keywords": _q_keywords,
         "q_quality": _q_quality,
         "q_fingerprint": _q_fingerprint,
         "q_ann_topk": _q_ann_topk,
@@ -2609,6 +2625,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) "
             "AS INTEGER) AS rank, token, CAST(tf AS BIGINT) AS tf, "
             "CAST(df AS BIGINT) AS df FROM t"
+        ),
+        "q_keywords": (
+            # df-threshold stopword screen (>= ceil(0.3 * n_docs) —
+            # identical IEEE double ceil on both engines), then the
+            # all-integer per-doc (c desc, token asc) ranking.
+            "WITH tk AS (SELECT doc_id, "
+            f"unnest({_TOKS}) AS token FROM documents), "
+            "pd AS (SELECT doc_id, token, COUNT(*) AS c "
+            "FROM tk GROUP BY 1, 2), "
+            "common AS (SELECT token FROM pd GROUP BY token "
+            "HAVING COUNT(*) >= "
+            "ceil(0.3 * (SELECT COUNT(*) FROM documents))), "
+            "k AS (SELECT doc_id, token, c, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY c DESC, token) AS r "
+            "FROM pd WHERE token NOT IN (SELECT token FROM common)) "
+            "SELECT doc_id, CAST(r AS INTEGER) AS rank, token, "
+            "CAST(c AS BIGINT) AS c FROM k WHERE r <= 3"
         ),
         "q_quality": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents) "

@@ -20,12 +20,14 @@ the cut is reproducible across engines and runs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import oracle_tokens
 
-__all__ = ["vocab_counts", "vocab_topk"]
+__all__ = ["vocab_counts", "vocab_topk", "doc_keywords"]
 
 
 def vocab_counts(
@@ -72,4 +74,62 @@ def vocab_topk(
         "token",
         "tf",
         "df",
+    )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    n: int = 5,
+    *,
+    max_df_ratio: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, rank, token, c): the n most frequent tokens per document
+    AFTER removing corpus-common tokens — keyword extraction for
+    document metadata/tagging. "Common" = document frequency >=
+    ceil(max_df_ratio * n_docs), the df-threshold stopword rule (no
+    curated stopword list, so it adapts to any language mix).
+
+    Deliberately all-integer scoring (tf within doc, df threshold,
+    (c desc, token asc) ranking): exact across engines, where a
+    float idf would make rank ties engine-dependent at the ulp.
+
+    Scale shape: the per-document counts aggregate once and feed both
+    consumers — the common-token set (token-keyed agg whose OUTPUT is
+    stopword-sized) and a broadcast LEFT ANTI join against that set
+    (map-only on the big side), then one id-keyed window for the
+    top-n. n_docs is a count() scalar on the driver (one pass,
+    vector-sized state, same pattern as the classifier/centroid
+    collects). The per-doc aggregate is recomputed by the two
+    consumers unless the caller persists it; at corpus scale prefer
+    ``docs_counts = per-doc counts; docs_counts.persist()`` semantics
+    by materializing upstream — documented rather than hidden.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    if not 0.0 < max_df_ratio <= 1.0:
+        raise ValueError(f"max_df_ratio must be in (0, 1]: {max_df_ratio}")
+    n_docs = docs.count()
+    min_common_df = math.ceil(max_df_ratio * n_docs)
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(oracle_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    common = (
+        per_doc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_common_df)
+        .select("token")
+    )
+    kept = per_doc.join(F.broadcast(common), "token", "left_anti")
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("token"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+        .select("id", "rank", "token", "c")
     )

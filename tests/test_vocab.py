@@ -64,3 +64,53 @@ def test_vocab_topk_never_global_sorts(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_doc_keywords(spark):
+    from htmlparser2_spark.operators.vocab import doc_keywords
+
+    # "common" appears in 3/4 docs -> df 3 >= ceil(0.5*4)=2 -> removed.
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra apple"),
+            (2, "common apple banana banana banana"),
+            (3, "common solo"),
+            (4, "quiet words only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["id"], r["rank"], r["token"], r["c"])
+        for r in doc_keywords(docs, n=2, max_df_ratio=0.5).collect()
+    )
+    # apple also hits df 2 -> removed; count-tie in doc 4 breaks on
+    # the token string ascending.
+    assert rows == [
+        (1, 1, "zebra", 2),
+        (2, 1, "banana", 3),
+        (3, 1, "solo", 1),
+        (4, 1, "only", 1),
+        (4, 2, "quiet", 1),
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        doc_keywords(docs, n=0)
+    with _pytest.raises(ValueError):
+        doc_keywords(docs, max_df_ratio=0.0)
+
+
+def test_doc_keywords_broadcast_anti_join(spark):
+    """Scale claim pinned: the common-token removal is a broadcast
+    LEFT ANTI join — the big per-doc side is never re-shuffled for
+    the screen."""
+    from htmlparser2_spark.operators.vocab import doc_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    plan = (
+        doc_keywords(docs, n=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
