@@ -2627,16 +2627,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(df AS BIGINT) AS df FROM t"
         ),
         "q_keywords": (
-            # df-threshold stopword screen (>= ceil(0.3 * n_docs) —
-            # identical IEEE double ceil on both engines), then the
-            # all-integer per-doc (c desc, token asc) ranking.
+            # df-threshold stopword screen, then the all-integer
+            # per-doc (c desc, token asc) ranking. The ratio is CAST
+            # to DOUBLE: a bare 0.3 literal is DECIMAL(2,1) in DuckDB
+            # (exact arithmetic), while Spark computes math.ceil over
+            # an IEEE double — the two ceils agree for every ratio
+            # only when both sides use double (e.g. ceil(0.07*100) is
+            # 8 in doubles but 7 in exact decimal).
             "WITH tk AS (SELECT doc_id, "
             f"unnest({_TOKS}) AS token FROM documents), "
             "pd AS (SELECT doc_id, token, COUNT(*) AS c "
             "FROM tk GROUP BY 1, 2), "
             "common AS (SELECT token FROM pd GROUP BY token "
             "HAVING COUNT(*) >= "
-            "ceil(0.3 * (SELECT COUNT(*) FROM documents))), "
+            "ceil(CAST(0.3 AS DOUBLE) * (SELECT COUNT(*) FROM documents))), "
             "k AS (SELECT doc_id, token, c, ROW_NUMBER() OVER ("
             "PARTITION BY doc_id ORDER BY c DESC, token) AS r "
             "FROM pd WHERE token NOT IN (SELECT token FROM common)) "

@@ -30,6 +30,19 @@ from ..functions.textstats import oracle_tokens
 __all__ = ["vocab_counts", "vocab_topk", "doc_keywords"]
 
 
+def _per_doc_counts(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, token, c): within-document token counts — the shared
+    first level of every vocabulary statistic (ONE definition of the
+    pair construction so tf/df and the keyword screen can't drift)."""
+    pairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(oracle_tokens(F.col(text_col))).alias("token"),
+    )
+    return pairs.groupBy("id", "token").agg(F.count(F.lit(1)).alias("c"))
+
+
 def vocab_counts(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -37,14 +50,7 @@ def vocab_counts(
     per distinct token. Two shuffles, both partially aggregated
     map-side; df comes from counting the per-document rows of the
     first aggregate rather than a count-distinct expand."""
-    pairs = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(oracle_tokens(F.col(text_col))).alias("token"),
-    )
-    per_doc = pairs.groupBy("id", "token").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return per_doc.groupBy("token").agg(
+    return _per_doc_counts(docs, text_col, id_col).groupBy("token").agg(
         F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df")
     )
 
@@ -82,6 +88,7 @@ def doc_keywords(
     n: int = 5,
     *,
     max_df_ratio: float = 0.3,
+    broadcast_common: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -97,14 +104,24 @@ def doc_keywords(
 
     Scale shape: the per-document counts aggregate once and feed both
     consumers — the common-token set (token-keyed agg whose OUTPUT is
-    stopword-sized) and a broadcast LEFT ANTI join against that set
-    (map-only on the big side), then one id-keyed window for the
-    top-n. n_docs is a count() scalar on the driver (one pass,
-    vector-sized state, same pattern as the classifier/centroid
-    collects). The per-doc aggregate is recomputed by the two
-    consumers unless the caller persists it; at corpus scale prefer
-    ``docs_counts = per-doc counts; docs_counts.persist()`` semantics
-    by materializing upstream — documented rather than hidden.
+    stopword-sized at realistic ratios) and a LEFT ANTI join against
+    that set (broadcast by default, map-only on the big side), then
+    one id-keyed window for the top-n. n_docs is a count() scalar on
+    the driver (one pass, vector-sized state, same pattern as the
+    classifier/centroid collects). The per-doc aggregate is recomputed
+    by the two consumers unless the caller persists it; at corpus
+    scale prefer ``docs_counts = per-doc counts; docs_counts.
+    persist()`` semantics by materializing upstream — documented
+    rather than hidden.
+
+    Broadcast hazard, documented: the common set shrinks toward
+    "stopwords" only when ``max_df_ratio * n_docs`` is comfortably
+    above 2 — at tiny thresholds it approaches the FULL vocabulary,
+    and a forced broadcast of that would OOM. Pass
+    ``broadcast_common=False`` to let the optimizer pick the join
+    strategy (AQE will still broadcast it when it is actually small).
+    The degenerate threshold ``< 2`` (every token has df >= 1, so the
+    screen would silently delete the whole corpus) raises instead.
     """
     if n <= 0:
         raise ValueError(f"n must be positive: {n}")
@@ -112,21 +129,22 @@ def doc_keywords(
         raise ValueError(f"max_df_ratio must be in (0, 1]: {max_df_ratio}")
     n_docs = docs.count()
     min_common_df = math.ceil(max_df_ratio * n_docs)
-    per_doc = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(oracle_tokens(F.col(text_col))).alias("token"),
+    if min_common_df < 2:
+        raise ValueError(
+            f"ceil(max_df_ratio * n_docs) = {min_common_df} screens "
+            f"EVERY token (df >= 1 always) — the corpus ({n_docs} docs) "
+            f"is too small for max_df_ratio={max_df_ratio}"
         )
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    per_doc = _per_doc_counts(docs, text_col, id_col)
     common = (
         per_doc.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_common_df)
         .select("token")
     )
-    kept = per_doc.join(F.broadcast(common), "token", "left_anti")
+    if broadcast_common:
+        common = F.broadcast(common)
+    kept = per_doc.join(common, "token", "left_anti")
     w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("token"))
     return (
         kept.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -98,19 +98,38 @@ def test_doc_keywords(spark):
         doc_keywords(docs, n=0)
     with _pytest.raises(ValueError):
         doc_keywords(docs, max_df_ratio=0.0)
+    # Degenerate threshold: ceil(0.1 * 4) = 1 would screen EVERY
+    # token (df >= 1 always) — silent-empty is rejected loudly.
+    with _pytest.raises(ValueError, match="too small"):
+        doc_keywords(docs, max_df_ratio=0.1)
 
 
 def test_doc_keywords_broadcast_anti_join(spark):
-    """Scale claim pinned: the common-token removal is a broadcast
-    LEFT ANTI join — the big per-doc side is never re-shuffled for
-    the screen."""
+    """Scale claim pinned on a NON-degenerate dataset (screen removes
+    'common', keeps the rest): the common-token removal is a
+    broadcast LEFT ANTI join — the big per-doc side is never
+    re-shuffled for the screen — and broadcast_common=False hands the
+    choice back to the optimizer."""
     from htmlparser2_spark.operators.vocab import doc_keywords
 
     docs = spark.createDataFrame(
-        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+        [
+            (1, "common alpha"),
+            (2, "common beta"),
+            (3, "common gamma"),
+            (4, "delta"),
+        ],
+        "doc_id long, text string",
     )
-    plan = (
-        doc_keywords(docs, n=1)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    kw = doc_keywords(docs, n=1, max_df_ratio=0.5)
+    plan = kw._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    got = sorted((r["id"], r["token"]) for r in kw.collect())
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")]
+
+    unhinted = doc_keywords(
+        docs, n=1, max_df_ratio=0.5, broadcast_common=False
+    )
+    assert sorted(
+        (r["id"], r["token"]) for r in unhinted.collect()
+    ) == got
