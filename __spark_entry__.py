@@ -180,6 +180,31 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph-granularity corpus dedup (operators/
+    dedup.py frequent_line_removal(unit="paragraph")): every document
+    gains a shared boilerplate paragraph (removed: frequent across
+    docs) and a per-doc-unique tail paragraph whose SECOND LINE is a
+    corpus-wide footer — the coarser unit must keep that line (it
+    lives inside a unique paragraph), which line mode would strip.
+    The oracle replays split/guard/frequency/anti-join/reassembly."""
+    from htmlparser2_spark.operators.dedup import frequent_line_removal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inp = F.concat(
+        F.col("text"),
+        F.lit("\n\nshared boilerplate paragraph\n\ntail "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n(c) example footer"),
+    )
+    out = frequent_line_removal(
+        docs.select("doc_id", inp.alias("text")),
+        min_docs=2,
+        unit="paragraph",
+    )
+    return out.select(F.col("id").alias("doc_id"), "clean_text")
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k (operators/vocab.py): the 100 most
     frequent tokens with term and document frequency, rank 1-based
@@ -2216,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": _q_dedup_exact,
         "q_token_stats": _q_token_stats,
         "q_vocab_topk": _q_vocab_topk,
+        "q_para_dedup": _q_para_dedup,
         "q_keywords": _q_keywords,
         "q_quality": _q_quality,
         "q_fingerprint": _q_fingerprint,
@@ -3334,6 +3360,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m.doc_id AS id, coalesce(k.t, '') AS clean_text "
             "FROM multi m LEFT JOIN (SELECT doc_id, "
             "string_agg(line, chr(10) ORDER BY pos) AS t "
+            "FROM kept GROUP BY doc_id) k ON k.doc_id = m.doc_id"
+        ),
+        "q_para_dedup": (
+            # Paragraph-unit replay: regex split on blank-line runs,
+            # non-whitespace guard (explicit class), distinct-doc
+            # frequency, anti-join on the paragraph text, ordered
+            # blank-line reassembly. The footer LINE inside each
+            # unique tail paragraph must survive.
+            "WITH multi AS (SELECT doc_id, text || e'\\n\\n' || "
+            "'shared boilerplate paragraph' || e'\\n\\n' || 'tail ' || "
+            "CAST(doc_id AS STRING) || e'\\n' || '(c) example footer' "
+            "AS text FROM documents), "
+            "paras AS (SELECT doc_id, u.pos AS pos, u.p AS p FROM ("
+            "SELECT doc_id, unnest([{'pos': i, 'p': parts[i]} "
+            "for i in generate_series(1, len(parts))]) AS u "
+            "FROM (SELECT doc_id, "
+            "string_split_regex(text, '(?:\\r?\\n){2,}') AS parts "
+            "FROM multi))), "
+            "freq AS (SELECT p FROM (SELECT p, "
+            "count(DISTINCT doc_id) AS n FROM paras "
+            "WHERE regexp_matches(p, '[^ \\t\\n\\r\\f\\x0B]') "
+            "GROUP BY 1) WHERE n >= 2), "
+            "kept AS (SELECT * FROM paras WHERE p NOT IN "
+            "(SELECT p FROM freq)) "
+            "SELECT m.doc_id, coalesce(k.t, '') AS clean_text "
+            "FROM multi m LEFT JOIN (SELECT doc_id, "
+            "string_agg(p, e'\\n\\n' ORDER BY pos) AS t "
             "FROM kept GROUP BY doc_id) k ON k.doc_id = m.doc_id"
         ),
         "q_css_select": (

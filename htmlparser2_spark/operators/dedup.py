@@ -491,33 +491,49 @@ def frequent_line_removal(
     df: DataFrame,
     *,
     min_docs: int = 2,
+    unit: str = "line",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """C4-style corpus-level line dedup: rebuild each document's text
     without lines that occur in at least ``min_docs`` distinct
     documents (boilerplate footers, cookie banners, nav text).
+    ``unit="paragraph"`` switches to Dolma-style paragraph
+    granularity: units are blank-line-separated (LF or CRLF) blocks,
+    reassembled with a canonical single blank line — coarser units
+    only remove whole repeated paragraphs, never a shared line inside
+    an otherwise-unique paragraph.
 
     The frequency threshold makes removal deterministic and
     order-independent — unlike keep-first-occurrence, which depends on
-    scan order. Plan: posexplode lines -> distinct-doc counts per line
+    scan order. Plan: posexplode units -> distinct-doc counts per unit
     hash (map-side combined; one shuffle) -> anti-join the frequent
-    set -> per-doc ordered reassembly (one groupBy). Lines join on
+    set -> per-doc ordered reassembly (one groupBy). Units join on
     their xxhash64 (8-byte key; same collision stance as the shingle
-    operators). Blank/whitespace-only lines are never removed
-    (paragraph structure, not boilerplate). Documents whose every
-    line was frequent come back as ''. Returns (id, clean_text).
+    operators). Blank/whitespace-only units are never removed
+    (paragraph structure, not boilerplate; the paragraph mode's guard
+    uses the explicit non-whitespace class because Spark trim() strips
+    only spaces). Documents whose every unit was frequent come back
+    as ''. Returns (id, clean_text).
     """
+    if unit == "line":
+        sep_re, join_sep = "\n", "\n"
+        non_blank = F.trim(F.col("line")) != ""
+    elif unit == "paragraph":
+        sep_re, join_sep = "(?:\\r?\\n){2,}", "\n\n"
+        non_blank = F.col("line").rlike("[^ \\t\\n\\r\\f\\x0B]")
+    else:
+        raise ValueError(f"unknown unit: {unit!r}")
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
     ).withColumn("lh", F.xxhash64("line"))
-    # Blank/whitespace-only lines are paragraph structure, not
+    # Blank/whitespace-only units are paragraph structure, not
     # boilerplate: two documents that each contain a paragraph break
     # must not make "" corpus-frequent and strip every break. They are
     # excluded from the frequent set (and therefore always kept).
     frequent = (
-        lines.filter(F.trim("line") != "")
+        lines.filter(non_blank)
         .groupBy("lh")
         .agg(F.count_distinct("id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
@@ -526,7 +542,7 @@ def frequent_line_removal(
     kept = lines.join(frequent, "lh", "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
-            "\n",
+            join_sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],

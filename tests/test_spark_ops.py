@@ -2000,6 +2000,37 @@ def test_frequent_line_removal(spark):
     assert len(out) == 4
 
 
+def test_frequent_paragraph_removal(spark):
+    """unit='paragraph' removes only whole repeated blocks: a shared
+    LINE inside an otherwise-unique paragraph survives, CRLF blank
+    lines split, a tab-only paragraph is structure (never counted
+    frequent — the explicit-class guard, not Spark's spaces-only
+    trim), reassembly is a canonical single blank line."""
+    from htmlparser2_spark.operators.dedup import frequent_line_removal
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared footer\n\nshared para"),
+            (2, "unique two\r\n\r\nshared para\n\n\t\n\nunique tail"),
+            (3, "shared para"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["clean_text"] for r in
+           frequent_line_removal(
+               docs, min_docs=2, unit="paragraph").collect()}
+    # Doc 1's first paragraph contains 'shared footer' as a line but
+    # is unique as a UNIT -> kept whole; 'shared para' (2 docs) drops.
+    assert out[1] == "unique one\nshared footer"
+    # CRLF split; the tab-only paragraph is kept as structure.
+    assert out[2] == "unique two\n\n\t\n\nunique tail"
+    assert out[3] == ""
+    with _pytest.raises(ValueError, match="unit"):
+        frequent_line_removal(docs, unit="sentence")
+
+
 def test_warc_framing_fuzz_roundtrip(spark):
     """200 records with adversarial binary payloads (embedded
     CRLFCRLF, 'WARC/' magic, gzip magic, NULs) must split and parse
