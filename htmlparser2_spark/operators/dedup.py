@@ -510,12 +510,20 @@ def frequent_line_removal(
     hash (map-side combined; one shuffle) -> anti-join the frequent
     set -> per-doc ordered reassembly (one groupBy). Units join on
     their xxhash64 (8-byte key; same collision stance as the shingle
-    operators). Blank/whitespace-only units are never removed
-    (paragraph structure, not boilerplate; the paragraph mode's guard
-    uses the explicit non-whitespace class because Spark trim() strips
-    only spaces). Documents whose every unit was frequent come back
-    as ''. Returns (id, clean_text).
+    operators). Structure units are never counted frequent: paragraph
+    mode guards the full whitespace class, line mode guards
+    SPACE-trimmed-empty lines only (Spark trim strips only spaces, so
+    a tab-only line CAN be removed if corpus-frequent — historical
+    behavior, pinned by the q_line_dedup oracle). Documents whose
+    every unit was frequent come back as ''. Returns
+    (id, clean_text). ``min_docs < 2`` is rejected: df >= 1 always,
+    so such a threshold silently blanks the entire corpus.
     """
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (got {min_docs}): every unit is in "
+            "at least 1 document, so a lower threshold blanks the corpus"
+        )
     if unit == "line":
         sep_re, join_sep = "\n", "\n"
         non_blank = F.trim(F.col("line")) != ""

@@ -129,7 +129,10 @@ def doc_keywords(
         raise ValueError(f"max_df_ratio must be in (0, 1]: {max_df_ratio}")
     n_docs = docs.count()
     min_common_df = math.ceil(max_df_ratio * n_docs)
-    if min_common_df < 2:
+    # n_docs == 0 is a legitimate no-op (an upstream filter emptied
+    # the corpus; nothing to screen, empty result) — the raise is only
+    # for the silent-full-screen shape on a NON-empty corpus.
+    if n_docs > 0 and min_common_df < 2:
         raise ValueError(
             f"ceil(max_df_ratio * n_docs) = {min_common_df} screens "
             f"EVERY token (df >= 1 always) — the corpus ({n_docs} docs) "

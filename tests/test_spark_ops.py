@@ -2029,6 +2029,9 @@ def test_frequent_paragraph_removal(spark):
     assert out[3] == ""
     with _pytest.raises(ValueError, match="unit"):
         frequent_line_removal(docs, unit="sentence")
+    # min_docs < 2 would blank the whole corpus (df >= 1 always).
+    with _pytest.raises(ValueError, match="min_docs"):
+        frequent_line_removal(docs, min_docs=1)
 
 
 def test_warc_framing_fuzz_roundtrip(spark):

@@ -133,3 +133,15 @@ def test_doc_keywords_broadcast_anti_join(spark):
     assert sorted(
         (r["id"], r["token"]) for r in unhinted.collect()
     ) == got
+
+
+def test_doc_keywords_empty_corpus_is_noop(spark):
+    """n_docs == 0 is a legitimate no-op (upstream filter emptied the
+    corpus) — empty result with the right schema, NOT the
+    degenerate-threshold raise."""
+    from htmlparser2_spark.operators.vocab import doc_keywords
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out = doc_keywords(docs, n=2)
+    assert out.columns == ["id", "rank", "token", "c"]
+    assert out.count() == 0
