@@ -1873,15 +1873,20 @@ def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail perplexity bucketing (operators/
-    lm_score.py perplexity_buckets): the q_lm_score model (trained on
-    even doc_ids) scores every document, then ntile(3) within each
-    language over the 4dp-rounded score (doc_id tiebreak) — the exact
-    CCNet corpus cut. The oracle replays the training arithmetic and
-    the windowed NTILE in DuckDB."""
+    """CCNet head/middle/tail perplexity bucketing, SCALE-SAFE shape
+    (operators/lm_score.py perplexity_buckets_by_cutoff): the
+    q_lm_score model (trained on even doc_ids) scores every document;
+    per-language tercile cutoffs come from one exact-percentile hash
+    aggregate (a tiny broadcast table — no Window, no per-language
+    sort task, so the dominant language can never serialize onto one
+    executor at 100 TB); bucket assignment is map-only. The oracle
+    replays the training arithmetic, quantile_cont cutoffs, and the
+    same rounded-boundary comparison in DuckDB. The ntile-based
+    perplexity_buckets stays available as the exact equal-count
+    calibration path (tests/test_lm_score.py covers both)."""
     from htmlparser2_spark.operators.lm_score import (
         lm_doc_scores,
-        perplexity_buckets,
+        perplexity_buckets_by_cutoff,
         train_bigram_lm,
     )
 
@@ -1890,7 +1895,7 @@ def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = lm_doc_scores(docs, lm).join(
         docs.select(F.col("doc_id").alias("id"), "lang"), "id"
     )
-    b = perplexity_buckets(scored, part_col="lang")
+    b = perplexity_buckets_by_cutoff(scored, part_col="lang")
     return b.select(
         F.col("id").alias("doc_id"),
         "lang",
@@ -2227,9 +2232,71 @@ def _q_extraction_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROUND-4 ROTATION. The driver gate verifies exactly the FIRST 50
+    # dict entries (CORRECTNESS_r0{1,2,3}.json are each precisely the
+    # then-first-50 keys). Round-3 verdict: 28 queries had never been
+    # driver-verified and 19 more had only r1/r2 rows predating the
+    # round-3 tokenizer rewrite. This ordering puts all 47 of those in
+    # the window, plus 3 round-3-green anchors (flagship extraction,
+    # its match variant, and the perf-watched minhash line) = 50.
+    # Cross-round union after this round: 97/97.
+    # tests/test_entry_oracle.py::test_gate_window_covers_all_queries
+    # enforces that no query ever lives its whole life below the cap.
     return {
+        # -- 28 never-gated (no driver row in any round) --
+        "q_hash_embed": _q_hash_embed,
+        "q_dom_manip": _q_dom_manip,
+        "q_serialize_roundtrip": _q_serialize_roundtrip,
+        "q_pdf_text": _q_pdf_text,
+        "q_main_content": _q_main_content,
+        "q_dom_position": _q_dom_position,
+        "q_remove_subsets": _q_remove_subsets,
+        "q_table_cells": _q_table_cells,
+        "q_charset": _q_charset,
+        "q_markdown": _q_markdown,
+        "q_sentences": _q_sentences,
+        "q_meta_extract": _q_meta_extract,
+        "q_c4_filter": _q_c4_filter,
+        "q_lm_buckets": _q_lm_buckets,
+        "q_blocklist": _q_blocklist,
+        "q_mojibake": _q_mojibake,
+        "q_chunks": _q_chunks,
+        "q_chunk_pack": _q_chunk_pack,
+        "q_normalize": _q_normalize,
+        "q_repeated_spans": _q_repeated_spans,
+        "q_prep": _q_prep,
+        "q_quality_model": _q_quality_model,
+        "q_corpus_stats": _q_corpus_stats,
+        "q_anchor_text": _q_anchor_text,
+        "q_robots": _q_robots,
+        "q_crawl_delay": _q_crawl_delay,
+        "q_frontier_polite": _q_frontier_polite,
+        "q_sitemap": _q_sitemap,
+        "q_robots_sitemaps": _q_robots_sitemaps,
+        "q_frontier": _q_frontier,
+        # -- 19 r1/r2-only rows, re-certified under the r3 tokenizer --
+        "q_clean_text": _q_clean_text,
+        "q_inner_text": _q_inner_text,
+        "q_inner_html": _q_inner_html,
+        "q_prev_siblings": _q_prev_siblings,
+        "q_node_types": _q_node_types,
+        "q_host_rank": _q_host_rank,
+        "q_lm_score": _q_lm_score,
+        "q_bpe_tokens": _q_bpe_tokens,
+        "q_host_counts_salted": _q_host_counts_salted,
+        "q_feed_extract": _q_feed_extract,
+        "q_feed_atom": _q_feed_atom,
+        "q_feed_rdf": _q_feed_rdf,
+        "q_events_hourly": _q_events_hourly,
+        "q_user_first_event": _q_user_first_event,
+        "q_top_hosts": _q_top_hosts,
+        "q_priority_revenue": _q_priority_revenue,
+        "q_extraction_diff": _q_extraction_diff,
+        # -- 3 round-3-green anchors (continuity across rotations) --
         "q_extract_text": _q_extract_text,
         "q_extract_match": _q_extract_match,
+        "q_minhash_lsh": _q_minhash_lsh,
+        # ---- below the 50-row gate cap: all driver-green in round 3 ----
         "q_title": _q_title,
         "q_tag_histogram": _q_tag_histogram,
         "q_links": _q_links,
@@ -2251,7 +2318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_element_siblings": _q_element_siblings,
         "q_embedding_dup": _q_embedding_dup,
         "q_near_dup_jaccard": _q_near_dup_jaccard,
-        "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash": _q_simhash,
         "q_dup_clusters": _q_dup_clusters,
         "q_dedup_pipeline": _q_dedup_pipeline,
@@ -2278,53 +2344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": _q_url_canon,
         "q_resolve_links": _q_resolve_links,
         "q_image_meta": _q_image_meta,
-        "q_pdf_text": _q_pdf_text,
-        "q_clean_text": _q_clean_text,
-        "q_main_content": _q_main_content,
-        "q_inner_text": _q_inner_text,
-        "q_inner_html": _q_inner_html,
-        "q_prev_siblings": _q_prev_siblings,
-        "q_node_types": _q_node_types,
-        "q_dom_position": _q_dom_position,
-        "q_remove_subsets": _q_remove_subsets,
-        "q_table_cells": _q_table_cells,
-        "q_charset": _q_charset,
-        "q_markdown": _q_markdown,
-        "q_sentences": _q_sentences,
-        "q_meta_extract": _q_meta_extract,
-        "q_host_rank": _q_host_rank,
-        "q_lm_score": _q_lm_score,
-        "q_c4_filter": _q_c4_filter,
-        "q_lm_buckets": _q_lm_buckets,
-        "q_blocklist": _q_blocklist,
-        "q_mojibake": _q_mojibake,
-        "q_hash_embed": _q_hash_embed,
-        "q_chunks": _q_chunks,
-        "q_chunk_pack": _q_chunk_pack,
-        "q_normalize": _q_normalize,
-        "q_repeated_spans": _q_repeated_spans,
-        "q_prep": _q_prep,
-        "q_quality_model": _q_quality_model,
-        "q_corpus_stats": _q_corpus_stats,
-        "q_anchor_text": _q_anchor_text,
-        "q_robots": _q_robots,
-        "q_crawl_delay": _q_crawl_delay,
-        "q_frontier_polite": _q_frontier_polite,
-        "q_sitemap": _q_sitemap,
-        "q_robots_sitemaps": _q_robots_sitemaps,
-        "q_frontier": _q_frontier,
-        "q_serialize_roundtrip": _q_serialize_roundtrip,
-        "q_dom_manip": _q_dom_manip,
-        "q_bpe_tokens": _q_bpe_tokens,
-        "q_host_counts_salted": _q_host_counts_salted,
-        "q_feed_extract": _q_feed_extract,
-        "q_feed_atom": _q_feed_atom,
-        "q_feed_rdf": _q_feed_rdf,
-        "q_events_hourly": _q_events_hourly,
-        "q_user_first_event": _q_user_first_event,
-        "q_top_hosts": _q_top_hosts,
-        "q_priority_revenue": _q_priority_revenue,
-        "q_extraction_diff": _q_extraction_diff,
     }
 
 
@@ -2898,10 +2917,13 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(k, chr(10))) AS clean_md5 FROM kept"
         ),
         "q_lm_buckets": (
-            # q_lm_score's training arithmetic + CCNet's per-language
-            # NTILE(3) cut over the 4dp-rounded score, doc_id tiebreak,
-            # NULLS LAST made explicit (Spark and DuckDB default
-            # opposite NULL ends under DESC).
+            # q_lm_score's training arithmetic + the CCNet cutoff cut:
+            # per-language tercile cutoffs via quantile_cont (the same
+            # rank-p*(n-1) linear interpolation as Spark's exact
+            # `percentile`) over the 4dp-rounded scores, then the
+            # map-only boundary rule bucket = 1 + #cutoffs the score
+            # falls below, both sides rounded to 4dp. NULL scores are
+            # forced to the last bucket, exactly like the Spark side.
             "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
             "x -> x <> '') AS t FROM documents), "
             "bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] "
@@ -2917,12 +2939,13 @@ def oracle_sql() -> dict[str, str]:
             "/ SUM(cnt) AS avg FROM dbg LEFT JOIN lm USING (bigram) GROUP BY 1), "
             "scored AS (SELECT d.doc_id, d.lang, round(sc.avg, 4) AS r "
             "FROM documents d LEFT JOIN sc USING (doc_id)), "
-            # NULL scores are forced to the last bucket and excluded
-            # from the ntile slots (window partitions on nullness),
-            # mirroring perplexity_buckets exactly.
-            "b AS (SELECT doc_id, lang, CASE WHEN r IS NULL THEN 3 ELSE "
-            "NTILE(3) OVER (PARTITION BY lang, (r IS NULL) "
-            "ORDER BY r DESC NULLS LAST, doc_id) END AS bucket FROM scored) "
+            "cut AS (SELECT lang, quantile_cont(r, "
+            f"[{(3 - 1) / 3!r}, {(3 - 2) / 3!r}]) AS cs "
+            "FROM scored WHERE r IS NOT NULL GROUP BY lang), "
+            "b AS (SELECT s.doc_id, s.lang, CASE WHEN s.r IS NULL THEN 3 "
+            "ELSE 1 + len(list_filter(COALESCE(c.cs, []), "
+            "x -> s.r < round(x, 4))) END AS bucket "
+            "FROM scored s LEFT JOIN cut c USING (lang)) "
             "SELECT doc_id, lang, CAST(bucket AS INT) AS bucket, "
             "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
             "ELSE 'tail' END AS bucket_label FROM b"

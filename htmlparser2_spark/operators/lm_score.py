@@ -39,6 +39,8 @@ __all__ = [
     "train_bigram_lm",
     "lm_doc_scores",
     "perplexity_buckets",
+    "perplexity_bucket_cutoffs",
+    "perplexity_buckets_by_cutoff",
 ]
 
 DEFAULT_OOV_LOGP = math.log(1e-6)
@@ -185,6 +187,15 @@ def perplexity_buckets(
 
     Returns the input plus (bucket, bucket_label); labels are
     head/middle/tail for ``n_buckets=3``, else ``b<i>``.
+
+    SCALE WARNING — this is the CALIBRATION path, not the corpus path.
+    ``ntile`` sorts each window partition in ONE task; partitioning by
+    ``lang`` does not help, because lang IS the skewed key — English is
+    roughly half of a real crawl, so at 100 TB one executor would sort
+    ~10^11 rows. For full-corpus bucketing use
+    :func:`perplexity_buckets_by_cutoff` (sampled/exact quantile
+    cutoffs broadcast + map-only assignment — the actual CCNet recipe);
+    keep this exact equal-count version for bounded calibration sets.
     """
     from pyspark.sql import Window
 
@@ -211,4 +222,115 @@ def perplexity_buckets(
         label = F.concat(F.lit("b"), bucket.cast("string"))
     return scored.select(
         "*", bucket.alias("bucket"), label.alias("bucket_label")
+    )
+
+
+def perplexity_bucket_cutoffs(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 3,
+    part_col: str | None = None,
+    score_col: str = "avg_logp",
+    round_dp: int = 4,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Tiny per-partition cutoff table: (part_col?, cutoffs) where
+    ``cutoffs`` is the DESCENDING array of the (n-1)/n .. 1/n score
+    quantiles — one row per language, a handful of doubles each.
+
+    ``accuracy=None`` uses Spark's EXACT ``percentile`` aggregate
+    (linear interpolation at rank p*(n-1), the same definition as
+    DuckDB's ``quantile_cont``, so the oracle gate can replay it
+    bit-for-bit at the rounding precision). At 100-TB scale pass an
+    ``accuracy`` (e.g. 10000) to switch to ``percentile_approx`` — a
+    bounded-memory mergeable sketch with map-side combine; bucket
+    boundaries move by at most 1/accuracy of rank, which is noise for
+    a head/middle/tail cut. Either way the plan is one hash aggregate:
+    no Window, no per-language sort task.
+
+    Scores are rounded to ``round_dp`` BEFORE the quantile so both
+    engines interpolate over identical inputs.
+    """
+    pcts = ", ".join(
+        repr((n_buckets - i) / n_buckets) for i in range(1, n_buckets)
+    )
+    rounded = f"round({score_col}, {round_dp})"
+    if accuracy is None:
+        agg = F.expr(f"percentile({rounded}, array({pcts}))")
+    else:
+        agg = F.expr(
+            f"percentile_approx({rounded}, array({pcts}), {accuracy})"
+        )
+    grouped = scored.filter(F.col(score_col).isNotNull()).groupBy(
+        *([part_col] if part_col else [])
+    )
+    return grouped.agg(agg.alias("cutoffs"))
+
+
+def perplexity_buckets_by_cutoff(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 3,
+    part_col: str | None = None,
+    score_col: str = "avg_logp",
+    id_col: str = "id",
+    round_dp: int = 4,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Scale-safe CCNet corpus bucketing: quantile cutoffs per
+    language (a tiny broadcast table from
+    :func:`perplexity_bucket_cutoffs`), then MAP-ONLY bucket
+    assignment — ``bucket = 1 + #cutoffs the score falls below``.
+    This is the published CCNet procedure (cutoffs from a pass over
+    the scores, then a linear scan); unlike :func:`perplexity_buckets`
+    there is no per-language sort anywhere in the plan, so the
+    dominant language cannot serialize onto one executor.
+
+    Semantics vs the ntile path: buckets are threshold-based, so ties
+    AT a cutoff all land on the better side (equal counts are only
+    approximate under heavy ties) — that is inherent to any
+    cutoff-broadcast scheme and matches CCNet. Unscorable docs (NULL
+    score) are forced into the last bucket, exactly like the ntile
+    path. Comparison happens on scores and cutoffs both rounded to
+    ``round_dp`` so the DuckDB oracle (``quantile_cont`` + the same
+    list_filter count) reproduces every boundary decision.
+
+    ``id_col`` is unused (no ordering exists to break ties for) but
+    kept for signature parity with :func:`perplexity_buckets`.
+    """
+    cuts = perplexity_bucket_cutoffs(
+        scored,
+        n_buckets=n_buckets,
+        part_col=part_col,
+        score_col=score_col,
+        round_dp=round_dp,
+        accuracy=accuracy,
+    ).withColumnRenamed("cutoffs", "_ppl_cutoffs")
+    if part_col:
+        joined = scored.join(F.broadcast(cuts), part_col, "left")
+    else:
+        joined = scored.crossJoin(F.broadcast(cuts))
+    score = F.col(score_col)
+    score_r = F.round(score, round_dp)
+    fails = F.size(
+        F.filter(
+            F.coalesce(
+                F.col("_ppl_cutoffs"), F.array().cast("array<double>")
+            ),
+            lambda c: score_r < F.round(c, round_dp),
+        )
+    )
+    bucket = F.when(score.isNull(), F.lit(n_buckets)).otherwise(1 + fails)
+    if n_buckets == 3:
+        label = (
+            F.when(bucket == 1, "head")
+            .when(bucket == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), bucket.cast("string"))
+    return joined.select(
+        *[c for c in scored.columns],
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
     )

@@ -109,6 +109,35 @@ def test_entry_smoke(spark):
     assert all(r["n_docs"] == r["n_match"] for r in rows)
 
 
+def test_gate_window_covers_all_queries():
+    """The driver's correctness gate checks exactly the FIRST 50 dict
+    entries of ``queries()`` (every CORRECTNESS_r*.json is precisely the
+    then-first-50 keys). A query must therefore either sit inside the
+    current window or already hold a driver verdict from a past round —
+    otherwise it can live its whole life without a single driver row
+    (round-3 verdict: 28 queries did exactly that). This test fails the
+    moment someone appends a new query below position 50 without a prior
+    CORRECTNESS row, forcing a rotation."""
+    import glob
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            gated |= set(json.load(fh))
+    keys = list(entry_mod.queries())
+    window = set(keys[:50])
+    uncovered = [k for k in keys if k not in window and k not in gated]
+    assert not uncovered, (
+        f"{len(uncovered)} queries sit below the driver's 50-row gate cap "
+        f"with no CORRECTNESS_r*.json verdict in any round: {uncovered} — "
+        "rotate them into the first 50 positions of queries()"
+    )
+
+
 def test_query_oracle_key_parity():
     """Every queries() entry must have an oracle_sql() twin and vice
     versa — an orphan on either side silently skips the driver's
