@@ -110,19 +110,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # Best-of-N everywhere: this host carries hypervisor-level
-    # background load (loadavg >10 with an idle process table) that can
-    # inflate a single run 3-8x on any line; steady-state best-of-3 is
-    # the honest throughput signal.
-    def timed(name: str, fn, repeats: int = 3) -> None:
-        best = None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fn()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-
     # q1: full extraction pipeline (repartition + mapInPandas parse +
     # byte-identical check + lineage rollup)
     match_rate = {}
@@ -187,15 +174,35 @@ def main() -> None:
         ).collect()[0]
         match_rate["extract_large"] = row["m"] / row["docs"]
 
-    # Extraction is the headline metric: best-of-3 (others best-of-2).
-    # q_minhash_lsh also gets 3 reps: it is the longest line and this
-    # host's load spikes outlast a 2-rep window (see CLAUDE.md).
-    timed("q_extract", q_extract, repeats=3)
-    timed("q_extract_large_pages", q_extract_large, repeats=3)
-    timed("q_dom_histogram", q_dom)
-    timed("q_doc_stats", q_stats)
-    timed("q_minhash_lsh", q_minhash, repeats=3)
-    timed("q_ann_topk", q_ann)
+    # Best-of-N, INTERLEAVED round-robin: rep i of EVERY query runs
+    # before rep i+1 of any. This host carries hypervisor-level
+    # background load (loadavg >10 with an idle process table) that can
+    # inflate a single run 3-8x and a spike can outlast ~60s — with
+    # consecutive reps one spike used to own all three reps of one line
+    # (round-3 driver bench: q_minhash_lsh 5.93s vs 4.3s quiet).
+    # Spreading a line's reps across the whole suite means a spike taxes
+    # one rep of several lines instead, and best-of-N recovers each.
+    # Extraction lines and q_minhash_lsh get 3 reps (headline metric /
+    # longest line), the rest 2.
+    suite: list[tuple[str, object, int]] = [
+        ("q_extract", q_extract, 3),
+        ("q_extract_large_pages", q_extract_large, 3),
+        ("q_dom_histogram", q_dom, 2),
+        ("q_doc_stats", q_stats, 2),
+        ("q_minhash_lsh", q_minhash, 3),
+        ("q_ann_topk", q_ann, 2),
+    ]
+    for rep in range(max(r for _, _, r in suite)):
+        for name, fn, repeats in suite:
+            if rep >= repeats:
+                continue
+            t0 = time.perf_counter()
+            fn()
+            elapsed = time.perf_counter() - t0
+            prev = timings.get(name)
+            timings[name] = round(
+                elapsed if prev is None else min(prev, elapsed), 3
+            )
 
     extract_sec = timings["q_extract"]
     result = {

@@ -222,70 +222,170 @@ def decode_at(s: str, amp: int, mode: int):
     return ([ord(ch) for ch in best_value], best_end - amp)
 
 
+# Every syntactic shape a character reference can take: numeric
+# (dec/hex, optional ';') or a named candidate (alnum run, optional
+# ';'). Entity names are strictly alphanumeric (html.entities.html5
+# keys are [a-zA-Z][a-zA-Z0-9]* with an optional trailing ';'), so the
+# maximal-munch alnum run always covers the longest possible trie
+# match, and the matched text can never contain another '&' — which is
+# what makes single-pass re.sub equivalent to the tokenizer's
+# sequential rescan-past-'&' semantics.
+_RE_ANY_REF = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)"
+)
+
+# Full terminated-name tables for the one-probe fast path: name
+# (with ';') -> replacement. Covers every spec entity, not just the
+# dominant handful, so a callable hit is one dict lookup.
+_FULL_HTML_SEMI = {k: v for k, v in _HTML5.items() if k.endswith(";")}
+_FULL_XML_SEMI = dict(_XML_ENTITIES)
+
+
+def _make_span_repl(mode: int):
+    """Build the re.sub callable for ``mode``: one dict probe for any
+    fully-terminated named reference, inline int() for numerics, and
+    the trie walker (:func:`decode_at`) only for the rare legacy /
+    longest-prefix / attribute-lookahead cases. When decode_at
+    consumes fewer characters than the regex matched (prefix match),
+    the undecoded tail is appended literally — it is pure alnum/';'
+    and cannot itself start a reference, so this reproduces the
+    sequential scan exactly.
+
+    A memo cache keyed on the full match text front-runs everything:
+    the result is a pure function of the matched text in STRICT/LEGACY
+    (decode never looks past the maximal-munch match), and in
+    ATTRIBUTE for ';'-terminated matches (a prefix match's lookahead
+    char is inside the match; only a semicolon-LESS full match looks
+    at the following character, so those are never cached). Bounded to
+    keep adversarial all-distinct numeric streams from growing it."""
+    table = _FULL_XML_SEMI if mode == STRICT else _FULL_HTML_SEMI
+    table_get = table.get
+    strict = mode == STRICT
+    attr = mode == ATTRIBUTE
+    cache: dict[str, str] = {}
+    cache_get = cache.get
+
+    def repl(m: re.Match) -> str:
+        g = m.group(0)
+        hit = cache_get(g)
+        if hit is not None:
+            return hit
+        name = g[1:]
+        if name[0] != "#":
+            out = None
+            if name[-1] == ";":
+                out = table_get(name)
+            if out is None:
+                # Legacy semicolon-less / unknown-name longest-prefix
+                # / ATTRIBUTE lookahead: delegate to the trie walker
+                # against the full subject string (lookahead may need
+                # the char right after the match, e.g. '&amp=' in
+                # attribute mode).
+                res = decode_at(m.string, m.start(), mode)
+                if res is None:
+                    out = g
+                else:
+                    cps, consumed = res
+                    out = "".join(map(chr, cps)) + g[consumed:]
+        else:
+            # Numeric: the regex already validated the digit body.
+            has_semi = name[-1] == ";"
+            if strict and not has_semi:
+                out = g
+            else:
+                body = name[1:-1] if has_semi else name[1:]
+                value = int(body[1:], 16) if body[0] in "xX" else int(body)
+                out = chr(_replace_codepoint(value))
+        if (not attr or g[-1] == ";") and len(cache) < (1 << 16):
+            cache[g] = out
+        return out
+
+    return repl
+
+
+_SPAN_REPL = {
+    STRICT: _make_span_repl(STRICT),
+    LEGACY: _make_span_repl(LEGACY),
+    ATTRIBUTE: _make_span_repl(ATTRIBUTE),
+}
+
+
 def decode_text_span(s: str, start: int, end: int, mode: int) -> str:
     """Decode every reference in ``s[start:end]`` exactly as the
     tokenizer's sequential per-'&' scan would (failed references stay
     literal, rescan past the '&').
 
+    One pass of a precompiled alternation regex over the span: the C
+    regex engine skips between references (plain '&'s never enter
+    Python), and each match resolves with a single dict probe in the
+    dominant fully-terminated case — this replaced a per-'&' Python
+    find/probe loop and roughly doubled entity-dense throughput
+    (tools/engine_bench.py ``entity_heavy`` corpus).
+
     The span boundary is semantics-preserving: ``end`` is either
     ``len(s)`` or the position of a ``<`` (the tokenizer's text-run
     terminator), and no reference can extend across ``<`` — trie edges
-    are alphanumeric/';' and numeric bodies are digits — so bounding
-    only the '&' search while letting :func:`decode_at` look at the
-    full string is exact. Used by the batched fast-text path
-    (``on_text_decoded``), which replaces per-entity event dispatch
-    with one call per text run.
+    are alphanumeric/';' and numeric bodies are digits. The ATTRIBUTE
+    lookahead at the span edge is likewise exact: the character after
+    the span is '<' when ``end < len(s)``, which never blocks a legacy
+    match, same as end-of-string.
     """
-    find = s.find
-    out: list[str] = []
-    append = out.append
-    pos = start
-    common_get = (_COMMON_XML if mode == STRICT else _COMMON_HTML).get
-    num_match = _RE_NUM_REF.match
-    strict = mode == STRICT
-    while True:
-        amp = find("&", pos, end)
-        if amp == -1:
-            append(s[pos:end])
-            return "".join(out)
-        semi = find(";", amp + 1, amp + 9)
-        if semi != -1:
-            hit = common_get(s[amp + 1 : semi + 1])
-            if hit is not None:
-                cps, consumed = hit
-                if amp > pos:
-                    append(s[pos:amp])
-                append(chr(cps[0]) if len(cps) == 1 else "".join(map(chr, cps)))
-                pos = amp + consumed
-                continue
-        if s[amp + 1 : amp + 2] == "#":
-            # Numeric reference, decoded inline: one regex match + one
-            # int() replaces decode_at's per-digit set-membership loop.
-            m = num_match(s, amp + 1)
-            if m is not None and (not strict or m.group(2)):
-                body = m.group(1)
-                value = (
-                    int(body[1:], 16) if body[0] in "xX" else int(body)
-                )
-                if amp > pos:
-                    append(s[pos:amp])
-                append(chr(_replace_codepoint(value)))
-                pos = m.end()
+    span = s[start:end] if start or end != len(s) else s
+    if "&" not in span:
+        return span
+    # C-speed bulk path: when EVERY '&' in the span belongs to a
+    # fully-terminated, directly-decodable reference, decoding is a
+    # handful of str.replace passes (one per distinct reference).
+    # Guards that make replace-chains provably equal to the
+    # sequential scan:
+    #   * no stray '&' (count == matches) — a literal '&' directly
+    #     before a reference could otherwise combine with a
+    #     replacement to fabricate a new reference ('&&#108;t;' must
+    #     stay '&lt;'-literal, not decode);
+    #   * every distinct name ends in ';' and resolves via the full
+    #     table / numeric parse — exact-consumption, mode-pure (the
+    #     ATTRIBUTE lookahead only applies to semicolon-less names);
+    #   * reference texts can never overlap or nest ('&'+alnum+';'
+    #     admits no substring relation), so replace order is free —
+    #     EXCEPT a replacement containing '&' (the amp family) could
+    #     seed a false match for a later pass, so at most one such
+    #     reference is allowed and it runs last;
+    #   * distinct count bounded so adversarial all-distinct streams
+    #     can't turn this into O(distinct * len) scanning.
+    names = _RE_ANY_REF.findall(span)
+    distinct = set(names)
+    if len(distinct) <= 32 and span.count("&") == len(names):
+        table = _FULL_XML_SEMI if mode == STRICT else _FULL_HTML_SEMI
+        repls: list[tuple[str, str]] = []
+        amp_ref = None
+        simple = True
+        for name in distinct:
+            if name[-1] != ";":
+                simple = False
+                break
+            if name[0] == "#":
+                body = name[1:-1]
+                value = int(body[1:], 16) if body[0] in "xX" else int(body)
+                rep = chr(_replace_codepoint(value))
             else:
-                # No digits (back out fully) or STRICT without ';'.
-                append(s[pos : amp + 1])
-                pos = amp + 1
-            continue
-        res = decode_at(s, amp, mode)
-        if res is None:
-            append(s[pos : amp + 1])
-            pos = amp + 1
-            continue
-        cps, consumed = res
-        if amp > pos:
-            append(s[pos:amp])
-        append("".join(map(chr, cps)))
-        pos = amp + consumed
+                rep = table.get(name)
+                if rep is None:
+                    simple = False
+                    break
+            if "&" in rep:
+                if amp_ref is not None:
+                    simple = False
+                    break
+                amp_ref = ("&" + name, rep)
+            else:
+                repls.append(("&" + name, rep))
+        if simple:
+            for ref, rep in repls:
+                span = span.replace(ref, rep)
+            if amp_ref is not None:
+                span = span.replace(amp_ref[0], amp_ref[1])
+            return span
+    return _RE_ANY_REF.sub(_SPAN_REPL[mode], span)
 
 
 def decode_text(s: str, mode: int = LEGACY) -> str:
