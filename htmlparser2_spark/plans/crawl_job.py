@@ -20,7 +20,13 @@ the rank join and budget window run last on the smallest set.
    frontier-politeness analog of the skew salting used in the
    aggregation paths. With ``delays``/``window_sec``, robots
    Crawl-delay directives tighten the cap to
-   ``floor(window_sec / delay)`` per host.
+   ``floor(window_sec / delay)`` per host. Whenever a finite cap
+   exists, a salted partial top-k pre-filter bounds the exact
+   window's input (``salt_buckets * cap`` rows per host), so a hot
+   host can never serialize its full candidate set onto one task;
+   only the budget-less call (no ``per_host_budget``, no ``delays``)
+   retains the plain per-host window, where full ordering is
+   genuinely required.
 
 Returns ``(frontier, funnel)``: frontier rows are (url, host,
 host_rank, host_pos); the funnel is the (stage_idx, stage, n_urls)
@@ -54,6 +60,7 @@ def run_frontier(
     rank_iters: int = 3,
     url_col: str = "url",
     checkpoint_stages: bool = True,
+    salt_buckets: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """See module docstring. ``rules`` is a
     :func:`~htmlparser2_spark.operators.robots.parse_robots` table;
@@ -97,8 +104,8 @@ def run_frontier(
             ),
         )
     )
-    w = Window.partitionBy("host").orderBy("url")
-    frontier = pri.withColumn("host_pos", F.row_number().over(w))
+    # Resolve the per-host limit BEFORE any window so the salted
+    # pre-filter below can use it row-wise.
     budget = (
         F.lit(per_host_budget).cast("long")
         if per_host_budget is not None
@@ -122,15 +129,49 @@ def run_frontier(
         # least() skips NULLs: no directive / unparseable delay -> the
         # plain budget; no budget -> the cap alone.
         frontier = (
-            frontier.join(F.broadcast(resolved), "host", "left")
+            pri.join(F.broadcast(resolved), "host", "left")
             .withColumn("_lim", F.least(budget, cap))
             .drop("_delay_sec")
         )
     else:
-        frontier = frontier.withColumn("_lim", budget)
-    frontier = frontier.filter(
-        F.col("_lim").isNull() | (F.col("host_pos") <= F.col("_lim"))
-    ).drop("_lim")
+        frontier = pri.withColumn("_lim", budget)
+
+    if per_host_budget is not None or delays is not None:
+        # Hot-host bound: a naive per-host row_number sorts each
+        # host's ENTIRE candidate set in one task — a crawl-scale hot
+        # host (10^8+ outlink candidates) serializes onto one
+        # executor. Since only `_lim` rows per host can survive, run a
+        # salted partial top-k first (the same exchange-shrinking
+        # shape as the arrow ANN engine, similarity.py): within each
+        # (host, salt) bucket keep the `_lim` smallest urls, which is
+        # a superset of the host's true top-`_lim` (the global i-th
+        # smallest is at worst i-th in its own bucket). The final
+        # exact window then sorts <= salt_buckets * _lim rows per
+        # host instead of the full candidate set; the largest sort
+        # task is max(host_size / salt_buckets, salt_buckets * _lim).
+        # Hosts with a NULL limit (no budget and no parseable delay)
+        # pass through the pre-filter untouched — with no cap the
+        # full per-host ordering is genuinely required.
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        w_pre = Window.partitionBy(F.col("host"), salt).orderBy("url")
+        frontier = (
+            frontier.withColumn("_pre_pos", F.row_number().over(w_pre))
+            .filter(
+                F.col("_lim").isNull()
+                | (F.col("_pre_pos") <= F.col("_lim"))
+            )
+            .drop("_pre_pos")
+        )
+
+    w = Window.partitionBy("host").orderBy("url")
+    frontier = (
+        frontier.withColumn("host_pos", F.row_number().over(w))
+        .filter(
+            F.col("_lim").isNull() | (F.col("host_pos") <= F.col("_lim"))
+        )
+        .drop("_lim")
+        .select("url", "host", "host_rank", "host_pos")
+    )
     frontier = maybe_ckpt(frontier)
     stages.append(("frontier", frontier))
 

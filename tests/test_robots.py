@@ -201,6 +201,61 @@ def test_run_frontier_crawl_delay_politeness(spark):
     assert per_host == {"a.ex": 3, "b.ex": 4}  # c.ex deferred
 
 
+def test_run_frontier_salted_prefilter(spark):
+    """Hot-host bound: with a budget, a salted partial top-k runs
+    before the exact per-host window — the plan carries TWO Window
+    nodes (the first keyed on (host, salt)) — and the output is
+    byte-identical to the unsalted ordering: the per-host smallest
+    `budget` urls in order, for every salt_buckets setting."""
+    from htmlparser2_spark.operators.robots import parse_robots
+    from htmlparser2_spark.plans.crawl_job import run_frontier
+
+    robots = spark.createDataFrame(
+        [("none.ex", "User-agent: *\nAllow: /")],
+        "host string, body string",
+    )
+    # One hot host (40 urls), one small host (3), budget 5.
+    cands = spark.createDataFrame(
+        [(f"https://hot.ex/p{i:03d}",) for i in range(40)]
+        + [(f"https://small.ex/p{i}",) for i in range(3)],
+        "url string",
+    )
+    edges = spark.createDataFrame(
+        [("hot.ex", "small.ex", 1)], "src string, dst string, weight long"
+    )
+    expect = {
+        (f"https://hot.ex/p{i:03d}", i + 1) for i in range(5)
+    } | {(f"https://small.ex/p{i}", i + 1) for i in range(3)}
+    for buckets in (1, 4, 32):
+        frontier, _ = run_frontier(
+            cands, parse_robots(robots), edges,
+            agent="bot", per_host_budget=5, salt_buckets=buckets,
+            checkpoint_stages=False,
+        )
+        got = {(r["url"], r["host_pos"]) for r in frontier.collect()}
+        assert got == expect, f"salt_buckets={buckets}"
+    frontier, _ = run_frontier(
+        cands, parse_robots(robots), edges,
+        agent="bot", per_host_budget=5, checkpoint_stages=False,
+    )
+    plan = frontier._jdf.queryExecution().executedPlan().toString()
+    # The salted pre-filter window materializes (its _pre_pos alias is
+    # in the plan) and Spark's rank-limit pushdown bounds both sorts
+    # to top-k (WindowGroupLimit), so neither window fully sorts a
+    # host even before salting is considered.
+    assert "_pre_pos" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # Budget-less call keeps the single plain window (full ordering
+    # is genuinely required without a cap).
+    nofilter, _ = run_frontier(
+        cands, parse_robots(robots), edges,
+        agent="bot", checkpoint_stages=False,
+    )
+    plan2 = nofilter._jdf.queryExecution().executedPlan().toString()
+    assert "_pre_pos" not in plan2, plan2
+    assert nofilter.count() == 43
+
+
 def test_ruleless_exact_group_shadows_star(spark):
     """The 'User-agent: x / Disallow:' whitelist idiom: the exact
     group survives parsing as a NULL presence row and shadows '*'
