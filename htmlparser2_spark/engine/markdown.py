@@ -29,6 +29,7 @@ deterministic rule set so the Spark oracle can predict output exactly:
 from __future__ import annotations
 
 import re
+from operator import itemgetter
 
 __all__ = ["to_markdown"]
 
@@ -85,10 +86,20 @@ def _wrap(inner: str, mark: str) -> str:
 class _Renderer:
     def __init__(self, nodes: list[dict]) -> None:
         self.children: dict[int, list[dict]] = {}
+        setdefault = self.children.setdefault
         for n in nodes:
-            self.children.setdefault(n["parent_id"], []).append(n)
+            setdefault(n["parent_id"], []).append(n)
+        # Parser-built arrays arrive in document order, so each child
+        # list is already sorted by idx_in_parent; manipulated arrays
+        # (operators/dommanip renumbers idx_in_parent in place) may
+        # not be. Timsort on the sorted case is a linear verify, but
+        # the per-element key extraction still costs — skip it with an
+        # O(n) check, and use itemgetter (C-side) when sorting.
+        key = itemgetter("idx_in_parent")
         for kids in self.children.values():
-            kids.sort(key=lambda n: n["idx_in_parent"])
+            seq = [key(k) for k in kids]
+            if any(a > b for a, b in zip(seq, seq[1:])):
+                kids.sort(key=key)
         self.body = next(
             (n for n in nodes
              if n["type"] == "tag" and n["name"] == "body"),
