@@ -49,10 +49,12 @@ class _FastHandler:
         self.parts.append(self.buf[start:end])
         self.n_texts += 1
 
-    def on_text_decoded(self, s: str) -> None:
+    def on_text_decoded(self, s: str, end: int) -> None:
         # Batched contract (tokenizer run loop): one pre-decoded string
         # per entity-carrying text run — replaces the alternating
-        # on_text/on_text_entity stream on the hot path. RCDATA content
+        # on_text/on_text_entity stream on the hot path; ``end`` is the
+        # run's exclusive buffer offset (positional consumers like the
+        # Parser's opt-in need it; this handler doesn't). RCDATA content
         # (<title>/<textarea>) still arrives via the per-event methods.
         self.parts.append(s)
         self.n_texts += 1

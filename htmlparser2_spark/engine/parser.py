@@ -229,9 +229,30 @@ class ParserOptions:
 class Parser:
     """One-shot parser for a complete document string."""
 
-    def __init__(self, handler, options: ParserOptions | None = None) -> None:
+    def __init__(
+        self,
+        handler,
+        options: ParserOptions | None = None,
+        *,
+        batch_text: bool = False,
+    ) -> None:
         o = self.options = options or ParserOptions()
         self.cbs = handler
+        if batch_text:
+            # Batched-text opt-in (an extension beyond the reference's
+            # options): entity-carrying text runs arrive as ONE
+            # pre-decoded ontext instead of alternating text/entity
+            # events — the tokenizer's on_text_decoded contract
+            # (engine/tokenizer.py run loop; decode_text_span proves
+            # scan equivalence). Concatenated text is byte-identical
+            # (DomHandler merges adjacent text nodes anyway), but
+            # PER-EVENT granularity and per-entity positions are not
+            # reproduced — only enable for handlers that consume
+            # neither (e.g. DomArrayHandler(with_indices=False), the
+            # Arrow UDF paths). Instance attribute, so the tokenizer's
+            # getattr probe stays False for default parsers and the
+            # golden event streams are untouched.
+            self.on_text_decoded = self._on_text_decoded
         self.html_mode = not o.xml_mode
         self.tokenizer = (o.tokenizer_class or Tokenizer)(
             self,
@@ -309,6 +330,16 @@ class Parser:
         cb = self._cb_text
         if cb:
             cb(chr(cp))
+        self.start_index = end
+
+    def _on_text_decoded(self, s: str, end: int) -> None:
+        # Batched text run (see __init__'s batch_text): one pre-decoded
+        # string, positions advanced to the run's end exactly like the
+        # last event of the equivalent text/entity stream would.
+        self.end_index = end - 1
+        cb = self._cb_text
+        if cb:
+            cb(s)
         self.start_index = end
 
     def _is_void(self, name: str) -> bool:

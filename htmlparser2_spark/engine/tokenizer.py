@@ -242,7 +242,8 @@ class Tokenizer:
                     if on_text_decoded is not None:
                         seg_end = lt if lt != -1 else n
                         on_text_decoded(
-                            decode_text_span(buf, sec, seg_end, text_mode)
+                            decode_text_span(buf, sec, seg_end, text_mode),
+                            seg_end,
                         )
                         i = sec = seg_end
                         continue

@@ -168,8 +168,14 @@ class _NodeCountHandler:
         self._inc(name)
 
 
-def _make_parser(handler, options: dict) -> Parser:
-    return Parser(handler, ParserOptions(**options))
+def _make_parser(handler, options: dict, *, batch_text: bool = False) -> Parser:
+    # batch_text=True opts in to the tokenizer's pre-decoded text-run
+    # batching (engine/parser.py __init__): only for handlers that
+    # consume neither per-event granularity nor per-entity positions —
+    # text/DOM-content extraction, feeds, node-name histograms.
+    # Event-stream and positional UDFs (parser_events_udf,
+    # doc_stats_udf, dom_nodes_udf) MUST keep the exact stream.
+    return Parser(handler, ParserOptions(**options), batch_text=batch_text)
 
 
 # ------------------------------------------------------------------
@@ -193,7 +199,7 @@ def extract_text_udf(**options):
 
         else:
             handler = _TextHandler()
-            parser = _make_parser(handler, options)
+            parser = _make_parser(handler, options, batch_text=True)
 
             def one(value) -> str:
                 handler.parts.clear()
@@ -213,7 +219,7 @@ def inner_text_udf(**options):
         # DomHandler), so per-row cost is a state reset, never object
         # construction.
         handler = DomArrayHandler(with_indices=False)
-        parser = _make_parser(handler, options)
+        parser = _make_parser(handler, options, batch_text=True)
 
         def one(value) -> str:
             parser.parse(_to_str(value))
@@ -228,7 +234,7 @@ def clean_text_udf(**options):
     @F.pandas_udf(StringType())
     def _clean(html: pd.Series) -> pd.Series:
         handler = DomArrayHandler(with_indices=False)
-        parser = _make_parser(handler, options)
+        parser = _make_parser(handler, options, batch_text=True)
 
         def one(value) -> str:
             parser.parse(_to_str(value))
@@ -251,7 +257,7 @@ def main_content_udf(**options):
         from ..engine.readability import main_content_text
 
         handler = DomArrayHandler(with_indices=False)
-        parser = _make_parser(handler, options)
+        parser = _make_parser(handler, options, batch_text=True)
 
         def one(value) -> str:
             parser.parse(_to_str(value))
@@ -334,7 +340,7 @@ def node_counts_udf(**options):
     @F.pandas_udf(NODE_COUNT_SCHEMA)
     def _counts(html: pd.Series) -> pd.Series:
         handler = _NodeCountHandler()
-        parser = _make_parser(handler, options)
+        parser = _make_parser(handler, options, batch_text=True)
 
         def one(value):
             parser.parse(_to_str(value))
@@ -477,7 +483,7 @@ def feed_udf():
     @F.pandas_udf(FEED_SCHEMA)
     def _feed(xml: pd.Series) -> pd.DataFrame:
         handler = DomArrayHandler(with_indices=False)
-        parser = _make_parser(handler, {"xml_mode": True})
+        parser = _make_parser(handler, {"xml_mode": True}, batch_text=True)
         rows = []
         for value in xml:
             parser.parse(_to_str(value))
@@ -544,7 +550,7 @@ def markdown_udf(**options):
         from ..engine.markdown import to_markdown
 
         handler = DomArrayHandler(with_indices=False)
-        parser = _make_parser(handler, options)
+        parser = _make_parser(handler, options, batch_text=True)
 
         def one(value) -> str:
             parser.parse(_to_str(value))
@@ -588,7 +594,7 @@ def sitemap_udf():
     @F.pandas_udf(SITEMAP_SCHEMA)
     def _sitemap(xml: pd.Series) -> pd.DataFrame:
         handler = DomArrayHandler(with_indices=False)
-        parser = _make_parser(handler, {"xml_mode": True})
+        parser = _make_parser(handler, {"xml_mode": True}, batch_text=True)
         rows = []
         for value in xml:
             parser.parse(_to_str(value))

@@ -160,3 +160,55 @@ def test_lifecycle_callbacks():
     assert calls == [("init", True), ("reset", True), ("init", True)]
     parser.reset()
     assert calls[-2:] == [("reset", True), ("init", True)]
+
+
+def test_batch_text_parity():
+    """batch_text=True (the Arrow-UDF opt-in) must produce an
+    identical DOM (index-free) and identical concatenated text to the
+    exact per-event stream, across entity-dense, rawtext, RCDATA,
+    CDATA-ish, and xml shapes — only event granularity may differ."""
+    from htmlparser2_spark.engine.dom import DomArrayHandler
+    from htmlparser2_spark.engine.parser import Parser, ParserOptions
+
+    docs = [
+        "<p>fish &amp; chips &lt;3 &#8212; &copy;2026</p>",
+        "<p>&notareal; &times &amp;lt; &#x2F;&#47;</p><p>b&b</p>",
+        "<title>a &amp; b</title><script>x = '&amp;';</script>"
+        "<textarea>1 &lt; 2</textarea>",
+        "<ul><li>&hellip;<b>x &ndash; y</b></li><li>plain</li></ul>",
+        "&#38;&#38;#49;; leading text <div>&rsquo;</div> trailing &",
+        "",
+        "no markup at all &amp; some entities &unknown; &#x110000;",
+    ]
+    for xml in (False, True):
+        opts = ParserOptions(xml_mode=xml)
+        for doc in docs:
+            h1 = DomArrayHandler(with_indices=False)
+            Parser(h1, opts).parse(doc)
+            h2 = DomArrayHandler(with_indices=False)
+            Parser(h2, ParserOptions(xml_mode=xml), batch_text=True).parse(doc)
+            assert h1.nodes == h2.nodes, (xml, doc)
+
+
+def test_batch_text_positions_advance():
+    """The batched text callback must advance start/end indices to the
+    run's end exactly like the last event of the per-event stream, so
+    a FOLLOWING tag's startIndex is unaffected by the opt-in."""
+    from htmlparser2_spark.engine.parser import Parser, ParserOptions
+
+    seen = {}
+
+    class _Probe:
+        def on_open_tag(self, name, attrs, implied):
+            seen.setdefault("starts", []).append(
+                (name, self.parser.start_index)
+            )
+
+        def on_parser_init(self, parser):
+            self.parser = parser
+
+    doc = "<body>a &amp; b<div>x</div></body>"
+    for batch in (False, True):
+        seen.clear()
+        Parser(_Probe(), ParserOptions(), batch_text=batch).parse(doc)
+        assert seen["starts"] == [("body", 0), ("div", 15)], (batch, seen)

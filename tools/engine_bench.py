@@ -144,7 +144,10 @@ class _TextHandler:
 def main(n_docs: int = 20000, repeats: int = 3) -> None:
     fast = FastTextExtractor()
     handler = _TextHandler()
-    parser = Parser(handler)
+    # batch_text mirrors the production UDF construction
+    # (functions/udfs.py _make_parser): text/DOM-content extraction
+    # opts in to pre-decoded text-run batching.
+    parser = Parser(handler, batch_text=True)
 
     def full(d: str) -> str:
         handler.parts.clear()
@@ -172,7 +175,7 @@ def main(n_docs: int = 20000, repeats: int = 3) -> None:
     from htmlparser2_spark.engine.markdown import to_markdown
 
     md_handler = DomArrayHandler(with_indices=False)
-    md_parser = Parser(md_handler)
+    md_parser = Parser(md_handler, batch_text=True)  # = markdown_udf
 
     def render(d: str) -> str:
         md_parser.parse(d)
