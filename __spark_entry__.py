@@ -2243,7 +2243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry_oracle.py::test_gate_window_covers_all_queries
     # enforces that no query ever lives its whole life below the cap.
     return {
-        # -- 28 never-gated (no driver row in any round) --
+        # -- 30 queries with no round-3 verdict; 28 of them never
+        #    driver-gated in ANY round. q_hash_embed (last verdict r2,
+        #    BEFORE its scalar reshape) and q_serialize_roundtrip
+        #    (last verdict r1) lead the window because their old rows
+        #    predate the code they now exercise. --
         "q_hash_embed": _q_hash_embed,
         "q_dom_manip": _q_dom_manip,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
@@ -2274,7 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": _q_sitemap,
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
-        # -- 19 r1/r2-only rows, re-certified under the r3 tokenizer --
+        # -- 17 more r1/r2-only rows, re-certified under the r3
+        #    tokenizer rewrites --
         "q_clean_text": _q_clean_text,
         "q_inner_text": _q_inner_text,
         "q_inner_html": _q_inner_html,

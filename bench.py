@@ -182,15 +182,16 @@ def main() -> None:
     # (round-3 driver bench: q_minhash_lsh 5.93s vs 4.3s quiet).
     # Spreading a line's reps across the whole suite means a spike taxes
     # one rep of several lines instead, and best-of-N recovers each.
-    # Extraction lines and q_minhash_lsh get 3 reps (headline metric /
-    # longest line), the rest 2.
+    # Best-of-3 minimum on EVERY line (CLAUDE.md perf rule: a single
+    # spike can inflate one run 3-8x, and with only 2 reps a spike
+    # covering both loses the line).
     suite: list[tuple[str, object, int]] = [
         ("q_extract", q_extract, 3),
         ("q_extract_large_pages", q_extract_large, 3),
-        ("q_dom_histogram", q_dom, 2),
-        ("q_doc_stats", q_stats, 2),
+        ("q_dom_histogram", q_dom, 3),
+        ("q_doc_stats", q_stats, 3),
         ("q_minhash_lsh", q_minhash, 3),
-        ("q_ann_topk", q_ann, 2),
+        ("q_ann_topk", q_ann, 3),
     ]
     for rep in range(max(r for _, _, r in suite)):
         for name, fn, repeats in suite:

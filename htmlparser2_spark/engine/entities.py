@@ -109,11 +109,6 @@ def _replace_codepoint(cp: int) -> int:
 _HEX_DIGITS = set("0123456789abcdefABCDEF")
 _DEC_DIGITS = set("0123456789")
 
-# Numeric reference matched at the '#': decimal or hex body, optional
-# ';'. Decode rules around it (STRICT requires the ';'; no digits backs
-# out fully) are applied by the caller — mirrors decode_at's branch.
-_RE_NUM_REF = re.compile(r"#([0-9]+|[xX][0-9a-fA-F]+)(;?)")
-
 # Fast path for the handful of references that dominate real HTML.
 # Maps the exact text following '&' to (codepoints, consumed-from-&).
 # Only safe entries: fully-terminated (';') references whose decode is
