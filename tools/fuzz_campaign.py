@@ -86,6 +86,16 @@ def main(n_docs: int = 60000, seed: int = 20260816) -> int:
                 dom_text = text_content(parse_document(doc))
                 fast, _ = extractor.extract(doc)
                 assert fast == dom_text, f"fast!=dom: {doc!r}"
+            if i % 4 == 0:
+                # batch_text opt-in parity (round 4): index-free DOM
+                # must match the exact per-event stream's DOM.
+                from htmlparser2_spark.engine.dom import DomArrayHandler
+
+                h1 = DomArrayHandler(with_indices=False)
+                Parser(h1, ParserOptions(**opts)).parse(doc)
+                h2 = DomArrayHandler(with_indices=False)
+                Parser(h2, ParserOptions(**opts), batch_text=True).parse(doc)
+                assert h1.nodes == h2.nodes, f"batch!=exact: {doc!r} {opts}"
         except Exception as exc:  # noqa: BLE001 - report and count everything
             failures += 1
             print(f"FAIL[{i}] {type(exc).__name__}: {str(exc)[:300]}")
