@@ -97,6 +97,8 @@ class _Renderer:
         # O(n) check, and use itemgetter (C-side) when sorting.
         key = itemgetter("idx_in_parent")
         for kids in self.children.values():
+            if len(kids) < 2:
+                continue
             seq = [key(k) for k in kids]
             if any(a > b for a, b in zip(seq, seq[1:])):
                 kids.sort(key=key)
