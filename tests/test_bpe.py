@@ -1,0 +1,162 @@
+"""BPE merge training + encoding (operators/bpe.py): trainer
+semantics against hand-worked merges, the brace-replace merge
+identity, Spark/pure-Python encode parity, and the map-only plan pin
+for the encoder."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from htmlparser2_spark.operators.bpe import (
+    EOW,
+    _word_seg,
+    apply_merges,
+    encode_bpe,
+    merges_to_df,
+    segment_expr,
+    train_bpe,
+    train_bpe_on_freqs,
+    word_frequencies,
+)
+
+
+def _encode_py(text: str, merges) -> str:
+    """Reference encoder: segment, then apply merges in rank order
+    with plain str.replace — the exact semantics the Catalyst chain
+    must reproduce."""
+    import re
+
+    words = re.findall("[a-z]+", (text or "").lower())
+    seg = "".join(_word_seg(w) for w in words)
+    for _rank, lhs, rhs, _cnt in merges:
+        seg = seg.replace("{%s}{%s}" % (lhs, rhs), "{%s%s}" % (lhs, rhs))
+    return seg
+
+
+# ---------------------------------------------------------------- pure
+
+
+def test_word_seg_shape():
+    assert _word_seg("ab") == "{a}{b}{" + EOW + "}"
+    assert _word_seg("x") == "{x}{" + EOW + "}"
+
+
+def test_train_hand_worked():
+    # "low" x5, "lower" x2: pairs (l,o)=7, (o,w)=7, (w,</w>)=5,
+    # (w,e)=2, (e,r)=2, (r,</w>)=2. Tie 7/7 -> (l,o) wins lex.
+    merges = train_bpe_on_freqs([("low", 5), ("lower", 2)], 3)
+    assert merges[0] == (1, "l", "o", 7)
+    # After merge 1: segs {lo}{w}..., pair (lo,w)=7 is now the max.
+    assert merges[1] == (2, "lo", "w", 7)
+    # After merge 2: {low}{</w>} x5, {low}{e}{r}{</w>} x2.
+    assert merges[2] == (3, "low", EOW, 5)
+
+
+def test_merge_replace_is_canonical_on_runs():
+    # Overlapping-run semantics: left-to-right non-overlapping, the
+    # canonical greedy merge. {a}{a}{a} -> {aa}{a}, alternations all
+    # merge.
+    merges = train_bpe_on_freqs([("aaa", 1), ("abab", 3)], 1)
+    assert merges[0][1:3] == ("a", "b")  # (a,b)=6 beats (a,a)=2
+    seg = _encode_py("aaa abab", merges)
+    assert seg == "{a}{a}{a}{</w>}{ab}{ab}{</w>}"
+
+
+def test_train_early_stop_when_pairs_exhaust():
+    # Single-char words: one pair (x, </w>) each -> after both merge,
+    # no pairs remain; trainer stops at 2 of 10 requested.
+    merges = train_bpe_on_freqs([("a", 3), ("b", 1)], 10)
+    assert [m[1:3] for m in merges] == [("a", EOW), ("b", EOW)]
+
+
+def test_train_validation():
+    with pytest.raises(ValueError):
+        train_bpe_on_freqs([("a", 1)], 0)
+
+
+def test_eow_distinguishes_word_final():
+    # "ab" frequent as a full word, "abc" rare: the learned unit is
+    # (b, </w>)-flavored, proving the end-of-word marker participates.
+    merges = train_bpe_on_freqs([("ab", 9), ("abc", 1)], 2)
+    assert merges[0][1:3] == ("a", "b")
+    assert merges[1][1:3] == ("ab", EOW)
+
+
+# --------------------------------------------------------------- spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.spark
+def test_word_frequencies_cap_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("b b a a c",), (None,), ("A!",)], ["text"]
+    )
+    rows = word_frequencies(df, top_words=2).collect()
+    got = {(r["word"], r["freq"]) for r in rows}
+    assert got == {("a", 3), ("b", 2)}  # tie a/b at 2 resolved +1 'a'
+
+
+@pytest.mark.spark
+def test_spark_encode_matches_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    merges = train_bpe(word_frequencies(docs, top_words=50), 12)
+    assert len(merges) == 12
+    enc = encode_bpe(docs, merges).select("doc_id", "text", "bpe_seg", "n_bpe")
+    for r in enc.collect():
+        seg = _encode_py(r["text"], merges)
+        assert r["bpe_seg"] == seg, r["doc_id"]
+        assert r["n_bpe"] == seg.count("{")
+
+
+@pytest.mark.spark
+def test_encode_plan_is_map_only(spark):
+    """The replace chain must stay a single map-only Project: no
+    Exchange, no Python evaluation, no join against the merge table
+    (merges are plan literals)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [(1, "e", EOW, 0), (2, "t", "h", 0)]
+    p = _plan(encode_bpe(docs, merges))
+    assert "Exchange" not in p
+    assert "Python" not in p and "mapInPandas" not in p
+    assert "Join" not in p
+
+
+@pytest.mark.spark
+def test_merges_to_df_roundtrip(spark):
+    merges = [(1, "l", "o", 7), (2, "lo", "w", 7)]
+    out = merges_to_df(spark, merges).collect()
+    assert [tuple(r) for r in out] == merges
+
+
+@pytest.mark.spark
+def test_segment_expr_null_and_nonlatin(spark):
+    df = spark.createDataFrame([(None,), ("42 !!",), ("Ab",)], ["text"])
+    got = [r[0] for r in df.select(segment_expr("text")).collect()]
+    assert got == ["", "", "{a}{b}{%s}" % EOW]
+
+
+@pytest.mark.spark
+def test_apply_merges_column_matches_str_replace(spark):
+    merges = train_bpe_on_freqs([("aaa", 1), ("abab", 3), ("low", 2)], 4)
+    df = spark.createDataFrame(
+        [("aaa abab low lowaaa",), ("ababab",)], ["text"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            apply_merges(segment_expr("text"), merges)
+        ).collect()
+    ]
+    want = [_encode_py("aaa abab low lowaaa", merges), _encode_py("ababab", merges)]
+    assert got == want
