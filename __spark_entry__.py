@@ -2280,6 +2280,33 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic BM25 gate query set over the corpus's SQL-flavored
+# vocabulary (one multi-term, one with a term in every doc, one
+# single-term, one with an out-of-vocabulary term — OOV terms carry
+# no evidence and must simply not contribute).
+_BM25_QUERIES = [
+    ("q1", "fast table scan"),
+    ("q2", "hash join merge"),
+    ("q3", "window"),
+    ("q4", "spark stream nosuchword"),
+]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/ranking.py): scores rounded to
+    4dp BEFORE ranking with doc-id tiebreak, salted partial top-k
+    ahead of the exact per-query window. The oracle replays idf/tf
+    weighting, rounding, and the rank cut; every float literal is
+    CAST to DOUBLE (DuckDB bare decimals are DECIMAL-typed)."""
+    from htmlparser2_spark.operators.ranking import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, query_text string"
+    )
+    return bm25_topk(docs, qdf, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-4 ROTATION. The driver gate verifies exactly the FIRST 50
     # dict entries (CORRECTNESS_r0{1,2,3}.json are each precisely the
@@ -2344,18 +2371,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": _q_events_hourly,
         "q_user_first_event": _q_user_first_event,
         "q_top_hosts": _q_top_hosts,
-        "q_priority_revenue": _q_priority_revenue,
         "q_extraction_diff": _q_extraction_diff,
         # -- 1 round-3-green anchor (continuity across rotations) +
-        #    the 2 queries NEW this round (BPE training/encoding) —
-        #    new queries must enter inside the window (the gate-window
-        #    honesty test forbids a query ever living below the cap
-        #    with no driver verdict). q_extract_match and q_minhash_lsh
-        #    moved below the cap: both hold green r3 rows. --
+        #    the 3 queries NEW this round (BPE training/encoding,
+        #    BM25 retrieval) — new queries must enter inside the
+        #    window (the gate-window honesty test forbids a query
+        #    ever living below the cap with no driver verdict).
+        #    q_extract_match and q_minhash_lsh moved below the cap on
+        #    green r3 rows; q_priority_revenue (r1-green, pure
+        #    orders/lineitem relational — no tokenizer involvement,
+        #    so its r1 row needs no re-certification) rotates to
+        #    round 5. --
         "q_extract_text": _q_extract_text,
         "q_bpe_train": _q_bpe_train,
         "q_bpe_encode": _q_bpe_encode,
-        # ---- below the 50-row gate cap: all driver-green in round 3 ----
+        "q_bm25": _q_bm25,
+        # ---- below the 50-row gate cap: all driver-green in a past
+        #      round ----
+        "q_priority_revenue": _q_priority_revenue,
         "q_extract_match": _q_extract_match,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_title": _q_title,
@@ -2719,6 +2752,44 @@ def _bpe_encode_sql(*, top_words: int, n_merges: int) -> str:
     )
 
 
+def _bm25_sql(*, k: int, k1: float, b: float) -> str:
+    """Full BM25 replay: shared token convention, length carried
+    through the explode, Lucene idf, 4dp round BEFORE the rank cut.
+    Every float literal CAST to DOUBLE — DuckDB types bare decimal
+    literals as DECIMAL and its fixed-point division would diverge
+    from Spark's double arithmetic."""
+    qvals = ", ".join(f"('{i}', '{t}')" for i, t in _BM25_QUERIES)
+    toks = ORACLE_TOKENS_SQL.format(col="text")
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    return (
+        f"WITH q(query_id, query_text) AS (VALUES {qvals}), "
+        "qt AS (SELECT DISTINCT query_id, unnest("
+        + ORACLE_TOKENS_SQL.format(col="query_text")
+        + ") AS token FROM q), "
+        f"pd AS (SELECT id, dl, token, CAST(count(*) AS BIGINT) AS tf "
+        f"FROM (SELECT doc_id AS id, len({toks}) AS dl, "
+        f"unnest({toks}) AS token FROM documents) GROUP BY id, dl, token), "
+        f"stats AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus, "
+        f"avg(CAST(len({toks}) AS DOUBLE)) AS avgdl FROM documents), "
+        "dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pd "
+        "WHERE token IN (SELECT token FROM qt) GROUP BY token), "
+        "sc AS (SELECT qt.query_id, pd.id, round(SUM("
+        f"ln({d(1.0)} + (stats.n_corpus - dft.df + {d(0.5)}) / "
+        f"(dft.df + {d(0.5)})) * (pd.tf * {d(1.0 + k1)} / "
+        f"(pd.tf + {d(k1)} * ({d(1.0 - b)} + {d(b)} * pd.dl / stats.avgdl)))"
+        "), 4) AS score "
+        "FROM pd JOIN qt USING (token) JOIN dft USING (token) "
+        "CROSS JOIN stats GROUP BY qt.query_id, pd.id) "
+        "SELECT query_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, id) AS INTEGER) "
+        "AS rank, id AS doc_id, score FROM sc "
+        f"QUALIFY rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from htmlparser2_spark.sources.warc import warc_pages_expr
 
@@ -2734,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_encode": _bpe_encode_sql(
             top_words=_BPE_TOP_WORDS, n_merges=_BPE_N_MERGES
         ),
+        "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
         "q_extract_text": f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages",
         "q_extract_match": (
             f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "
