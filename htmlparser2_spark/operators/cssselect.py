@@ -31,7 +31,7 @@ Supported grammar (the high-traffic subset)::
                    | '[attr=v i]' (CSS4 case-insensitive value flag)
                    | ':first-of-type' | ':last-of-type' | ':only-of-type'
                    | ':nth-of-type(An+B)' | ':nth-last-of-type(An+B)'
-                   | ':not(compound)' | ':empty' | ':root'
+                   | ':not(compound)' | ':empty' | ':root' | ':scope'
                    | ':is(compound-list)' | ':where(...)' | ':matches(...)'
                    | ':contains(text)' | ':icontains(text)'
                    | ':has(compound-list)' | ':has(> compound-list)'
@@ -183,7 +183,13 @@ def _pseudo_pred(name: str, arg: str | None) -> tuple[Column, bool, bool]:
         return _nth_pred(rank, a, b), True, False
     if name == "empty":
         return F.col("__kidcount") == 0, True, False
-    if name == "root":
+    if name in ("root", "scope"):
+        # css-select resolves :scope to the context element, falling
+        # back to the ROOT when no context is set (css-select
+        # Options.context). Our relational select is always
+        # document-rooted — there is no narrower context to scope to —
+        # so :scope is exactly the root predicate: elements whose
+        # parent is the document itself.
         return F.col("parent_id") == -1, False, False
     if name in ("contains", "icontains"):
         if arg is None:

@@ -1767,6 +1767,14 @@ def test_css_select_pseudo_classes(spark):
     assert len(got("div :not(p)")) == 2              # h1 + span
     assert len(got("ul > li:nth-child(2)")) == 1
     assert len(got("li:first-child + li")) == 1      # pseudo then sibling
+    # :scope with no context = the root (css-select's fallback): the
+    # three top-level elements here, and as a combinator anchor.
+    assert len(got(":scope")) == 3                   # ul, div, p
+    assert got(":scope") == got(":root")
+    assert len(got(":scope > li")) == 4              # ul is a root
+    assert len(got("div:scope")) == 1
+    assert len(got(":scope p")) == 2                 # div's two p's;
+    # the solo top-level p IS a root, not a descendant of one
 
 
 def test_css_select_not_over_missing_attrs(spark):
