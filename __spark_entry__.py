@@ -2292,6 +2292,29 @@ _BM25_QUERIES = [
 ]
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mC4-style temperature rebalancing at alpha=0.5 (T=2) and a 60%
+    token budget: rare languages upsample (copy > 1 rows appear),
+    dominant ones downsample. The oracle recomputes the per-language
+    rates from the same counts, replays the floor+Bernoulli copy
+    arithmetic on the portable hash, and unrolls copies with
+    generate_series."""
+    from htmlparser2_spark.operators.sampling import (
+        portable_hash,
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sample(
+        docs,
+        alpha=0.5,
+        target_frac=0.6,
+        strata_col="lang",
+        key_col="doc_id",
+        hash_expr=portable_hash(F.col("doc_id")),
+    ).select("doc_id", "lang", "copy")
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (operators/ranking.py): scores rounded to
     4dp BEFORE ranking with doc-id tiebreak, salted partial top-k
@@ -2368,7 +2391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
         "q_feed_rdf": _q_feed_rdf,
-        "q_events_hourly": _q_events_hourly,
         "q_user_first_event": _q_user_first_event,
         "q_top_hosts": _q_top_hosts,
         "q_extraction_diff": _q_extraction_diff,
@@ -2386,8 +2408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": _q_bpe_train,
         "q_bpe_encode": _q_bpe_encode,
         "q_bm25": _q_bm25,
+        "q_temperature_sample": _q_temperature_sample,
         # ---- below the 50-row gate cap: all driver-green in a past
-        #      round ----
+        #      round (q_events_hourly, like q_priority_revenue, is a
+        #      pure events/orders relational query with no tokenizer
+        #      involvement — its r1 row needs no re-certification) ----
+        "q_events_hourly": _q_events_hourly,
         "q_priority_revenue": _q_priority_revenue,
         "q_extract_match": _q_extract_match,
         "q_minhash_lsh": _q_minhash_lsh,
@@ -2806,6 +2832,28 @@ def oracle_sql() -> dict[str, str]:
             top_words=_BPE_TOP_WORDS, n_merges=_BPE_N_MERGES
         ),
         "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
+        "q_temperature_sample": (
+            # Rate arithmetic mirrored float-op-for-float-op (the N^a
+            # factor cancels in q_l, so the normalizer reduces over raw
+            # counts); copies unrolled with generate_series (empty when
+            # n_copies = 0, exactly like the guarded Spark sequence).
+            "WITH cnt AS (SELECT lang AS stratum, "
+            "CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang), "
+            "tot AS (SELECT SUM(n_l) AS n, SUM(pow(CAST(n_l AS DOUBLE), "
+            "CAST(0.5 AS DOUBLE))) AS z_num FROM cnt), "
+            "rates AS (SELECT stratum, CAST(0.6 AS DOUBLE) * n * "
+            "(pow(CAST(n_l AS DOUBLE), CAST(0.5 AS DOUBLE)) / z_num) / n_l "
+            "AS rate FROM cnt, tot), "
+            "base AS (SELECT d.doc_id, d.lang, "
+            "CAST(floor(r.rate) AS BIGINT) + CASE WHEN "
+            "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "% 1000000 < round((r.rate - floor(r.rate)) * 1000000) "
+            "THEN 1 ELSE 0 END AS n_copies "
+            "FROM documents d JOIN rates r "
+            "ON d.lang IS NOT DISTINCT FROM r.stratum) "
+            "SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) "
+            "AS INTEGER) AS copy FROM base"
+        ),
         "q_extract_text": f"WITH {_PAGES_CTE} SELECT url, text AS text_out FROM pages",
         "q_extract_match": (
             f"WITH {_PAGES_CTE} SELECT CAST(count(*) AS BIGINT) AS n_docs, "

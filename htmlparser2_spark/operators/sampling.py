@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "quota_sample",
     "token_budget_shards",
+    "temperature_sample",
     "portable_hash",
 ]
 
@@ -133,6 +134,82 @@ def quota_sample(
         .filter(F.col("__quota_rn") <= n_per_stratum)
         .drop("__quota_rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    target_frac: float,
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """mC4/XLM-R temperature rebalancing: resample strata so the
+    output follows ``q_l ∝ p_l^alpha`` (``p_l`` = stratum share of the
+    corpus; ``alpha < 1`` flattens toward rare strata, 1 = natural,
+    0 = uniform) at a total budget of ``target_frac · N`` expected
+    rows. Unlike :func:`stratified_sample` the rates are LEARNED from
+    the corpus, and rare strata can be UPSAMPLED: each row gets
+    ``n_copies = floor(r_l) + Bernoulli(frac(r_l))`` deterministic
+    copies (expected copies exactly ``r_l = target_frac·N·q_l/n_l``)
+    and is exploded to one output row per copy with a 1-based ``copy``
+    index — the standard epoch-repeat representation.
+
+    Scale shape: one stratum-keyed aggregate whose output is
+    #strata rows, the per-stratum normalizer reduced over THAT tiny
+    table (never the corpus), rates broadcast-joined back (null-safe,
+    so a NULL stratum is a stratum, not silently dropped), then a
+    map-only copy-count explode. The corpus is never re-shuffled and
+    never collected.
+
+    Determinism: the Bernoulli on the fractional part reuses the
+    sampling hash (``hash(key) mod 1e6`` vs the rounded fractional
+    threshold), so membership and copy counts are pure functions of
+    (key, corpus composition).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    if target_frac <= 0:
+        raise ValueError(f"target_frac must be positive: {target_frac}")
+    counts = df.groupBy(F.col(strata_col).alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__n_l")
+    )
+    tot = counts.agg(
+        F.sum("__n_l").alias("__n"),
+        F.sum(
+            F.pow(F.col("__n_l").cast("double"), F.lit(float(alpha)))
+        ).alias("__z_num"),
+    )
+    # q_l = p_l^a / sum(p_l^a) = n_l^a / sum(n_l^a): the N^a factor
+    # cancels, so the normalizer is computed on raw counts — fewer
+    # float ops for the oracle to mirror.
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "__stratum",
+        (
+            F.lit(float(target_frac))
+            * F.col("__n")
+            * (
+                F.pow(F.col("__n_l").cast("double"), F.lit(float(alpha)))
+                / F.col("__z_num")
+            )
+            / F.col("__n_l")
+        ).alias("__rate"),
+    )
+    joined = df.join(
+        F.broadcast(rates),
+        F.col(strata_col).eqNullSafe(F.col("__stratum")),
+    ).drop("__stratum")
+    frac_thr = F.round((F.col("__rate") - F.floor(F.col("__rate"))) * _M)
+    n_copies = F.floor(F.col("__rate")).cast("long") + F.when(
+        _h(F.col(key_col), hash_expr) < frac_thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) counts DOWN in Spark ([1, 0]) — zero copies must
+    # be an explicit empty array or dropped rows would yield 2 rows.
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return joined.withColumn("copy", F.explode(copies)).drop("__rate")
 
 
 def token_budget_shards(

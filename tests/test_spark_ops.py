@@ -1281,6 +1281,81 @@ def test_quota_sample_exact_counts(spark):
     }
 
 
+def test_temperature_sample_upsamples_rare_strata(spark):
+    """alpha=0 is the uniform target: the rare stratum's rate exceeds
+    1 and its rows appear with copy > 1 (expected copies ~ rate); the
+    dominant stratum downsamples. Budget roughly honored overall."""
+    from htmlparser2_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 900 else "xx") for i in range(940)],
+        "doc_id long, lang string",
+    )
+    out = temperature_sample(df, alpha=0.0, target_frac=1.0).select(
+        "doc_id", "lang", "copy"
+    )
+    rows = out.collect()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # Uniform target: ~470 expected per stratum.
+    assert 380 < by_lang["en"] < 560
+    assert 380 < by_lang["xx"] < 560
+    # rate_xx = 940*0.5/40 = 11.75 -> every xx doc has >= 11 copies.
+    xx_copies = [r["copy"] for r in rows if r["lang"] == "xx"]
+    assert max(xx_copies) in (11, 12)
+    # copy indices are 1..n_copies per doc (a dense sequence).
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    for _id, cs in per_doc.items():
+        assert sorted(cs) == list(range(1, len(cs) + 1))
+    # Deterministic across runs.
+    again = temperature_sample(df, alpha=0.0, target_frac=1.0)
+    assert sorted(map(tuple, rows)) == sorted(
+        (r["doc_id"], r["lang"], r["copy"])
+        for r in again.select("doc_id", "lang", "copy").collect()
+    )
+
+
+def test_temperature_sample_alpha1_matches_plain_fraction(spark):
+    """alpha=1 is the natural distribution: every stratum's rate is
+    exactly target_frac, so membership equals hash_sample at the same
+    fraction (and no row ever has copy > 1)."""
+    from htmlparser2_spark.operators.sampling import (
+        hash_sample,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    ts = temperature_sample(df, alpha=1.0, target_frac=0.4)
+    got = {(r["doc_id"], r["copy"]) for r in ts.collect()}
+    plain = {r["doc_id"] for r in hash_sample(df, 0.4).collect()}
+    assert got == {(i, 1) for i in plain}
+
+
+def test_temperature_sample_null_stratum_and_validation(spark):
+    from htmlparser2_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(0, "en"), (1, None), (2, None), (3, "en")],
+        "doc_id long, lang string",
+    )
+    # NULL is a stratum (null-safe join), never silently dropped:
+    # alpha=0/frac=1 gives rate 1.0 for both strata -> all 4 rows.
+    out = temperature_sample(df, alpha=0.0, target_frac=1.0).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_sample(df, alpha=-0.1, target_frac=1.0)
+    with _pytest.raises(ValueError):
+        temperature_sample(df, alpha=1.0, target_frac=0.0)
+
+
 def test_token_budget_shards_invariants(spark):
     """Start-offset packing invariants: a shard never exceeds
     budget + one max-size doc (the straddler), every non-final shard's
