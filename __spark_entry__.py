@@ -2292,6 +2292,30 @@ _BM25_QUERIES = [
 ]
 
 
+def _q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM scoring (Brants et al. 2007): bigram + unigram
+    tiers trained on the even-doc_id half, every document scored. Odd
+    docs exercise all three branches — seen bigram, unigram backoff,
+    and the true-OOV floor. ppl excluded for the same exp()/ULP reason
+    as q_lm_score."""
+    from htmlparser2_spark.operators.lm_score import (
+        backoff_doc_scores,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trusted = docs.filter(F.col("doc_id") % 2 == 0)
+    scored = backoff_doc_scores(
+        docs, train_bigram_lm(trusted), train_unigram_lm(trusted)
+    )
+    return scored.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logp", 4).alias("avg_logp"),
+    )
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mC4-style temperature rebalancing at alpha=0.5 (T=2) and a 60%
     token budget: rare languages upsample (copy > 1 rows appear),
@@ -2391,7 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
         "q_feed_rdf": _q_feed_rdf,
-        "q_user_first_event": _q_user_first_event,
         "q_top_hosts": _q_top_hosts,
         "q_extraction_diff": _q_extraction_diff,
         # -- 1 round-3-green anchor (continuity across rotations) +
@@ -2409,11 +2432,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": _q_bpe_encode,
         "q_bm25": _q_bm25,
         "q_temperature_sample": _q_temperature_sample,
+        "q_lm_backoff": _q_lm_backoff,
         # ---- below the 50-row gate cap: all driver-green in a past
-        #      round (q_events_hourly, like q_priority_revenue, is a
-        #      pure events/orders relational query with no tokenizer
-        #      involvement — its r1 row needs no re-certification) ----
+        #      round (q_events_hourly and q_user_first_event, like
+        #      q_priority_revenue, are pure events/orders relational
+        #      queries with no tokenizer involvement — their r1 rows
+        #      need no re-certification) ----
         "q_events_hourly": _q_events_hourly,
+        "q_user_first_event": _q_user_first_event,
         "q_priority_revenue": _q_priority_revenue,
         "q_extract_match": _q_extract_match,
         "q_minhash_lsh": _q_minhash_lsh,
@@ -2832,6 +2858,35 @@ def oracle_sql() -> dict[str, str]:
             top_words=_BPE_TOP_WORDS, n_merges=_BPE_N_MERGES
         ),
         "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
+        "q_lm_backoff": (
+            # q_lm_score's replay plus the unigram tier: unseen bigram
+            # -> ln(0.4) + ln P(w2), true OOV -> the ln(1e-6) floor.
+            "WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+            "x -> x <> '') AS t FROM documents), "
+            "bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] "
+            "for i in generate_series(1, len(t) - 1)]) AS bigram FROM toks), "
+            "dbg AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2), "
+            "c2 AS (SELECT bigram, SUM(cnt) AS c2 FROM dbg "
+            "WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, bigram, c2 FROM c2), "
+            "c1 AS (SELECT w1, SUM(c2) AS c1 FROM ctx GROUP BY 1), "
+            "lm AS (SELECT bigram, ln(CAST(c2 AS DOUBLE) / c1) AS logp "
+            "FROM ctx JOIN c1 USING (w1)), "
+            "uni AS (SELECT token, COUNT(*) AS cu FROM ("
+            "SELECT unnest(t) AS token FROM toks WHERE doc_id % 2 = 0) "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(cu) AS t_tokens FROM uni), "
+            "ulm AS (SELECT token, ln(CAST(cu AS DOUBLE) / t_tokens) "
+            "AS logp_uni FROM uni, tot), "
+            "sc AS (SELECT doc_id, SUM(cnt) AS n_bigrams, "
+            "SUM(cnt * COALESCE(logp, ln(CAST(0.4 AS DOUBLE)) + logp_uni, "
+            "ln(1e-6))) / SUM(cnt) AS avg "
+            "FROM dbg LEFT JOIN lm USING (bigram) "
+            "LEFT JOIN ulm ON string_split(bigram, ' ')[2] = ulm.token "
+            "GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "round(avg, 4) AS avg_logp FROM documents d LEFT JOIN sc USING (doc_id)"
+        ),
         "q_temperature_sample": (
             # Rate arithmetic mirrored float-op-for-float-op (the N^a
             # factor cancels in q_l, so the normalizer reduces over raw

@@ -37,13 +37,16 @@ from ..functions.textstats import oracle_tokens
 __all__ = [
     "doc_bigrams",
     "train_bigram_lm",
+    "train_unigram_lm",
     "lm_doc_scores",
+    "backoff_doc_scores",
     "perplexity_buckets",
     "perplexity_bucket_cutoffs",
     "perplexity_buckets_by_cutoff",
 ]
 
 DEFAULT_OOV_LOGP = math.log(1e-6)
+DEFAULT_BACKOFF = 0.4
 
 
 def _bigram_array(text_col: Column) -> Column:
@@ -104,6 +107,97 @@ def train_bigram_lm(
         with_ctx.join(ctx, "w1")
         .filter(F.col("c2") >= min_count)
         .select("bigram", F.log(F.col("c2") / F.col("c1")).alias("logp"))
+    )
+
+
+def train_unigram_lm(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, logp_uni) — MLE ln P(w) = ln(c(w) / T) over the shared
+    token convention. The backoff tier of :func:`backoff_doc_scores`.
+    One token-keyed aggregate; the total T is a single row
+    cross-joined back (broadcast by construction)."""
+    uni = (
+        corpus.select(
+            F.explode(oracle_tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("t_tokens"))
+    return uni.crossJoin(F.broadcast(tot)).select(
+        "token", F.log(F.col("cu") / F.col("t_tokens")).alias("logp_uni")
+    )
+
+
+def backoff_doc_scores(
+    docs: DataFrame,
+    bigram_lm: DataFrame,
+    unigram_lm: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = DEFAULT_BACKOFF,
+    oov_logp: float = DEFAULT_OOV_LOGP,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp, ppl) under stupid backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    web-scale recipe): a seen bigram scores its MLE conditional, an
+    unseen one backs off to ``ln(backoff) + ln P(w2)``, and only a
+    token absent from the training corpus entirely falls to the fixed
+    ``oov_logp`` floor. Strictly better-calibrated tails than
+    :func:`lm_doc_scores`'s single floor: rare-but-plausible
+    continuations score above gibberish.
+
+    Scale shape: identical to :func:`lm_doc_scores` plus ONE extra
+    left join against the unigram table keyed on the continuation
+    token — the unigram side is vocabulary-sized (pruned models
+    broadcast under AQE), and the probe side is the same per-doc
+    distinct-bigram aggregate, so no new skew class appears. The
+    ln(backoff) penalty enters as one literal (the exact double is
+    shared with the oracle), keeping everything whole-stage codegen.
+    """
+    w2 = F.substring_index(F.col("bigram"), " ", -1)
+    scored = (
+        doc_bigrams(docs, text_col=text_col, id_col=id_col)
+        .join(bigram_lm, "bigram", "left")
+        .withColumn("__w2", w2)
+        .join(
+            unigram_lm.select(
+                F.col("token").alias("__w2"),
+                F.col("logp_uni").alias("__logp_uni"),
+            ),
+            "__w2",
+            "left",
+        )
+        .withColumn(
+            "__lp",
+            F.coalesce(
+                F.col("logp"),
+                F.lit(math.log(backoff)) + F.col("__logp_uni"),
+                F.lit(oov_logp),
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            (F.sum(F.col("cnt") * F.col("__lp")) / F.sum("cnt")).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
     )
 
 

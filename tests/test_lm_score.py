@@ -67,6 +67,61 @@ def test_case_fold_and_empty_docs(spark):
         assert got[bigramless]["ppl"] is None
 
 
+def test_backoff_three_branches_exact(spark):
+    """Stupid backoff hand-computed: seen bigram -> MLE conditional,
+    unseen bigram with a seen continuation -> ln(0.4) + ln P(w2),
+    unseen continuation -> the OOV floor."""
+    from htmlparser2_spark.operators.lm_score import (
+        DEFAULT_OOV_LOGP,
+        backoff_doc_scores,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    # Training tokens: a b a b a c -> unigrams a:3, b:2, c:1 (T=6).
+    corpus = _dfs(spark, [(1, "a b a b"), (2, "a c")])
+    bi, uni = train_bigram_lm(corpus), train_unigram_lm(corpus)
+    docs = _dfs(spark, [(10, "a b"), (11, "c a"), (12, "a z"), (13, "x y")])
+    got = {
+        r["id"]: r for r in backoff_doc_scores(docs, bi, uni).collect()
+    }
+    assert got[10]["avg_logp"] == pytest.approx(math.log(2 / 3))
+    # "c a" never trained, but 'a' is a seen continuation.
+    assert got[11]["avg_logp"] == pytest.approx(
+        math.log(0.4) + math.log(3 / 6)
+    )
+    # 'z' unseen entirely -> floor; 'x y' -> floor too.
+    assert got[12]["avg_logp"] == pytest.approx(DEFAULT_OOV_LOGP)
+    assert got[13]["avg_logp"] == pytest.approx(DEFAULT_OOV_LOGP)
+    # Rare-but-plausible ranks above gibberish — the point of backoff.
+    assert got[11]["avg_logp"] > got[12]["avg_logp"]
+
+
+def test_unigram_lm_and_backoff_degenerates(spark):
+    from htmlparser2_spark.operators.lm_score import (
+        backoff_doc_scores,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    corpus = _dfs(spark, [(1, "a b a b"), (2, "a c")])
+    uni = {
+        r["token"]: r["logp_uni"]
+        for r in train_unigram_lm(corpus).collect()
+    }
+    assert uni["a"] == pytest.approx(math.log(3 / 6))
+    assert uni["c"] == pytest.approx(math.log(1 / 6))
+    bi = train_bigram_lm(corpus)
+    docs = _dfs(spark, [(11, ""), (12, "solo")])
+    got = {
+        r["id"]: r
+        for r in backoff_doc_scores(docs, bi, train_unigram_lm(corpus)).collect()
+    }
+    for bigramless in (11, 12):
+        assert got[bigramless]["n_bigrams"] == 0
+        assert got[bigramless]["avg_logp"] is None
+
+
 def test_min_count_prunes_after_context_totals(spark):
     from htmlparser2_spark.operators.lm_score import train_bigram_lm
 
