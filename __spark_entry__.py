@@ -2292,6 +2292,45 @@ _BM25_QUERIES = [
 ]
 
 
+def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots noindex/nofollow admission through the REAL parse
+    path: per-document heads synthesized by doc_id%5 arithmetic —
+    no meta / noindex+googlebot-nofollow (the OR union) / index,nofollow
+    / uppercase NONE (implies both) / whitespace-and-comma googlebot
+    noindex — parsed by explode_nodes, flagged by meta_robots_flags.
+    The oracle reconstructs the flags from the same arithmetic."""
+    from htmlparser2_spark.operators.domquery import explode_nodes
+    from htmlparser2_spark.operators.robots import meta_robots_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("doc_id") % 5
+    meta = (
+        F.when(v == 1, F.lit(
+            '<meta name="robots" content="noindex">'
+            '<meta name="googlebot" content="nofollow">'
+        ))
+        .when(v == 2, F.lit('<meta name="robots" content="index, nofollow">'))
+        .when(v == 3, F.lit('<meta name="ROBOTS" content="NONE">'))
+        .when(v == 4, F.lit(
+            '<meta name="googlebot" content=" noindex ,  follow ">'
+        ))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><meta name="description" content="x">'),
+            meta,
+            F.lit("<title>t</title></head><body><p>hi</p></body></html>"),
+        ).alias("html"),
+    )
+    nodes = explode_nodes(pages, key_col="doc_id")
+    flags = meta_robots_flags(nodes, pages, url_col="doc_id")
+    return flags.select(
+        F.col("url").alias("doc_id"), "noindex", "nofollow", "admitted"
+    )
+
+
 def _q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff LM scoring (Brants et al. 2007): bigram + unigram
     tiers trained on the even-doc_id half, every document scored. Odd
@@ -2415,7 +2454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
         "q_feed_rdf": _q_feed_rdf,
-        "q_top_hosts": _q_top_hosts,
         "q_extraction_diff": _q_extraction_diff,
         # -- 1 round-3-green anchor (continuity across rotations) +
         #    the 3 queries NEW this round (BPE training/encoding,
@@ -2433,12 +2471,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": _q_bm25,
         "q_temperature_sample": _q_temperature_sample,
         "q_lm_backoff": _q_lm_backoff,
+        "q_meta_robots": _q_meta_robots,
         # ---- below the 50-row gate cap: all driver-green in a past
         #      round (q_events_hourly and q_user_first_event, like
         #      q_priority_revenue, are pure events/orders relational
         #      queries with no tokenizer involvement — their r1 rows
         #      need no re-certification) ----
         "q_events_hourly": _q_events_hourly,
+        "q_top_hosts": _q_top_hosts,
         "q_user_first_event": _q_user_first_event,
         "q_priority_revenue": _q_priority_revenue,
         "q_extract_match": _q_extract_match,
@@ -2858,6 +2898,16 @@ def oracle_sql() -> dict[str, str]:
             top_words=_BPE_TOP_WORDS, n_merges=_BPE_N_MERGES
         ),
         "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
+        "q_meta_robots": (
+            # Flags reconstruct from the synthesis arithmetic: variant
+            # 1 ORs two metas, 3 is NONE (both), 4 survives the
+            # whitespace/comma tokenization; 0 and 2 stay admitted.
+            "SELECT doc_id, "
+            "(doc_id % 5) IN (1, 3, 4) AS noindex, "
+            "(doc_id % 5) IN (1, 2, 3) AS nofollow, "
+            "NOT ((doc_id % 5) IN (1, 3, 4)) AS admitted "
+            "FROM documents"
+        ),
         "q_lm_backoff": (
             # q_lm_score's replay plus the unigram tier: unseen bigram
             # -> ln(0.4) + ln P(w2), true OOV -> the ln(1e-6) floor.

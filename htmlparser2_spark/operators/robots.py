@@ -40,7 +40,70 @@ __all__ = [
     "evaluate_robots",
     "sitemap_urls",
     "crawl_delays",
+    "meta_robots_flags",
 ]
+
+
+def meta_robots_flags(
+    nodes: DataFrame,
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, noindex, nofollow, admitted): page-level robots meta
+    directives — the in-document complement of the robots.txt gate
+    (REP meta extension; Google/Bing 'robots meta tag' semantics). A
+    page is flagged by ANY ``<meta name=robots|googlebot>`` whose
+    comma-separated content mentions ``noindex``/``nofollow`` (or
+    ``none``, which implies both); names/values match
+    case-insensitively with whitespace-tolerant token splitting, and
+    multiple meta tags OR together (the restrictive union, per the
+    published semantics). ``admitted`` = NOT noindex — the crawl-
+    corpus admission column.
+
+    ``pages`` (the url universe) is required because the nodes table
+    omits documents with no DOM rows — an html-less page must still
+    be admitted rather than silently vanish.
+
+    Scale shape: the meta filter prunes the nodes table to a handful
+    of rows per document BEFORE its url-keyed aggregate, and the
+    flag table (<= one row per flagged url) left-joins back to the
+    url universe — both shuffles are url-keyed and tiny on one side;
+    no window, no explode of full documents.
+    """
+    # NOT `F.transform(..., F.trim)`: Spark 4's trim has an optional
+    # second parameter, so transform would treat it as the binary
+    # (element, index) lambda and pass the array INDEX as the set of
+    # characters to trim. The unary lambda pins the right overload.
+    directives = F.transform(
+        F.split(F.coalesce(F.lower(F.col("attrs")["content"]), F.lit("")), ","),
+        lambda x: F.trim(x),
+    )
+    metas = (
+        nodes.filter(
+            (F.col("name") == "meta")
+            & F.lower(F.col("attrs")["name"]).isin("robots", "googlebot")
+        )
+        .select(
+            F.col(url_col).alias("url"),
+            F.array_contains(directives, "noindex").alias("__ni"),
+            F.array_contains(directives, "nofollow").alias("__nf"),
+            F.array_contains(directives, "none").alias("__none"),
+        )
+        .groupBy("url")
+        .agg(
+            F.max(F.col("__ni") | F.col("__none")).alias("__noindex"),
+            F.max(F.col("__nf") | F.col("__none")).alias("__nofollow"),
+        )
+    )
+    return pages.select(F.col(url_col).alias("url")).join(
+        metas, "url", "left"
+    ).select(
+        "url",
+        F.coalesce(F.col("__noindex"), F.lit(False)).alias("noindex"),
+        F.coalesce(F.col("__nofollow"), F.lit(False)).alias("nofollow"),
+        (~F.coalesce(F.col("__noindex"), F.lit(False))).alias("admitted"),
+    )
 
 
 def _one_body(robots: DataFrame, host_col: str, body_col: str) -> DataFrame:

@@ -338,3 +338,38 @@ def test_sitemap_urls_duplicate_fetch_consistency(spark):
     got = [tuple(r) for r in sitemap_urls(df).collect()]
     # min(body) is the 'Sitemap: https://h1/a.xml\n...' body
     assert got == [("h1", "https://h1/a.xml")]
+
+
+def test_meta_robots_flags_semantics(spark):
+    """Directive union across multiple metas, 'none' implying both,
+    case/whitespace tolerance, distractor metas ignored, and html-less
+    pages surviving via the page-universe join."""
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.operators.domquery import explode_nodes
+    from htmlparser2_spark.operators.robots import meta_robots_flags
+
+    rows = [
+        ("u0", "<head><meta name='description' content='noindex'></head>"),
+        ("u1", "<head><meta name='robots' content='noindex'>"
+               "<meta name='googlebot' content='nofollow'></head>"),
+        ("u2", "<head><meta name='ROBOTS' content=' INDEX , NoFollow '>"
+               "</head>"),
+        ("u3", "<head><meta name='robots' content='none'></head>"),
+        ("u4", None),  # no DOM rows at all
+        ("u5", "<head><meta name='robots'></head>"),  # no content attr
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    nodes = explode_nodes(pages)
+    got = {
+        r["url"]: (r["noindex"], r["nofollow"], r["admitted"])
+        for r in meta_robots_flags(nodes, pages).collect()
+    }
+    assert got == {
+        "u0": (False, False, True),   # description meta is not robots
+        "u1": (True, True, False),    # OR union across two metas
+        "u2": (False, True, True),    # case + whitespace tolerant
+        "u3": (True, True, False),    # none implies both
+        "u4": (False, False, True),   # html-less page still admitted
+        "u5": (False, False, True),   # missing content -> no directive
+    }
