@@ -2292,6 +2292,28 @@ _BM25_QUERIES = [
 ]
 
 
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over synthesized WARC records (sources/cdx.py):
+    SURT urlkeys, SHA-256 payload digests, and per-file byte offsets
+    from the grouped prefix-sum window. The oracle re-synthesizes the
+    records dual-dialect, replays the SURT reversal generically from
+    the url string, and recomputes offsets with the same window."""
+    from htmlparser2_spark.operators.sampling import portable_hash
+    from htmlparser2_spark.sources.cdx import cdx_index
+    from htmlparser2_spark.sources.warc import warc_pages_expr
+
+    pages = build_pages(spark, sf_dir)
+    recs = pages.selectExpr(
+        "url", "warc_ts", "html", f"{warc_pages_expr('spark')} AS record"
+    )
+    return cdx_index(
+        recs,
+        payload_col="html",
+        n_files=4,
+        group_expr=portable_hash(F.col("url")),
+    )
+
+
 def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-robots noindex/nofollow admission through the REAL parse
     path: per-document heads synthesized by doc_id%5 arithmetic —
@@ -2450,7 +2472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_rank": _q_host_rank,
         "q_lm_score": _q_lm_score,
         "q_bpe_tokens": _q_bpe_tokens,
-        "q_host_counts_salted": _q_host_counts_salted,
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
         "q_feed_rdf": _q_feed_rdf,
@@ -2472,12 +2493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_sample": _q_temperature_sample,
         "q_lm_backoff": _q_lm_backoff,
         "q_meta_robots": _q_meta_robots,
+        "q_cdx_index": _q_cdx_index,
         # ---- below the 50-row gate cap: all driver-green in a past
         #      round (q_events_hourly and q_user_first_event, like
         #      q_priority_revenue, are pure events/orders relational
         #      queries with no tokenizer involvement — their r1 rows
         #      need no re-certification) ----
         "q_events_hourly": _q_events_hourly,
+        "q_host_counts_salted": _q_host_counts_salted,
         "q_top_hosts": _q_top_hosts,
         "q_user_first_event": _q_user_first_event,
         "q_priority_revenue": _q_priority_revenue,
@@ -2898,6 +2921,29 @@ def oracle_sql() -> dict[str, str]:
             top_words=_BPE_TOP_WORDS, n_merges=_BPE_N_MERGES
         ),
         "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
+        "q_cdx_index": (
+            # SURT reversal replayed generically from the url string
+            # (synthesized urls carry no query/port/www, lowercase by
+            # construction); offsets via the same grouped prefix-sum
+            # window; digest/length over the dual-dialect record bytes.
+            f"WITH {_PAGES_CTE}, base AS (SELECT "
+            "array_to_string(list_reverse(string_split("
+            "regexp_extract(url, '^https://([^/]+)/', 1), '.')), ',') "
+            "|| ')' || regexp_extract(url, '^https://[^/]*(/.*)$', 1) "
+            "AS urlkey, "
+            "strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14, url, "
+            "sha256(page_str) AS digest, "
+            "'crawl-' || lpad(CAST("
+            "('0x' || substr(md5(url), 1, 15))::BIGINT % 4 AS VARCHAR), "
+            "5, '0') || '.warc' AS filename, "
+            f"CAST(octet_length(encode({warc_rec})) AS BIGINT) AS length "
+            "FROM pages) "
+            "SELECT urlkey, ts14, url, digest, filename, "
+            "SUM(length) OVER (PARTITION BY filename "
+            "ORDER BY urlkey, ts14, url "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - length "
+            "AS offset, length FROM base"
+        ),
         "q_meta_robots": (
             # Flags reconstruct from the synthesis arithmetic: variant
             # 1 ORs two metas, 3 is NONE (both), 4 survives the

@@ -23,7 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["url_scheme", "url_host", "url_port", "url_path", "url_query",
-           "canonicalize_url", "resolve_url"]
+           "canonicalize_url", "resolve_url", "surt_key"]
 
 _AUTHORITY = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 
@@ -84,6 +84,28 @@ def canonicalize_url(url: Column | str) -> Column:
         F.concat(F.lit("?"), sorted_query)
     )
     return F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the CDX
+    ``urlkey`` convention of web archives (OpenWayback/pywb):
+    ``https://www.Example.com/A/b?b=2&a=1`` →
+    ``com,example)/a/b?a=1&b=2``. Host labels reversed and
+    comma-joined so one prefix range covers a whole domain tree;
+    everything lowercased; the leading ``www.`` label, ports,
+    userinfo, and fragments dropped; query parameters sorted bytewise
+    (empty query dropped, empty path becomes ``/``). Pure Catalyst —
+    usable as a sort/bucket/range-partition key at any scale."""
+    u = _col(url)
+    host = F.regexp_replace(url_host(u), r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(url_path(u))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(url_query(u))
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    return F.concat(rev_host, F.lit(")"), path_part, query_part)
 
 
 # Dot-segment nesting bound for resolve_url: each regexp pass resolves

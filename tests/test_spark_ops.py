@@ -2437,3 +2437,63 @@ def test_anchor_texts_nested_and_empty(spark):
         ("u2", "/y"): "",
         ("u2", "/z"): "plain mix!",
     }
+
+
+def test_surt_key(spark):
+    from htmlparser2_spark.functions.urls import surt_key
+
+    cases = [
+        ("https://www.Example.com/A/b?b=2&a=1", "com,example)/a/b?a=1&b=2"),
+        ("http://sub.host.org:8080/", "org,host,sub)/"),
+        ("https://example.com", "com,example)/"),
+        ("https://user@example.com/p#frag", "com,example)/p"),
+        ("https://wwwx.example.com/", "com,example,wwwx)/"),  # not 'www.'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(surt_key("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_cdx_index_offsets_and_digest(spark):
+    """Offsets are a dense back-to-back layout per file in
+    (urlkey, ts14, url) order; digest prefers the payload column."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.sources.cdx import cdx_index
+
+    rows = [
+        (f"https://h{i % 2}.example/doc/{i}", f"2024-01-0{i + 1} 00:00:00",
+         f"payload-{i}", f"REC{i:02d}" * (i + 1))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts string, payload string, record string"
+    ).select(
+        "url", F.to_timestamp("ts").alias("warc_ts"),
+        F.encode("payload", "utf-8").alias("payload"),
+        F.encode("record", "utf-8").alias("record"),
+    )
+    out = cdx_index(
+        df, payload_col="payload", n_files=2, record_col="record"
+    ).collect()
+    assert len(out) == 6
+    by_file: dict[str, list] = {}
+    for r in out:
+        by_file.setdefault(r["filename"], []).append(r)
+    for fname, rs in by_file.items():
+        rs.sort(key=lambda r: (r["urlkey"], r["ts14"], r["url"]))
+        pos = 0
+        for r in rs:
+            assert r["offset"] == pos
+            pos += r["length"]
+    # digest is sha256 of the PAYLOAD, not the record.
+    i0 = next(r for r in out if r["url"].endswith("/0"))
+    assert i0["digest"] == hashlib.sha256(b"payload-0").hexdigest()
+    assert i0["length"] == len(b"REC00")
+    assert i0["ts14"] == "20240101000000"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdx_index(df, n_files=0)
