@@ -2292,6 +2292,36 @@ _BM25_QUERIES = [
 ]
 
 
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling over deterministically multilingual
+    text (doc_id%4: untouched ASCII / repeated CJK / Cyrillic tail /
+    Arabic-only). Counts are replayed generically by the oracle from
+    the same SCRIPT_RANGES classes; the dominant script reconstructs
+    from the variant arithmetic."""
+    from htmlparser2_spark.functions.textstats import (
+        dominant_script,
+        script_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("doc_id") % 4
+    synth = (
+        F.when(v == 1, F.repeat(F.lit("你好世界 "), (F.col("doc_id") % 3 + 1).cast("int")))
+        .when(v == 2, F.concat(F.col("text"), F.lit(" Привет мир")))
+        .when(v == 3, F.lit("مرحبا بالعالم"))
+        .otherwise(F.col("text"))
+    )
+    base = docs.select("doc_id", synth.alias("synth"))
+    return base.select(
+        "doc_id",
+        dominant_script("synth").alias("dominant"),
+        script_count("synth", "latin").cast("int").alias("n_latin"),
+        script_count("synth", "cjk").cast("int").alias("n_cjk"),
+        script_count("synth", "cyrillic").cast("int").alias("n_cyrillic"),
+        script_count("synth", "arabic").cast("int").alias("n_arabic"),
+    )
+
+
 def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index over synthesized WARC records (sources/cdx.py):
     SURT urlkeys, SHA-256 payload digests, and per-file byte offsets
@@ -2470,7 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prev_siblings": _q_prev_siblings,
         "q_node_types": _q_node_types,
         "q_host_rank": _q_host_rank,
-        "q_lm_score": _q_lm_score,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
@@ -2494,12 +2523,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_backoff": _q_lm_backoff,
         "q_meta_robots": _q_meta_robots,
         "q_cdx_index": _q_cdx_index,
+        "q_script_profile": _q_script_profile,
         # ---- below the 50-row gate cap: all driver-green in a past
         #      round (q_events_hourly and q_user_first_event, like
         #      q_priority_revenue, are pure events/orders relational
         #      queries with no tokenizer involvement — their r1 rows
         #      need no re-certification) ----
         "q_events_hourly": _q_events_hourly,
+        "q_lm_score": _q_lm_score,
         "q_host_counts_salted": _q_host_counts_salted,
         "q_top_hosts": _q_top_hosts,
         "q_user_first_event": _q_user_first_event,
@@ -2905,6 +2936,34 @@ def _bm25_sql(*, k: int, k1: float, b: float) -> str:
     )
 
 
+def _script_profile_sql() -> str:
+    """Counts replayed generically from the shared SCRIPT_RANGES
+    literal classes (identical under Java regex and RE2); dominant
+    reconstructs from the doc_id%4 synthesis arithmetic."""
+    from htmlparser2_spark.functions.textstats import SCRIPT_RANGES
+
+    def cnt(script: str) -> str:
+        return (
+            f"CAST(len(regexp_extract_all(synth, '[{SCRIPT_RANGES[script]}]')) "
+            f"AS INTEGER) AS n_{script}"
+        )
+
+    return (
+        "WITH base AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) "
+        "WHEN 1 THEN repeat('\u4f60\u597d\u4e16\u754c ', "
+        "CAST(doc_id % 3 + 1 AS INTEGER)) "
+        "WHEN 2 THEN text || ' \u041f\u0440\u0438\u0432\u0435\u0442 "
+        "\u043c\u0438\u0440' "
+        "WHEN 3 THEN '\u0645\u0631\u062d\u0628\u0627 "
+        "\u0628\u0627\u0644\u0639\u0627\u0644\u0645' "
+        "ELSE text END AS synth FROM documents) "
+        "SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN 'cjk' "
+        "WHEN 3 THEN 'arabic' ELSE 'latin' END AS dominant, "
+        f"{cnt('latin')}, {cnt('cjk')}, {cnt('cyrillic')}, {cnt('arabic')} "
+        "FROM base"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from htmlparser2_spark.sources.warc import warc_pages_expr
 
@@ -2921,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
             top_words=_BPE_TOP_WORDS, n_merges=_BPE_N_MERGES
         ),
         "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
+        "q_script_profile": _script_profile_sql(),
         "q_cdx_index": (
             # SURT reversal replayed generically from the url string
             # (synthesized urls carry no query/port/www, lowercase by

@@ -21,6 +21,9 @@ __all__ = [
     "avg_token_len",
     "quality_score",
     "langid_guess",
+    "SCRIPT_RANGES",
+    "script_count",
+    "dominant_script",
     "fingerprint",
     "rolling_fingerprints",
     "sentences",
@@ -128,6 +131,49 @@ def langid_guess(text: Column | str) -> Column:
             best = F.when(take, F.lit(code)).otherwise(best)
             best_score = F.when(take, score).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+# Major Unicode script ranges (BMP only — astral scripts are out of
+# scope, documented): literal character ranges so the same class
+# string compiles identically under Java regex (Spark) and RE2
+# (DuckDB). Dict order IS the dominant-script tie-break precedence.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cjk": "一-鿿",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "hangul": "가-힯",
+    "kana": "぀-ヿ",
+    "greek": "Ͱ-Ͽ",
+    "devanagari": "ऀ-ॿ",
+}
+
+
+def script_count(text: Column | str, script: str) -> Column:
+    """Number of characters of ``script`` (SCRIPT_RANGES) in the text
+    — a single JVM regexp_count, NULL text counts 0."""
+    col = F.col(text) if isinstance(text, str) else text
+    cls = SCRIPT_RANGES[script]
+    return F.regexp_count(F.coalesce(col, F.lit("")), F.lit(f"[{cls}]"))
+
+
+def dominant_script(text: Column | str) -> Column:
+    """The script with the most characters (ties break in
+    SCRIPT_RANGES order, earlier wins — the langid_guess convention);
+    'none' when no scripted character occurs. The multilingual-
+    curation complement to langid_guess: script is a cheap, reliable
+    signal where marker tokens need per-language lists."""
+    best: Column | None = None
+    best_score: Column | None = None
+    for name in SCRIPT_RANGES:
+        score = script_count(text, name)
+        if best is None:
+            best, best_score = F.lit(name), score
+        else:
+            take = score > best_score
+            best = F.when(take, F.lit(name)).otherwise(best)
+            best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("none"))
 
 
 # Dual-dialect sentence segmentation, pinned like ORACLE_TOKENS_SQL:

@@ -2497,3 +2497,33 @@ def test_cdx_index_offsets_and_digest(spark):
 
     with _pytest.raises(ValueError):
         cdx_index(df, n_files=0)
+
+
+def test_script_profile_functions(spark):
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.functions.textstats import (
+        dominant_script,
+        script_count,
+    )
+
+    rows = [
+        ("hello world",),        # latin
+        ("你好 world 世界 中文",),  # cjk wins 6 > 5
+        ("Привет! хорошо",),     # cyrillic
+        ("مرحبا",),              # arabic
+        ("12345 !!!",),          # no scripted chars
+        (None,),
+        ("καλημέρα देवनागरी 한글 かな",),  # greek 8 > deva 8? tie -> order
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        dominant_script("text").alias("d"),
+        script_count("text", "cjk").alias("c"),
+        script_count("text", "cyrillic").alias("y"),
+    ).collect()
+    assert [r["d"] for r in got] == [
+        "latin", "cjk", "cyrillic", "arabic", "none", "none", "greek",
+    ]
+    assert got[1]["c"] == 6
+    assert got[2]["y"] == 12  # 'Привет' 6 + 'хорошо' 6
