@@ -20,7 +20,12 @@ more expensive stage sees a smaller corpus):
    the corpus stage map-only — the choice when the benchmark union
    itself is huge (one-sided error: only ever over-drops).
 4. **sample** — deterministic per-stratum fractions (skipped when
-   ``fractions`` is None).
+   ``fractions`` is None), OR **rebalance** — mC4-style temperature
+   resampling (``temperature=(alpha, target_frac)``): per-stratum
+   rates learned from the corpus, rare strata upsampled as repeated
+   rows with a 1-based ``copy`` column (the epoch-repeat output
+   shape). The two are mutually exclusive — both reweight strata, and
+   silently composing them would double-apply the budget.
 
 Returns ``(corpus, funnel)``: the curated DataFrame plus a
 ``(stage_idx, stage, n_docs)`` funnel table — the per-stage survivor
@@ -37,7 +42,7 @@ from pyspark.sql import functions as F
 from ..operators.contamination import decontaminate, decontaminate_bloom
 from ..operators.dedup import frequent_line_removal
 from ..operators.quality import gopher_filter
-from ..operators.sampling import stratified_sample
+from ..operators.sampling import stratified_sample, temperature_sample
 from .dedup_job import run_dedup
 from .funnel import build_funnel, lazy_checkpointer
 
@@ -56,6 +61,7 @@ def run_curation(
     contam_m_bits: int = 1 << 18,
     contam_k: int = 4,
     fractions: dict[str, float] | None = None,
+    temperature: tuple[float, float] | None = None,
     strata_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -135,6 +141,10 @@ def run_curation(
         cur = maybe_ckpt(cur)
         stages.append(("decontaminated", cur))
 
+    if fractions is not None and temperature is not None:
+        raise ValueError(
+            "fractions and temperature both reweight strata — pass one"
+        )
     if fractions is not None:
         cur = stratified_sample(
             cur,
@@ -144,5 +154,20 @@ def run_curation(
             hash_expr=hash_expr,
         )
         stages.append(("sampled", cur))
+
+    if temperature is not None:
+        alpha, target_frac = temperature
+        cur = temperature_sample(
+            cur,
+            alpha,
+            target_frac,
+            strata_col=strata_col,
+            key_col=id_col,
+            hash_expr=hash_expr,
+        )
+        # Funnel counts ROWS here (copies included): the stage's
+        # survivor count IS the expected token budget, upsampled
+        # repeats and all.
+        stages.append(("rebalanced", cur))
 
     return cur, build_funnel(stages, "n_docs")

@@ -52,6 +52,12 @@ def main() -> None:
         help='JSON strata->fraction map for the final sample, e.g. '
         '\'{"en": 0.5}\'',
     )
+    parser.add_argument(
+        "--temperature",
+        help="ALPHA,TARGET_FRAC — mC4-style temperature rebalancing "
+        "instead of --fractions (rare strata upsample as repeated "
+        "rows with a copy column)",
+    )
     parser.add_argument("--strata-col", default="lang")
     args = parser.parse_args()
 
@@ -76,6 +82,11 @@ def main() -> None:
         dedup_threshold=args.dedup_threshold,
         contam_mode=args.contam_mode,
         fractions=json.loads(args.fractions) if args.fractions else None,
+        temperature=(
+            tuple(float(x) for x in args.temperature.split(","))
+            if args.temperature
+            else None
+        ),
         strata_col=args.strata_col,
     )
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")

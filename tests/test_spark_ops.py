@@ -2527,3 +2527,36 @@ def test_script_profile_functions(spark):
     ]
     assert got[1]["c"] == 6
     assert got[2]["y"] == 12  # 'Привет' 6 + 'хорошо' 6
+
+
+def test_run_curation_temperature_stage(spark):
+    """temperature=(alpha, frac) replaces the fixed-fraction sampler:
+    the funnel gains a 'rebalanced' stage whose row count equals the
+    returned corpus (copies included), the output carries the copy
+    column, and composing it with fractions raises."""
+    import pytest as _pytest
+
+    import pyspark.sql.functions as SF
+    from htmlparser2_spark.operators.sampling import portable_hash
+    from htmlparser2_spark.plans.curate_job import run_curation
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    corpus, funnel = run_curation(
+        docs,
+        quality_pred=SF.size(SF.split("text", " ")) >= 40,
+        temperature=(0.3, 0.8),
+        hash_expr=portable_hash(SF.col("doc_id")),
+    )
+    rows = sorted(funnel.collect(), key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == [
+        "ingest", "quality", "dedup", "rebalanced",
+    ]
+    assert "copy" in corpus.columns
+    n = corpus.count()
+    assert n == rows[-1]["n_docs"] > 0
+    # Budget roughly honored: 0.8 of the dedup survivors.
+    assert abs(n - 0.8 * rows[-2]["n_docs"]) < 0.25 * rows[-2]["n_docs"]
+    with _pytest.raises(ValueError):
+        run_curation(docs, fractions={"en": 1.0}, temperature=(0.3, 0.8))
