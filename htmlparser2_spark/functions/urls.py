@@ -65,6 +65,21 @@ def url_query(url: Column | str) -> Column:
     return F.regexp_extract(defragged, r"\?(.*)$", 1)
 
 
+def _path_part(path: Column) -> Column:
+    """Empty path -> '/'; shared by canonicalize_url and surt_key so
+    the two conventions can never drift on this rule."""
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def _query_part(query: Column) -> Column:
+    """Bytewise-sorted '?...' suffix; empty query dropped — the other
+    shared assembly rule."""
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_query)
+    )
+
+
 def canonicalize_url(url: Column | str) -> Column:
     u = _col(url)
     scheme = url_scheme(u)
@@ -76,14 +91,10 @@ def canonicalize_url(url: Column | str) -> Column:
         | (port == "")
     )
     port_part = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
-    path = url_path(u)
-    path_part = F.when(path == "", F.lit("/")).otherwise(path)
-    query = url_query(u)
-    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    query_part = F.when(query == "", F.lit("")).otherwise(
-        F.concat(F.lit("?"), sorted_query)
+    return F.concat(
+        scheme, F.lit("://"), host, port_part,
+        _path_part(url_path(u)), _query_part(url_query(u)),
     )
-    return F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
 
 
 def surt_key(url: Column | str) -> Column:
@@ -99,13 +110,11 @@ def surt_key(url: Column | str) -> Column:
     u = _col(url)
     host = F.regexp_replace(url_host(u), r"^www\.", "")
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    path = F.lower(url_path(u))
-    path_part = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.lower(url_query(u))
-    query_part = F.when(query == "", F.lit("")).otherwise(
-        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    return F.concat(
+        rev_host, F.lit(")"),
+        _path_part(F.lower(url_path(u))),
+        _query_part(F.lower(url_query(u))),
     )
-    return F.concat(rev_host, F.lit(")"), path_part, query_part)
 
 
 # Dot-segment nesting bound for resolve_url: each regexp pass resolves

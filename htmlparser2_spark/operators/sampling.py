@@ -163,10 +163,16 @@ def temperature_sample(
     map-only copy-count explode. The corpus is never re-shuffled and
     never collected.
 
-    Determinism: the Bernoulli on the fractional part reuses the
-    sampling hash (``hash(key) mod 1e6`` vs the rounded fractional
-    threshold), so membership and copy counts are pure functions of
-    (key, corpus composition).
+    Determinism: the Bernoulli on the fractional part hashes
+    ``(key, "copy")`` — deliberately DECORRELATED from the bare
+    ``hash(key)`` the other samplers threshold on. Reusing that hash
+    would skew copy counts after composition: rows surviving
+    ``hash_sample(f)`` all have ``h < f·1e6``, so a same-hash
+    Bernoulli at threshold ``t`` would fire with probability
+    ``min(t/f, 1)`` instead of ``t``. A caller overriding
+    ``hash_expr`` must pass an expression similarly independent of
+    any upstream sampler's draw (the gate query salts the portable
+    hash with a ``'#copy'`` suffix).
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0: {alpha}")
@@ -201,8 +207,13 @@ def temperature_sample(
         F.col(strata_col).eqNullSafe(F.col("__stratum")),
     ).drop("__stratum")
     frac_thr = F.round((F.col("__rate") - F.floor(F.col("__rate"))) * _M)
+    copy_hash = (
+        F.xxhash64(F.col(key_col), F.lit("copy"))
+        if hash_expr is None
+        else hash_expr
+    )
     n_copies = F.floor(F.col("__rate")).cast("long") + F.when(
-        _h(F.col(key_col), hash_expr) < frac_thr, F.lit(1)
+        F.pmod(copy_hash, F.lit(_M)) < frac_thr, F.lit(1)
     ).otherwise(F.lit(0))
     # sequence(1, 0) counts DOWN in Spark ([1, 0]) — zero copies must
     # be an explicit empty array or dropped rows would yield 2 rows.

@@ -64,9 +64,15 @@ def cdx_index(
         ).alias("filename"),
         F.octet_length(F.col(record_col)).cast("long").alias("length"),
     )
+    # digest + length complete the total order: ts14 is second-
+    # granularity, so two captures of one url inside a second would
+    # otherwise tie and the running sum would assign their offsets by
+    # arbitrary shuffle order (breaking re-run determinism and oracle
+    # parity). Fully identical records can still swap rows, but their
+    # lengths are equal so the emitted offset multiset is identical.
     w = (
         Window.partitionBy("filename")
-        .orderBy("urlkey", "ts14", "url")
+        .orderBy("urlkey", "ts14", "url", "digest", "length")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offset = F.sum("length").over(w) - F.col("length")

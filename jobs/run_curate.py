@@ -66,6 +66,15 @@ def main() -> None:
     from htmlparser2_spark.operators.quality import c4_page_pred
     from htmlparser2_spark.plans.curate_job import run_curation
 
+    temperature = None
+    if args.temperature:
+        parts = args.temperature.split(",")
+        if len(parts) != 2:
+            raise SystemExit(
+                f"--temperature wants ALPHA,TARGET_FRAC, got {args.temperature!r}"
+            )
+        temperature = (float(parts[0]), float(parts[1]))
+
     spark = SparkSession.builder.appName("htmlparser2-spark-curate").getOrCreate()
     if args.docs:
         docs = spark.read.parquet(args.docs)
@@ -82,11 +91,7 @@ def main() -> None:
         dedup_threshold=args.dedup_threshold,
         contam_mode=args.contam_mode,
         fractions=json.loads(args.fractions) if args.fractions else None,
-        temperature=(
-            tuple(float(x) for x in args.temperature.split(","))
-            if args.temperature
-            else None
-        ),
+        temperature=temperature,
         strata_col=args.strata_col,
     )
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")

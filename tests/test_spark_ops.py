@@ -1318,10 +1318,14 @@ def test_temperature_sample_upsamples_rare_strata(spark):
     )
 
 
-def test_temperature_sample_alpha1_matches_plain_fraction(spark):
+def test_temperature_sample_alpha1_is_plain_fraction_decorrelated(spark):
     """alpha=1 is the natural distribution: every stratum's rate is
-    exactly target_frac, so membership equals hash_sample at the same
-    fraction (and no row ever has copy > 1)."""
+    exactly target_frac, so ~target_frac of rows survive with no
+    copy > 1 — but membership must NOT equal hash_sample's at the
+    same fraction: the copy Bernoulli deliberately hashes
+    (key, 'copy') so composing the two samplers never correlates
+    (same-hash reuse skewed post-hash_sample upsampling; review
+    finding, regression-pinned here)."""
     from htmlparser2_spark.operators.sampling import (
         hash_sample,
         temperature_sample,
@@ -1333,8 +1337,13 @@ def test_temperature_sample_alpha1_matches_plain_fraction(spark):
     )
     ts = temperature_sample(df, alpha=1.0, target_frac=0.4)
     got = {(r["doc_id"], r["copy"]) for r in ts.collect()}
+    assert all(c == 1 for _, c in got)
+    assert 300 < len(got) < 500  # ~0.4 of 1000
     plain = {r["doc_id"] for r in hash_sample(df, 0.4).collect()}
-    assert got == {(i, 1) for i in plain}
+    kept = {i for i, _ in got}
+    # Independent draws: overlap ~ 0.16 of rows, far from identity.
+    assert kept != plain
+    assert len(kept & plain) < 0.3 * 1000
 
 
 def test_temperature_sample_null_stratum_and_validation(spark):
