@@ -17,12 +17,16 @@ Spark level (Arrow-batched, cluster scale):
   operators.dedup:      exact/Jaccard/MinHash-LSH/SimHash/embedding dedup
   operators.similarity: brute-force + LSH/IVF/PQ ANN
   operators.quality:    Gopher + C4 gates, repetition signals
-  operators.lm_score:   bigram-LM scoring + CCNet perplexity buckets
+  operators.lm_score:   bigram-LM scoring + stupid backoff + CCNet buckets
   operators.blocklist:  UT1-style domain/keyword admission
+  operators.robots:     robots.txt + meta-robots page admission
+  operators.bpe:        BPE merge training + pure-Catalyst encoding
+  operators.ranking:    BM25 top-k retrieval
+  operators.sampling:   hash/stratified/quota/temperature sampling, shards
   plans.extract_job:    repartition -> parse -> lineage -> resumable writes
-  plans.curate_job:     quality -> dedup -> decontaminate -> sample funnel
+  plans.curate_job:     quality -> dedup -> decontaminate -> sample/rebalance
   streaming:            incremental + stateful extraction
-  sources:              pages synthesis, snapshot tables
+  sources:              pages synthesis, snapshot tables, WARC/WET, CDX
 """
 
 from .engine.dom import (
