@@ -160,3 +160,69 @@ def test_apply_merges_column_matches_str_replace(spark):
     ]
     want = [_encode_py("aaa abab low lowaaa", merges), _encode_py("ababab", merges)]
     assert got == want
+
+
+# ------------------------------------------------------- property
+
+
+def _merge_sim(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    """Independent merge implementation over explicit symbol lists
+    (canonical left-to-right greedy) — no string replace involved."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _count_sim(segs):
+    counts: dict[tuple[str, str], int] = {}
+    for syms, freq in segs:
+        for pair in zip(syms, syms[1:]):
+            counts[pair] = counts.get(pair, 0) + freq
+    return counts
+
+
+def test_trainer_differential_against_symbol_list_simulation():
+    """train_bpe_on_freqs (brace-string replace engine) must agree
+    merge-for-merge with an independent symbol-list simulation of the
+    same algorithm, across seeded random corpora including repeated
+    chars (the overlap-prone shape)."""
+    import random
+    import re
+
+    for seed in range(40):
+        rng = random.Random(9000 + seed)
+        words = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(2, 12))
+        ]
+        freqs = [(w, rng.randint(1, 5)) for w in sorted(set(words))]
+        n = rng.randint(1, 10)
+        merges = train_bpe_on_freqs(freqs, n)
+
+        segs = [(list(w) + [EOW], f) for w, f in freqs]
+        for rank, lhs, rhs, cnt in merges:
+            counts = _count_sim(segs)
+            assert counts, (seed, rank)
+            (el, er), ec = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert (el, er, ec) == (lhs, rhs, cnt), (seed, rank)
+            segs = [(_merge_sim(s, lhs, rhs), f) for s, f in segs]
+        if len(merges) < n:  # early stop must mean truly no pairs left
+            assert not _count_sim(segs), seed
+
+        # Encoding differential: replace-chain vs simulation.
+        doc = " ".join(words)
+        seg = _encode_py(doc, merges)
+        sim: list[str] = []
+        for w in re.findall("[a-z]+", doc.lower()):
+            syms = list(w) + [EOW]
+            for _rank, lhs, rhs, _c in merges:
+                syms = _merge_sim(syms, lhs, rhs)
+            sim.extend(syms)
+        assert re.findall(r"\{([^}]*)\}", seg) == sim, seed

@@ -2569,3 +2569,52 @@ def test_run_curation_temperature_stage(spark):
     assert abs(n - 0.8 * rows[-2]["n_docs"]) < 0.25 * rows[-2]["n_docs"]
     with _pytest.raises(ValueError):
         run_curation(docs, fractions={"en": 1.0}, temperature=(0.3, 0.8))
+
+
+def test_surt_key_differential_random_urls(spark):
+    """surt_key (Catalyst) vs an independent pure-Python reference
+    over seeded random urls covering ports, userinfo, fragments,
+    queries, www-variants, and empty paths — one Spark batch."""
+    import random
+
+    def surt_py(url):
+        rest = url.split("://", 1)[1]
+        # authority ends at the first of /?# (RFC 3986) — a query or
+        # fragment can follow the host with no path at all.
+        cut = len(rest)
+        for ch in "/?#":
+            if ch in rest:
+                cut = min(cut, rest.index(ch))
+        auth, tail = rest[:cut], rest[cut:]
+        host = auth.rsplit("@", 1)[-1].split(":", 1)[0].lower()
+        if host.startswith("www."):
+            host = host[4:]
+        tail = tail.split("#", 1)[0].lower()
+        path, _, query = tail.partition("?")
+        out = ",".join(reversed(host.split("."))) + ")"
+        out += path if path else "/"
+        if query:
+            out += "?" + "&".join(sorted(query.split("&")))
+        return out
+
+    rng = random.Random(77)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "https"])
+        user = rng.choice(["", "bob@", "a:b@"])
+        host = ".".join(
+            rng.choice(["www", "Sub", "example", "HOST", "org", "x9"])
+            for _ in range(rng.randint(1, 4))
+        )
+        port = rng.choice(["", ":80", ":8080"])
+        path = rng.choice(["", "/", "/A/b", "/p%20q", "/x/y/z.html"])
+        q = rng.choice(["", "?b=2&a=1", "?Z=9", "?k"])
+        frag = rng.choice(["", "#Frag", "#a?b=1"])
+        urls.append(f"{scheme}://{user}{host}{port}{path}{q}{frag}")
+
+    from htmlparser2_spark.functions.urls import surt_key
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(surt_key("url")).collect()]
+    want = [surt_py(u) for u in urls]
+    assert got == want
