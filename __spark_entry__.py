@@ -2337,6 +2337,40 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard dataset-card manifest over the token-budget packing
+    (operators/sampling.py shard_manifest): counts, token sums, id
+    range, and an order-independent membership digest (md5 over the
+    sorted per-doc md5(id:tokens) entries). The oracle replays the
+    packing AND the digest."""
+    from htmlparser2_spark.operators.sampling import (
+        portable_hash,
+        shard_manifest,
+        token_budget_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    shards = token_budget_shards(
+        docs,
+        tokens_col="n_tokens",
+        shard_tokens=500,
+        n_groups=8,
+        hash_expr=portable_hash(F.col("doc_id")),
+    )
+    m = shard_manifest(shards)
+    return m.select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "first_id",
+        "last_id",
+        "digest",
+    )
+
+
 def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index over synthesized WARC records (sources/cdx.py):
     SURT urlkeys, SHA-256 payload digests, and per-file byte offsets
@@ -2471,21 +2505,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * 30 queries with no r3 verdict (28 never driver-gated in any
     #     round; q_hash_embed / q_serialize_roundtrip hold stale
     #     r1/r2 rows predating the code they now exercise),
-    #   * 11 r1/r2-only parse-path rows re-certified under the
+    #   * 10 r1/r2-only parse-path rows re-certified under the
     #     round-3 tokenizer rewrites,
     #   * 1 round-3-green anchor (q_extract_text, the flagship),
-    #   * 8 queries NEW this round (BPE train/encode, BM25,
+    #   * 9 queries NEW this round (BPE train/encode, BM25,
     #     temperature sample, backoff LM, meta-robots, CDX index,
-    #     script profile) — new queries must enter inside the window.
+    #     script profile, shard manifest) — new queries must enter
+    #     inside the window.
     # Displaced to make room, every one holding a green past-round
     # verdict: q_extract_match + q_minhash_lsh (r3), and 6 r1/r2 rows
     # with NO parse-path involvement (q_priority_revenue,
     # q_events_hourly, q_user_first_event, q_top_hosts,
     # q_host_counts_salted — pure relational/url queries the tokenizer
-    # rewrite cannot affect — plus q_lm_score, whose pipeline is a
-    # strict subset of the r4-gated q_lm_backoff). Round 5 should
-    # rotate those 8 plus anything below still lacking a recent row.
-    # Cross-round union after this round's gate: 105/105.
+    # rewrite cannot affect — q_bpe_tokens (fixed-regex textstats fn,
+    # unchanged since its r1 row; the richer r4 BPE queries supersede
+    # it as tokenization coverage), and q_lm_score, whose pipeline is
+    # a strict subset of the r4-gated q_lm_backoff). Round 5 should
+    # rotate those 9 plus anything below still lacking a recent row.
+    # Cross-round union after this round's gate: 106/106.
     # tests/test_entry_oracle.py::test_gate_window_covers_all_queries
     # enforces that no query ever lives its whole life below the cap.
     return {
@@ -2524,7 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": _q_sitemap,
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
-        # -- 11 r1/r2-only parse-path rows, re-certified under the r3
+        # -- 10 r1/r2-only parse-path rows, re-certified under the r3
         #    tokenizer rewrites --
         "q_clean_text": _q_clean_text,
         "q_inner_text": _q_inner_text,
@@ -2532,13 +2569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prev_siblings": _q_prev_siblings,
         "q_node_types": _q_node_types,
         "q_host_rank": _q_host_rank,
-        "q_bpe_tokens": _q_bpe_tokens,
         "q_feed_extract": _q_feed_extract,
         "q_feed_atom": _q_feed_atom,
         "q_feed_rdf": _q_feed_rdf,
         "q_extraction_diff": _q_extraction_diff,
         # -- 1 round-3-green anchor (continuity across rotations) +
-        #    the 8 queries NEW this round — new queries must enter
+        #    the 9 queries NEW this round — new queries must enter
         #    inside the window (the gate-window honesty test forbids
         #    a query ever living below the cap with no driver
         #    verdict). The displacement ledger is in the function-top
@@ -2552,10 +2588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_meta_robots": _q_meta_robots,
         "q_cdx_index": _q_cdx_index,
         "q_script_profile": _q_script_profile,
+        "q_shard_manifest": _q_shard_manifest,
         # ---- below the 50-row gate cap: all driver-green in a past
-        #      round; the first 8 are this round's displacements
+        #      round; the first 9 are this round's displacements
         #      (see the function-top comment for why each is safe) ----
         "q_events_hourly": _q_events_hourly,
+        "q_bpe_tokens": _q_bpe_tokens,
         "q_lm_score": _q_lm_score,
         "q_host_counts_salted": _q_host_counts_salted,
         "q_top_hosts": _q_top_hosts,
@@ -3018,6 +3056,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_bm25": _bm25_sql(k=10, k1=1.2, b=0.75),
         "q_script_profile": _script_profile_sql(),
+        "q_shard_manifest": (
+            # Packing replay (the q_token_shards CTE) + the manifest
+            # aggregate: DuckDB's list() -> list_sort -> string_agg
+            # mirrors sort_array(collect_list) -> array_join exactly.
+            "WITH t AS (SELECT doc_id, "
+            "len(string_split(text, ' ')) AS n_tokens, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 "
+            "AS grp FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, grp, "
+            "CAST(floor((SUM(n_tokens) OVER (PARTITION BY grp "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - n_tokens) / 500.0) AS BIGINT) AS shard FROM t) "
+            "SELECT grp, shard, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+            "MIN(doc_id) AS first_id, MAX(doc_id) AS last_id, "
+            "md5(coalesce(list_aggregate(list_sort(list("
+            "md5(CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(n_tokens AS VARCHAR)))), 'string_agg', ''), '')) "
+            "AS digest FROM s GROUP BY grp, shard"
+        ),
         "q_cdx_index": (
             # SURT reversal replayed generically from the url string
             # (synthesized urls carry no query/port/www, lowercase by

@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample",
     "quota_sample",
     "token_budget_shards",
+    "shard_manifest",
     "temperature_sample",
     "portable_hash",
 ]
@@ -260,4 +261,42 @@ def token_budget_shards(
     start = F.sum(tokens_col).over(w) - F.col(tokens_col)
     return out.withColumn(
         "shard", F.floor(start / F.lit(shard_tokens)).cast("long")
+    )
+
+
+def shard_manifest(
+    shards: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(grp, shard, n_docs, n_tokens, first_id, last_id, digest): the
+    per-shard manifest a dataset card / reproducibility audit wants —
+    consume :func:`token_budget_shards` output. ``digest`` is
+    order-INDEPENDENT (md5 over the sorted list of per-doc
+    ``md5(id:tokens)`` entries), so two runs that packed identical
+    membership produce identical manifests regardless of row order,
+    and any membership or token-count drift changes it.
+
+    Scale shape: ONE (grp, shard)-keyed aggregate. The collect_list
+    state is bounded by documents-per-shard — ``shard_tokens``
+    divided by the smallest document, a packing-level constant, not a
+    corpus-level one — and every other aggregate is map-side
+    combinable. No window, no driver state.
+    """
+    doc_entry = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col(tokens_col).cast("string"),
+        )
+    )
+    return shards.groupBy("grp", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).alias("n_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list(doc_entry)), "")
+        ).alias("digest"),
     )

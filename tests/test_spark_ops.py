@@ -2618,3 +2618,49 @@ def test_surt_key_differential_random_urls(spark):
     got = [r[0] for r in df.select(surt_key("url")).collect()]
     want = [surt_py(u) for u in urls]
     assert got == want
+
+
+def test_shard_manifest_invariants(spark):
+    """Manifest totals reconcile with the packing, the digest is
+    row-order independent, and any membership change moves it."""
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.operators.sampling import (
+        shard_manifest,
+        token_budget_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    shards = token_budget_shards(
+        docs, tokens_col="n_tokens", shard_tokens=200, n_groups=4
+    )
+    m = {
+        (r["grp"], r["shard"]): r
+        for r in shard_manifest(shards).collect()
+    }
+    assert sum(r["n_docs"] for r in m.values()) == 300
+    assert sum(r["n_tokens"] for r in m.values()) == sum(
+        10 + i % 7 for i in range(300)
+    )
+    for r in m.values():
+        assert r["first_id"] <= r["last_id"]
+    # Order independence: shuffled input, identical manifests.
+    m2 = {
+        (r["grp"], r["shard"]): r
+        for r in shard_manifest(
+            shards.orderBy(F.desc("doc_id")).repartition(7)
+        ).collect()
+    }
+    assert set(m) == set(m2)
+    assert all(m[k]["digest"] == m2[k]["digest"] for k in m)
+    # Sensitivity: dropping one doc changes exactly its shard's digest.
+    m3 = {
+        (r["grp"], r["shard"]): r
+        for r in shard_manifest(
+            shards.filter(F.col("doc_id") != 0)
+        ).collect()
+    }
+    changed = [k for k in m3 if m3[k]["digest"] != m[k]["digest"]]
+    assert len(changed) == 1
