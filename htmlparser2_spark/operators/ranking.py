@@ -35,6 +35,12 @@ Scale shape (100 TB corpus, q queries, k results):
 - N and avgdl are ONE aggregate row cross-joined back (broadcast by
   construction: a single-row side is below every autoBroadcast
   threshold).
+- the per-document counts feed two consumers (the match join and the
+  df aggregate), and Catalyst expands the shared subtree into two
+  scans unless the caller persists — same documented trade as
+  ``vocab.doc_keywords``: at corpus scale, materialize ``docs``
+  (or the counts) upstream when running many queries against one
+  corpus snapshot.
 """
 
 from __future__ import annotations
