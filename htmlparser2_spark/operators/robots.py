@@ -16,13 +16,19 @@ Supported subset, stated explicitly:
   User-agent line belong to no group and are ignored).
 * Agent selection: exact (case-insensitive) product token match, else
   the ``*`` group; an exact group fully shadows ``*`` (RFC behavior).
-* Path rules: literal prefixes plus the trailing ``$`` end anchor,
-  matched against path+query (``Disallow: /search?q=`` works).
-  In-path ``*`` wildcards are NOT expanded (a rule containing ``*``
-  matches only itself literally); documents feeding this operator at
-  scale should pre-expand or drop wildcard rules.
-* Precedence: longest matching path wins; Allow wins length ties;
-  no matching rule (or no robots.txt for the host) -> allowed.
+* Path rules: literal prefixes, the trailing ``$`` end anchor, and
+  in-path ``*`` wildcards (RFC 9309 §2.2.3 — 0+ of any character;
+  the rule compiles to an anchored per-row regex with every other
+  metacharacter escaped, so ``Disallow: /*.pdf$`` and
+  ``Disallow: /private*/x`` match per the Google/RFC matcher while a
+  literal dot in a rule stays literal), matched against path+query
+  (``Disallow: /search?q=`` works). Wildcard-free rules keep the
+  codegen'd startswith fast path — only rules containing ``*`` pay
+  the per-row regex.
+* Precedence: longest matching rule wins (rule-text length, the
+  RFC/Google specificity measure — wildcards count as written);
+  Allow wins length ties; no matching rule (or no robots.txt for the
+  host) -> allowed.
 * Empty ``Disallow:`` (no value) matches nothing, i.e. allows all —
   the classic "allow everything" idiom.
 """
@@ -304,7 +310,24 @@ def evaluate_robots(
     pat = F.when(
         anchored, F.expr("substring(path, 1, length(path) - 1)")
     ).otherwise(F.col("path"))
+    # RFC 9309 §2.2.3 in-path '*' (0+ of any character): wildcard
+    # rules compile to an anchored regex built per rule — every regex
+    # metacharacter escaped, then '*' -> '.*'. Only rules containing
+    # '*' take this branch (CaseWhen evaluates lazily), so plain
+    # prefix rules keep the codegen'd startswith fast path.
+    has_wc = F.col("path").contains("*")
+    esc = F.regexp_replace(pat, r"([.\[\]{}()+\-^$|?\\])", r"\\$1")
+    rex = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    # rlike with a PER-ROW pattern needs the SQL form (the Column
+    # method only takes literals).
+    j = j.withColumn("__rex", rex)
     matched = F.col("path").isNotNull() & F.when(
+        has_wc, F.expr("upath rlike __rex")
+    ).when(
         anchored, F.col("upath") == pat
     ).otherwise(F.col("upath").startswith(pat))
     scored = j.select(

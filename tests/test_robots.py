@@ -373,3 +373,49 @@ def test_meta_robots_flags_semantics(spark):
         "u4": (False, False, True),   # html-less page still admitted
         "u5": (False, False, True),   # missing content -> no directive
     }
+
+
+def test_evaluate_robots_inpath_wildcards(spark):
+    """RFC 9309 in-path '*': 0+ of any character, composable with the
+    '$' anchor; regex metacharacters in rules stay literal; longest
+    RULE text wins precedence; wildcard-free hosts are unaffected."""
+    from htmlparser2_spark.operators.robots import (
+        evaluate_robots,
+        parse_robots,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private*/x\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /a.b\n"
+        "Allow: /private-open*/x\n"
+    )
+    robots = spark.createDataFrame([("h1", body)], "host string, body string")
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://h1/private1/x",),        # wildcard disallow
+            ("https://h1/private/deep/x",),    # '*' spans slashes
+            ("https://h1/private1/y",),        # suffix differs -> allowed
+            ("https://h1/doc.pdf",),           # '*' + '$' anchor
+            ("https://h1/doc.pdf?x=1",),       # query defeats the '$'
+            ("https://h1/doc.pdfx",),          # anchor enforced
+            ("https://h1/a.b",),               # literal rule still works
+            ("https://h1/aXb",),               # '.' stayed literal
+            ("https://h1/private-open1/x",),   # longer Allow rule wins
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in evaluate_robots(urls, rules, "bot").collect()}
+    assert got == {
+        "https://h1/private1/x": False,
+        "https://h1/private/deep/x": False,
+        "https://h1/private1/y": True,
+        "https://h1/doc.pdf": False,
+        "https://h1/doc.pdf?x=1": True,
+        "https://h1/doc.pdfx": True,
+        "https://h1/a.b": False,
+        "https://h1/aXb": True,
+        "https://h1/private-open1/x": True,
+    }
