@@ -3093,11 +3093,16 @@ def oracle_sql() -> dict[str, str]:
             "5, '0') || '.warc' AS filename, "
             f"CAST(octet_length(encode({warc_rec})) AS BIGINT) AS length "
             "FROM pages) "
+            # The window SUM must be cast: DuckDB's SUM(BIGINT) returns
+            # HUGEINT, which pandas renders as float64 while Spark emits
+            # bigint — the driver's hash is dtype-sensitive and flagged
+            # exactly this in round 4 (the replica now asserts dtype-kind
+            # parity so the class cannot recur).
             "SELECT urlkey, ts14, url, digest, filename, "
-            "SUM(length) OVER (PARTITION BY filename "
+            "CAST(SUM(length) OVER (PARTITION BY filename "
             "ORDER BY urlkey, ts14, url, digest, length "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - length "
-            "AS offset, length FROM base"
+            "AS BIGINT) AS offset, length FROM base"
         ),
         "q_meta_robots": (
             # Flags reconstruct from the synthesis arithmetic: variant

@@ -57,6 +57,23 @@ def _rows(pdf):
     ]
 
 
+def _dtype_kinds(pdf):
+    """Per-column numpy dtype KIND, with unsigned folded into signed.
+
+    The driver's canonicalized hash is dtype-sensitive: round 4's only
+    red row (q_cdx_index) was an oracle whose un-cast window ``SUM``
+    came back HUGEINT → pandas float64 while Spark emitted bigint, so
+    ``748.0`` hashed differently from ``748`` even though the tuple
+    compare below said equal. Asserting integer-vs-float KIND parity
+    per column makes this replica reproduce the driver's sensitivity
+    (the exact width — int32 vs int64 — does not change the
+    canonicalized values, so kinds, not full dtypes)."""
+    return {
+        c: {"u": "i"}.get(pdf[c].dtype.kind, pdf[c].dtype.kind)
+        for c in pdf.columns
+    }
+
+
 def _compare(name, spark, ddb):
     import __spark_entry__ as entry_mod
     from pyspark.sql.types import ArrayType, MapType, StructType
@@ -77,8 +94,15 @@ def _compare(name, spark, ddb):
     ora = ddb.sql(sql)
     oracle_cols = [c.lower() for c in ora.columns]
     assert spark_cols == oracle_cols, f"{name}: columns {spark_cols} != {oracle_cols}"
-    srows = _rows(_canon(sdf.toPandas()))
-    orows = _rows(_canon(ora.df()))
+    spdf, opdf = _canon(sdf.toPandas()), _canon(ora.df())
+    skinds, okinds = _dtype_kinds(spdf), _dtype_kinds(opdf)
+    assert skinds == okinds, (
+        f"{name}: pandas dtype-KIND mismatch (driver hash is "
+        f"dtype-sensitive — un-cast HUGEINT/DECIMAL oracle column?): "
+        f"spark={skinds} oracle={okinds}"
+    )
+    srows = _rows(spdf)
+    orows = _rows(opdf)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)} rows"
     mismatches = [
         (a, b) for a, b in zip(srows, orows) if a != b
@@ -136,6 +160,31 @@ def test_gate_window_covers_all_queries():
         f"with no CORRECTNESS_r*.json verdict in any round: {uncovered} — "
         "rotate them into the first 50 positions of queries()"
     )
+
+
+def test_dtype_kind_guard_catches_uncast_hugeint():
+    """The round-4 failure class, pinned: an oracle whose window SUM
+    is left un-cast comes back HUGEINT → pandas float64, while the
+    Spark side is int64. The kind-parity guard must see 'f' vs 'i'
+    even though the VALUES compare equal (748.0 == 748)."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    uncast = con.sql(
+        "SELECT SUM(x) OVER (ORDER BY x) - x AS off "
+        "FROM (SELECT CAST(range AS BIGINT) AS x FROM range(3))"
+    ).df()
+    cast = con.sql(
+        "SELECT CAST(SUM(x) OVER (ORDER BY x) - x AS BIGINT) AS off "
+        "FROM (SELECT CAST(range AS BIGINT) AS x FROM range(3))"
+    ).df()
+    sparkish = pd.DataFrame({"off": pd.array([0, 0, 1], dtype="int64")})
+    assert _dtype_kinds(_canon(uncast)) == {"off": "f"}
+    assert _dtype_kinds(_canon(cast)) == {"off": "i"}
+    assert _dtype_kinds(_canon(sparkish)) != _dtype_kinds(_canon(uncast))
+    assert _dtype_kinds(_canon(sparkish)) == _dtype_kinds(_canon(cast))
+    # And the value-level rows would NOT have caught it:
+    assert _rows(_canon(uncast)) == _rows(_canon(sparkish))
 
 
 def test_query_oracle_key_parity():
