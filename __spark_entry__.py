@@ -2499,38 +2499,94 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-4 ROTATION (final). The driver gate verifies exactly the
+    # ROUND-5 ROTATION (final). The driver gate verifies exactly the
     # FIRST 50 dict entries (every CORRECTNESS_r*.json is precisely
     # the then-first-50 keys). Window composition, 50 total:
-    #   * 30 queries with no r3 verdict (28 never driver-gated in any
-    #     round; q_hash_embed / q_serialize_roundtrip hold stale
-    #     r1/r2 rows predating the code they now exercise),
-    #   * 10 r1/r2-only parse-path rows re-certified under the
-    #     round-3 tokenizer rewrites,
-    #   * 1 round-3-green anchor (q_extract_text, the flagship),
-    #   * 9 queries NEW this round (BPE train/encode, BM25,
-    #     temperature sample, backoff LM, meta-robots, CDX index,
-    #     script profile, shard manifest) — new queries must enter
-    #     inside the window.
-    # Displaced to make room, every one holding a green past-round
-    # verdict: q_extract_match + q_minhash_lsh (r3), and 6 r1/r2 rows
-    # with NO parse-path involvement (q_priority_revenue,
-    # q_events_hourly, q_user_first_event, q_top_hosts,
-    # q_host_counts_salted — pure relational/url queries the tokenizer
-    # rewrite cannot affect — q_bpe_tokens (fixed-regex textstats fn,
-    # unchanged since its r1 row; the richer r4 BPE queries supersede
-    # it as tokenization coverage), and q_lm_score, whose pipeline is
-    # a strict subset of the r4-gated q_lm_backoff). Round 5 should
-    # rotate those 9 plus anything below still lacking a recent row.
-    # Cross-round union after this round's gate: 106/106.
+    #   * 8 must-gate rows: q_cdx_index (its only driver row, r4, is
+    #     RED — the oracle's un-cast HUGEINT offset, fixed this round)
+    #     plus the 7 queries whose latest GREEN row is r1/r2
+    #     (q_lm_score r2; q_bpe_tokens, q_events_hourly,
+    #     q_host_counts_salted, q_priority_revenue, q_top_hosts,
+    #     q_user_first_event r1) — the round-4 verdict's rotation ask,
+    #   * 2 r3-green anchors the round-4 ledger displaced
+    #     (q_extract_match, q_minhash_lsh) + the flagship
+    #     q_extract_text (r4-green, continuity across rotations),
+    #   * 4 queries whose code changes THIS round and must re-certify
+    #     under it: q_bpe_train / q_bpe_encode (dual-engine encoder),
+    #     q_bm25 (persist knob), q_script_profile (astral ranges),
+    #   * 35 r3-only rows refreshed to r5 (oldest-green-first fill).
+    # Displaced below the cap, every one holding an r4-green row:
+    # the 30-strong "no r3 verdict" group gated in r4, the remaining
+    # new-r4 queries (q_temperature_sample, q_lm_backoff,
+    # q_meta_robots, q_shard_manifest), the 10 r4-re-certified
+    # parse-path rows (feed trio, q_clean_text, q_inner_*, ...), and
+    # 12 r3-green composites whose building blocks stay in the window
+    # (q_ann_arrow, q_ivfpq_topk, q_dedup_pipeline, q_dup_clusters,
+    # q_css_pseudo, q_curation_funnel, q_stratified_sample,
+    # q_line_dedup, q_simhash, q_wet_roundtrip, q_dom_text_roundtrip,
+    # q_rolling_fp). After this round's gate the cross-round union is
+    # 106/106 green with every latest-green row r3-or-later.
     # tests/test_entry_oracle.py::test_gate_window_covers_all_queries
-    # enforces that no query ever lives its whole life below the cap.
+    # enforces both invariants mechanically: no query may live below
+    # the cap without a GREEN driver row, and no below-cap query may
+    # let its latest green row age past 3 rounds.
     return {
-        # -- 30 queries with no round-3 verdict; 28 of them never
-        #    driver-gated in ANY round. q_hash_embed (last verdict r2,
-        #    BEFORE its scalar reshape) and q_serialize_roundtrip
-        #    (last verdict r1) lead the window because their old rows
-        #    predate the code they now exercise. --
+        # -- 8 must-gate (never-green / r1 / r2 latest rows) --
+        "q_cdx_index": _q_cdx_index,
+        "q_lm_score": _q_lm_score,
+        "q_bpe_tokens": _q_bpe_tokens,
+        "q_events_hourly": _q_events_hourly,
+        "q_host_counts_salted": _q_host_counts_salted,
+        "q_priority_revenue": _q_priority_revenue,
+        "q_top_hosts": _q_top_hosts,
+        "q_user_first_event": _q_user_first_event,
+        # -- r3-green anchors + flagship --
+        "q_extract_match": _q_extract_match,
+        "q_minhash_lsh": _q_minhash_lsh,
+        "q_extract_text": _q_extract_text,
+        # -- code changing this round (re-certify under it) --
+        "q_bpe_train": _q_bpe_train,
+        "q_bpe_encode": _q_bpe_encode,
+        "q_bm25": _q_bm25,
+        "q_script_profile": _q_script_profile,
+        # -- 35 r3-only rows refreshed to r5 --
+        "q_ann_topk": _q_ann_topk,
+        "q_bloom_decontam": _q_bloom_decontam,
+        "q_comments": _q_comments,
+        "q_contamination": _q_contamination,
+        "q_css_select": _q_css_select,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_descendants": _q_descendants,
+        "q_doc_stats": _q_doc_stats,
+        "q_element_siblings": _q_element_siblings,
+        "q_embedding_dup": _q_embedding_dup,
+        "q_fingerprint": _q_fingerprint,
+        "q_gopher": _q_gopher,
+        "q_host_stats": _q_host_stats,
+        "q_image_meta": _q_image_meta,
+        "q_ivf_topk": _q_ivf_topk,
+        "q_keywords": _q_keywords,
+        "q_lang_profile": _q_lang_profile,
+        "q_langid": _q_langid,
+        "q_links": _q_links,
+        "q_near_dup_jaccard": _q_near_dup_jaccard,
+        "q_p_class": _q_p_class,
+        "q_para_dedup": _q_para_dedup,
+        "q_pq_topk": _q_pq_topk,
+        "q_quality": _q_quality,
+        "q_quota_sample": _q_quota_sample,
+        "q_redact": _q_redact,
+        "q_repetition": _q_repetition,
+        "q_resolve_links": _q_resolve_links,
+        "q_tag_histogram": _q_tag_histogram,
+        "q_title": _q_title,
+        "q_token_shards": _q_token_shards,
+        "q_token_stats": _q_token_stats,
+        "q_url_canon": _q_url_canon,
+        "q_vocab_topk": _q_vocab_topk,
+        "q_warc_roundtrip": _q_warc_roundtrip,
+        # ---- below the 50-row gate cap: every query here holds a
+        #      GREEN r3-or-r4 driver row (see the function-top ledger) ----
         "q_hash_embed": _q_hash_embed,
         "q_dom_manip": _q_dom_manip,
         "q_serialize_roundtrip": _q_serialize_roundtrip,
@@ -2561,8 +2617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": _q_sitemap,
         "q_robots_sitemaps": _q_robots_sitemaps,
         "q_frontier": _q_frontier,
-        # -- 10 r1/r2-only parse-path rows, re-certified under the r3
-        #    tokenizer rewrites --
         "q_clean_text": _q_clean_text,
         "q_inner_text": _q_inner_text,
         "q_inner_html": _q_inner_html,
@@ -2573,81 +2627,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_atom": _q_feed_atom,
         "q_feed_rdf": _q_feed_rdf,
         "q_extraction_diff": _q_extraction_diff,
-        # -- 1 round-3-green anchor (continuity across rotations) +
-        #    the 9 queries NEW this round — new queries must enter
-        #    inside the window (the gate-window honesty test forbids
-        #    a query ever living below the cap with no driver
-        #    verdict). The displacement ledger is in the function-top
-        #    comment. --
-        "q_extract_text": _q_extract_text,
-        "q_bpe_train": _q_bpe_train,
-        "q_bpe_encode": _q_bpe_encode,
-        "q_bm25": _q_bm25,
         "q_temperature_sample": _q_temperature_sample,
         "q_lm_backoff": _q_lm_backoff,
         "q_meta_robots": _q_meta_robots,
-        "q_cdx_index": _q_cdx_index,
-        "q_script_profile": _q_script_profile,
         "q_shard_manifest": _q_shard_manifest,
-        # ---- below the 50-row gate cap: all driver-green in a past
-        #      round; the first 9 are this round's displacements
-        #      (see the function-top comment for why each is safe) ----
-        "q_events_hourly": _q_events_hourly,
-        "q_bpe_tokens": _q_bpe_tokens,
-        "q_lm_score": _q_lm_score,
-        "q_host_counts_salted": _q_host_counts_salted,
-        "q_top_hosts": _q_top_hosts,
-        "q_user_first_event": _q_user_first_event,
-        "q_priority_revenue": _q_priority_revenue,
-        "q_extract_match": _q_extract_match,
-        "q_minhash_lsh": _q_minhash_lsh,
-        "q_title": _q_title,
-        "q_tag_histogram": _q_tag_histogram,
-        "q_links": _q_links,
-        "q_p_class": _q_p_class,
-        "q_comments": _q_comments,
-        "q_doc_stats": _q_doc_stats,
-        "q_lang_profile": _q_lang_profile,
-        "q_host_stats": _q_host_stats,
-        "q_dedup_exact": _q_dedup_exact,
-        "q_token_stats": _q_token_stats,
-        "q_vocab_topk": _q_vocab_topk,
-        "q_para_dedup": _q_para_dedup,
-        "q_keywords": _q_keywords,
-        "q_quality": _q_quality,
-        "q_fingerprint": _q_fingerprint,
-        "q_ann_topk": _q_ann_topk,
         "q_ann_arrow": _q_ann_arrow,
-        "q_ivf_topk": _q_ivf_topk,
-        "q_element_siblings": _q_element_siblings,
-        "q_embedding_dup": _q_embedding_dup,
-        "q_near_dup_jaccard": _q_near_dup_jaccard,
         "q_simhash": _q_simhash,
         "q_dup_clusters": _q_dup_clusters,
         "q_dedup_pipeline": _q_dedup_pipeline,
         "q_stratified_sample": _q_stratified_sample,
-        "q_quota_sample": _q_quota_sample,
-        "q_token_shards": _q_token_shards,
-        "q_contamination": _q_contamination,
-        "q_bloom_decontam": _q_bloom_decontam,
         "q_curation_funnel": _q_curation_funnel,
-        "q_descendants": _q_descendants,
-        "q_warc_roundtrip": _q_warc_roundtrip,
         "q_wet_roundtrip": _q_wet_roundtrip,
-        "q_css_select": _q_css_select,
         "q_css_pseudo": _q_css_pseudo,
         "q_line_dedup": _q_line_dedup,
-        "q_pq_topk": _q_pq_topk,
         "q_ivfpq_topk": _q_ivfpq_topk,
         "q_dom_text_roundtrip": _q_dom_text_roundtrip,
-        "q_langid": _q_langid,
-        "q_redact": _q_redact,
-        "q_gopher": _q_gopher,
-        "q_repetition": _q_repetition,
         "q_rolling_fp": _q_rolling_fp,
-        "q_url_canon": _q_url_canon,
-        "q_resolve_links": _q_resolve_links,
-        "q_image_meta": _q_image_meta,
     }
 
 

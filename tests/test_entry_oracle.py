@@ -136,29 +136,63 @@ def test_entry_smoke(spark):
 def test_gate_window_covers_all_queries():
     """The driver's correctness gate checks exactly the FIRST 50 dict
     entries of ``queries()`` (every CORRECTNESS_r*.json is precisely the
-    then-first-50 keys). A query must therefore either sit inside the
-    current window or already hold a driver verdict from a past round —
-    otherwise it can live its whole life without a single driver row
-    (round-3 verdict: 28 queries did exactly that). This test fails the
-    moment someone appends a new query below position 50 without a prior
-    CORRECTNESS row, forcing a rotation."""
+    then-first-50 keys). Two invariants, both window-exempt (a query in
+    the current window is about to be re-gated):
+
+    1. COVERAGE — a below-cap query must hold a GREEN driver row from
+       some past round (rows_match + schema_match + hash_match, no
+       err). Key-presence alone is not enough: round 4's q_cdx_index
+       had a row, but a red one (round-3 verdict: 28 queries had no
+       row at all).
+    2. STALENESS — a below-cap query's LATEST green row must be less
+       than 4 rounds old relative to the upcoming gate round
+       (= max existing round + 1). With 106 queries and a 50-row
+       window, a full refresh cycle needs 3 rounds (ceil(106/50)), so
+       ages 1-3 are the sustainable steady state and age >= 4 means a
+       rotation was skipped. Round-5 note: this is red for the six
+       r1-only rows (and q_lm_score's r2 row is at the age-3 boundary,
+       rotated anyway per the round-4 verdict) unless they sit inside
+       the round-5 window — which is exactly the forcing function."""
     import glob
     import json
 
     import __spark_entry__ as entry_mod
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    gated: set[str] = set()
+    latest_green: dict[str, int] = {}
+    rounds: list[int] = []
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        rounds.append(rnd)
         with open(path) as fh:
-            gated |= set(json.load(fh))
+            for name, row in json.load(fh).items():
+                green = (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match", True)
+                    and not row.get("err")
+                )
+                if green:
+                    latest_green[name] = max(latest_green.get(name, 0), rnd)
+    next_round = max(rounds) + 1 if rounds else 1
     keys = list(entry_mod.queries())
     window = set(keys[:50])
-    uncovered = [k for k in keys if k not in window and k not in gated]
+    below = [k for k in keys if k not in window]
+    uncovered = [k for k in below if k not in latest_green]
     assert not uncovered, (
         f"{len(uncovered)} queries sit below the driver's 50-row gate cap "
-        f"with no CORRECTNESS_r*.json verdict in any round: {uncovered} — "
-        "rotate them into the first 50 positions of queries()"
+        f"with no GREEN CORRECTNESS_r*.json row in any round: {uncovered} "
+        "— rotate them into the first 50 positions of queries()"
+    )
+    stale = {
+        k: latest_green[k]
+        for k in below
+        if next_round - latest_green[k] >= 4
+    }
+    assert not stale, (
+        f"{len(stale)} below-cap queries have let their latest green "
+        f"driver row age >= 4 rounds (next gate round = r{next_round}): "
+        f"{stale} — rotate them into the first 50 positions of queries()"
     )
 
 
