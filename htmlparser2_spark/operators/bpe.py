@@ -40,9 +40,22 @@ Scale shape (100 TB corpus)
   is never collected). This is how production tokenizers train at
   scale: frequencies are aggregated distributed, merges are learned
   on the aggregate. Cost O(n_merges × top_words × avg_word_len).
-- ``encode_bpe``: the learned merges become LITERAL replace calls in
-  the plan — a map-only whole-stage-codegen Project. No shuffle, no
-  UDF, no broadcast join; 100× more data is 100× more map tasks.
+- ``encode_bpe``: dual-engine, map-only either way (the same shape as
+  ``similarity.pq_encode`` and the minhash fold). Small merge tables
+  compile to LITERAL replace calls — a whole-stage-codegen Project
+  with zero Python — but the expression tree grows one nested
+  ``replace`` per merge, and a production 30k–50k merge vocabulary
+  blows past codegen's 64KB method limit into interpreted mode with
+  the analyzer itself becoming the bottleneck (the same plan-size
+  cliff ``pq_encode`` documents for k=256 codebooks). Above
+  ``MAX_JVM_MERGES`` the encode switches to an Arrow-batched Python
+  kernel: per distinct word (memoized per worker), repeatedly merge
+  the lowest-rank pair present — provably the same result as the
+  sequential replace chain, because a merge's output symbol can only
+  appear in later-rank rules, so after rank r is exhausted no pair of
+  rank <= r can reappear (parity is test-pinned, including a seeded
+  randomized differential). Cost per distinct word is independent of
+  the merge-table depth — dict lookups, not 30k string scans.
 
 Cross-word safety needs no separator symbol: a learned pair's left
 symbol never contains ``</w>`` (it is word-final in every training
@@ -54,24 +67,42 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
     "WORD_PATTERN",
     "EOW",
+    "MAX_JVM_MERGES",
     "word_frequencies",
     "train_bpe_on_freqs",
     "train_bpe",
     "merges_to_df",
     "segment_expr",
     "apply_merges",
+    "encode_word_py",
+    "encode_text_py",
     "encode_bpe",
 ]
 
 WORD_PATTERN = "[a-z]+"
 EOW = "</w>"
 _SYM_RE = re.compile(r"\{([^}]*)\}")
+
+# Above this many merges the literal-replace plan is refused: each
+# merge nests one more `replace` call, and a deep chain first falls
+# out of whole-stage codegen (64KB generated-method limit) and then
+# makes analysis itself quadratic. Production vocabularies (30k-50k
+# merges) always take the Arrow kernel; the literal chain remains the
+# zero-Python engine for small tables and the oracle's exactness twin.
+MAX_JVM_MERGES = 256
+
+# Per-worker word->segmentation memo cap for the Arrow kernel. Distinct
+# lowercase [a-z]+ words are Zipf-bounded in real corpora, but a 100 TB
+# adversarial input could still grow the dict without bound — clear it
+# past the cap (the kernel stays correct, just re-encodes).
+_ENCODE_CACHE_MAX = 1_000_000
 
 
 def word_frequencies(
@@ -180,10 +211,25 @@ def segment_expr(
 
 
 def apply_merges(
-    seg: Column, merges: list[tuple[int, str, str, int]]
+    seg: Column,
+    merges: list[tuple[int, str, str, int]],
+    *,
+    max_jvm_merges: int = MAX_JVM_MERGES,
 ) -> Column:
     """Fold the learned merges over a segmentation column in rank
-    order — n_merges literal ``replace`` expressions, map-only."""
+    order — n_merges literal ``replace`` expressions, map-only.
+    Refuses tables past ``max_jvm_merges`` (see the module constant:
+    the expression tree falls out of codegen and then out of tractable
+    analysis) — production-depth tables take ``encode_bpe``'s Arrow
+    engine instead."""
+    if len(merges) > max_jvm_merges:
+        raise ValueError(
+            f"{len(merges)} merges exceed the literal-replace plan "
+            f"bound ({max_jvm_merges}): a replace chain this deep "
+            "leaves whole-stage codegen (64KB method limit) and makes "
+            "the analyzer the bottleneck — use encode_bpe(..., "
+            "engine='arrow') (or raise max_jvm_merges knowingly)"
+        )
     col = seg
     for _rank, lhs, rhs, _cnt in merges:
         col = F.replace(
@@ -194,6 +240,90 @@ def apply_merges(
     return col
 
 
+def encode_word_py(word: str, ranks: dict[tuple[str, str], int]) -> str:
+    """Encode ONE word against a rank dict: repeatedly merge every
+    left-to-right non-overlapping occurrence of the lowest-rank pair
+    present. Identical to replaying the full merge list in rank order
+    (a merge's output symbol only occurs in later-rank rules, so once
+    rank r is exhausted no pair of rank <= r can reappear — pinned by
+    the randomized differential in tests/test_bpe.py), but the cost is
+    per-pair dict lookups instead of one string scan per merge."""
+    syms = list(word)
+    syms.append(EOW)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        lhs, rhs = best_pair
+        merged = lhs + rhs
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return "".join("{%s}" % s for s in syms)
+
+
+def encode_text_py(
+    text: str | None,
+    ranks: dict[tuple[str, str], int],
+    *,
+    pattern: str = WORD_PATTERN,
+    cache: dict[str, str] | None = None,
+) -> str:
+    """Whole-document encode, the Arrow kernel's per-row work: word
+    split mirrors ``segment_expr`` (lowercase, ``pattern`` runs, NULL
+    -> ''), each distinct word encoded once via ``cache``. Cross-word
+    merges cannot exist (no learned lhs contains ``</w>`` — see the
+    module docstring), so per-word encoding equals the document-level
+    replace chain."""
+    words = re.findall(pattern, (text or "").lower())
+    parts: list[str] = []
+    if cache is None:
+        cache = {}
+    for w in words:
+        s = cache.get(w)
+        if s is None:
+            if len(cache) >= _ENCODE_CACHE_MAX:
+                cache.clear()
+            s = encode_word_py(w, ranks)
+            cache[w] = s
+        parts.append(s)
+    return "".join(parts)
+
+
+def _encode_udf(merges: list[tuple[int, str, str, int]], pattern: str):
+    """Arrow-batched document encoder (the ``_minhash_fold_udf`` /
+    ``pq_encode`` dual-engine shape): the rank dict ships once per
+    worker in the closure; the word memo persists across batches
+    within a worker process (deterministic — it caches a pure
+    function)."""
+    ranks = {(lhs, rhs): rank for rank, lhs, rhs, _cnt in merges}
+    cache: dict[str, str] = {}
+
+    @F.pandas_udf("string")
+    def _enc(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_text_py(t, ranks, pattern=pattern, cache=cache)
+                for t in texts
+            ],
+            dtype="object",
+        )
+
+    return _enc
+
+
 def encode_bpe(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],
@@ -201,12 +331,38 @@ def encode_bpe(
     text_col: str = "text",
     out_col: str = "bpe_seg",
     pattern: str = WORD_PATTERN,
+    engine: str = "auto",
+    max_jvm_merges: int = MAX_JVM_MERGES,
 ) -> DataFrame:
     """Add ``out_col`` (the encoded segmentation string — symbols are
     its brace groups) and ``n_bpe`` (subword token count = brace-group
     count). Applying merges in learned-rank order is the original
-    subword-nmt encoder; the whole thing is one map-only Project."""
-    seg = apply_merges(segment_expr(text_col, pattern), merges)
+    subword-nmt encoder; the whole thing is one map-only projection in
+    BOTH engines (plan-pinned: no shuffle either way).
+
+    ``engine``: ``"jvm"`` (literal replace chain, zero Python — the
+    DuckDB oracle's exactness twin; refuses > ``max_jvm_merges``),
+    ``"arrow"`` (memoized per-word Python kernel, Arrow-batched —
+    depth-independent, the production path for 30k+ merge tables), or
+    ``"auto"`` (jvm up to the bound, arrow past it). Engines are
+    bit-identical by construction and parity-pinned in tests; the one
+    documented divergence risk is non-ASCII lowercasing (JVM
+    ``lower()`` vs Python ``str.lower()`` can differ on exotic locale
+    mappings), which the ASCII ``pattern`` makes invisible unless a
+    non-ASCII char lowercases INTO [a-z] — e.g. U+212A KELVIN SIGN,
+    which both map to 'k'."""
+    if engine == "auto":
+        engine = "jvm" if len(merges) <= max_jvm_merges else "arrow"
+    if engine == "jvm":
+        seg = apply_merges(
+            segment_expr(text_col, pattern),
+            merges,
+            max_jvm_merges=max_jvm_merges,
+        )
+    elif engine == "arrow":
+        seg = _encode_udf(merges, pattern)(F.col(text_col))
+    else:
+        raise ValueError(f"unknown engine {engine!r} (auto|jvm|arrow)")
     out = docs.withColumn(out_col, seg)
     n = F.length(out_col) - F.length(F.replace(F.col(out_col), F.lit("{")))
     return out.withColumn("n_bpe", n.cast("int"))

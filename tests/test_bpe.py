@@ -226,3 +226,130 @@ def test_trainer_differential_against_symbol_list_simulation():
                 syms = _merge_sim(syms, lhs, rhs)
             sim.extend(syms)
         assert re.findall(r"\{([^}]*)\}", seg) == sim, seed
+
+
+# ------------------------------------------------ dual-engine encoder
+
+
+def test_priority_encoder_matches_sequential_replace():
+    """encode_word_py merges the lowest-rank pair present iteratively;
+    the jvm chain replays every merge in rank order. Provably equal
+    (a merge's output symbol only occurs in later-rank rules) — pinned
+    here by a seeded differential over overlap-prone random corpora,
+    the same campaign shape as the trainer differential."""
+    import random
+
+    from htmlparser2_spark.operators.bpe import encode_text_py
+
+    for seed in range(200):
+        rng = random.Random(31000 + seed)
+        alphabet = rng.choice(["ab", "aab", "abc", "abcd"])
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(2, 14))
+        ]
+        freqs = [(w, rng.randint(1, 5)) for w in sorted(set(words))]
+        merges = train_bpe_on_freqs(freqs, rng.randint(1, 14))
+        ranks = {(l, r): k for k, l, r, _ in merges}
+        doc = " ".join(rng.choice(words) for _ in range(rng.randint(1, 20)))
+        assert encode_text_py(doc, ranks) == _encode_py(doc, merges), seed
+    assert encode_text_py(None, {}) == ""
+
+
+def test_apply_merges_refuses_past_jvm_bound():
+    from pyspark.sql import functions as F
+
+    from htmlparser2_spark.operators.bpe import apply_merges
+
+    merges = [(1, "a", "b", 0), (2, "ab", "c", 0), (3, "abc", EOW, 0)]
+    with pytest.raises(ValueError, match="literal-replace plan bound"):
+        apply_merges(F.lit("{a}{b}"), merges, max_jvm_merges=2)
+
+
+@pytest.mark.spark
+def test_encode_jvm_engine_refuses_past_bound(spark):
+    docs = spark.createDataFrame([("ab",)], ["text"])
+    merges = [(1, "a", "b", 0), (2, "ab", EOW, 0)]
+    with pytest.raises(ValueError, match="literal-replace plan bound"):
+        encode_bpe(docs, merges, engine="jvm", max_jvm_merges=1)
+    with pytest.raises(ValueError, match="unknown engine"):
+        encode_bpe(docs, merges, engine="numpy")
+
+
+@pytest.mark.spark
+def test_arrow_engine_matches_jvm(spark):
+    """Bit-identical engines on real corpus text + the one documented
+    non-ASCII edge (U+212A KELVIN SIGN lowercases into [a-z] in both
+    JVM lower() and Python str.lower())."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    docs = docs.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(100001, "Kelvin siKn"), (100002, None)],
+            ["doc_id", "text"],
+        )
+    )
+    merges = train_bpe(word_frequencies(docs, top_words=60), 15)
+    jvm = encode_bpe(docs, merges, engine="jvm")
+    arrow = encode_bpe(docs, merges, engine="arrow")
+    j = {r["doc_id"]: (r["bpe_seg"], r["n_bpe"]) for r in jvm.collect()}
+    a = {r["doc_id"]: (r["bpe_seg"], r["n_bpe"]) for r in arrow.collect()}
+    assert j == a
+
+
+@pytest.mark.spark
+def test_encode_auto_switches_engine_and_stays_map_only(spark):
+    """auto = jvm at/below the bound, arrow above it; BOTH plans are
+    map-only (no Exchange, no Join — the merge table is closure/plan
+    state, never a joined side)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = train_bpe(
+        word_frequencies(docs.limit(40), top_words=40), 6
+    )
+    auto_small = _plan(encode_bpe(docs, merges, max_jvm_merges=6))
+    assert "Python" not in auto_small and "Exchange" not in auto_small
+    auto_big = _plan(encode_bpe(docs, merges, max_jvm_merges=5))
+    assert "ArrowEvalPython" in auto_big
+    assert "Exchange" not in auto_big and "Join" not in auto_big
+
+
+@pytest.mark.spark
+def test_arrow_engine_depth_independent(spark):
+    """The arrow kernel must accept a merge table past the jvm bound —
+    a structurally-valid synthetic 300-merge table (each word's prefix
+    chain) encodes without touching the literal-plan path."""
+    from htmlparser2_spark.operators.bpe import encode_text_py
+
+    import random
+
+    rng = random.Random(7)
+    words = sorted(
+        {
+            "".join(rng.choice("abcdefgh") for _ in range(8))
+            for _ in range(60)
+        }
+    )
+    merges = []
+    rank = 0
+    seen = set()
+    for w in words:
+        acc = w[0]
+        for ch in w[1:]:
+            pair = (acc, ch)
+            acc += ch
+            if pair in seen:
+                continue
+            seen.add(pair)
+            rank += 1
+            merges.append((rank, pair[0], pair[1], 1))
+    assert len(merges) > 260  # past MAX_JVM_MERGES
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words) for _ in range(5))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    enc = encode_bpe(docs, merges)  # auto -> arrow
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    for r in enc.collect():
+        assert r["bpe_seg"] == encode_text_py(r["text"], ranks), r["doc_id"]
+        assert r["n_bpe"] == r["bpe_seg"].count("{")
