@@ -8,6 +8,17 @@ The pages corpus is synthesized deterministically from documents.parquet
 and replicated BENCH_REPLICATE times (distinct doc_ids/urls) so the parse
 stage has enough bytes to measure; throughput is reported as docs/sec and
 MB/sec of html bytes (comparable to BASELINE.md's reference envelope).
+
+Diagnosability (the r4 verdict's q_minhash_lsh ask — 2x the quiet
+floor on the driver, twice): the JSON line always carries per-rep
+timings ("reps") and 1-minute loadavg samples taken around every rep
+round ("loadavg_1m"), so a recorded BENCH_r*.json distinguishes a
+sustained slowdown (all reps slow, loadavg flat) from host-weather
+spikes (one rep slow, loadavg elevated) post-hoc. `--profile`
+additionally enables the Spark UI, tags every rep with a job group,
+and dumps per-stage REST metrics (executorRunTime, shuffle bytes, GC)
+to stderr + $BENCH_PROFILE_PATH (default /tmp/bench_profile.json) —
+stdout stays exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -68,7 +79,57 @@ def build_corpora() -> None:
     spark.stop()
 
 
-def main() -> None:
+def _dump_profile(spark) -> None:
+    """Fetch per-stage metrics from the UI REST API and write them to
+    stderr + BENCH_PROFILE_PATH. Stage rows carry the job group set
+    per (query, rep), so a slow line maps to its stages."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        sys.stderr.write("profile: Spark UI unavailable\n")
+        return
+
+    def get(path: str):
+        with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
+            return json.load(r)
+
+    app_id = get("/applications")[0]["id"]
+    jobs = get(f"/applications/{app_id}/jobs?status=succeeded")
+    group_by_job = {j["jobId"]: j.get("jobGroup") for j in jobs}
+    stage_to_group = {}
+    for j in jobs:
+        for sid in j.get("stageIds", []):
+            stage_to_group[sid] = group_by_job.get(j["jobId"])
+    rows = []
+    for s in get(f"/applications/{app_id}/stages?status=complete"):
+        rows.append(
+            {
+                "group": stage_to_group.get(s["stageId"]),
+                "stage": s["stageId"],
+                "name": s["name"].split("\n")[0][:80],
+                "tasks": s["numCompleteTasks"],
+                "executor_run_ms": s["executorRunTime"],
+                "gc_ms": s.get("jvmGcTime", 0),
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "shuffle_read_mb": round(
+                    s.get("shuffleReadBytes", 0) / 1e6, 1
+                ),
+                "shuffle_write_mb": round(
+                    s.get("shuffleWriteBytes", 0) / 1e6, 1
+                ),
+            }
+        )
+    rows.sort(key=lambda r: -r["executor_run_ms"])
+    path = os.environ.get("BENCH_PROFILE_PATH", "/tmp/bench_profile.json")
+    with open(path, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    for r in rows[:40]:
+        sys.stderr.write(json.dumps(r) + "\n")
+    sys.stderr.write(f"profile: {len(rows)} stages -> {path}\n")
+
+
+def main(profile: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from htmlparser2_spark.functions.udfs import doc_stats_udf, node_counts_udf
@@ -88,7 +149,12 @@ def main() -> None:
         sys.stderr.write(build.stdout + build.stderr)
         raise SystemExit("corpus build failed")
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark = get_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        conf={"spark.ui.enabled": "true"} if profile else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # Scan-level parallelism: size parquet splits so the pages scan yields
     # >= 2x CPUS partitions without a repartition shuffle.
@@ -193,17 +259,23 @@ def main() -> None:
         ("q_minhash_lsh", q_minhash, 3),
         ("q_ann_topk", q_ann, 3),
     ]
+    rep_times: dict[str, list[float]] = {name: [] for name, _, _ in suite}
+    load_samples: list[float] = [round(os.getloadavg()[0], 1)]
     for rep in range(max(r for _, _, r in suite)):
         for name, fn, repeats in suite:
             if rep >= repeats:
                 continue
+            spark.sparkContext.setJobGroup(f"{name}#r{rep}", name)
             t0 = time.perf_counter()
             fn()
             elapsed = time.perf_counter() - t0
+            spark.sparkContext.setJobGroup("", "")
+            rep_times[name].append(round(elapsed, 3))
             prev = timings.get(name)
             timings[name] = round(
                 elapsed if prev is None else min(prev, elapsed), 3
             )
+        load_samples.append(round(os.getloadavg()[0], 1))
 
     extract_sec = timings["q_extract"]
     result = {
@@ -227,7 +299,14 @@ def main() -> None:
         ),
         "large_page_match_rate": round(match_rate.get("extract_large", 0.0), 6),
         "cpus": CPUS,
+        "reps": rep_times,
+        "loadavg_1m": load_samples,
     }
+    if profile:
+        try:
+            _dump_profile(spark)
+        except Exception as exc:  # diagnostics must never eat the JSON line
+            sys.stderr.write(f"profile failed: {exc}\n")
     print(json.dumps(result))
     spark.stop()
 
@@ -236,4 +315,4 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build":
         build_corpora()
     else:
-        sys.exit(main())
+        sys.exit(main(profile="--profile" in sys.argv[1:]))

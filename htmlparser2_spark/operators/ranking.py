@@ -37,16 +37,18 @@ Scale shape (100 TB corpus, q queries, k results):
   threshold).
 - the per-document counts feed two consumers (the match join and the
   df aggregate), and Catalyst expands the shared subtree into two
-  scans unless the caller persists — same documented trade as
-  ``vocab.doc_keywords``: at corpus scale, materialize ``docs``
-  (or the counts) upstream when running many queries against one
-  corpus snapshot.
+  scans unless it is materialized — pass ``persist=`` (same knob as
+  ``vocab.doc_keywords``) to cache the counts and collapse the double
+  scan into InMemoryTableScans; at corpus scale, or when running many
+  query batches against one corpus snapshot, materialize upstream
+  instead and keep the handle to unpersist.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.textstats import oracle_tokens
 
@@ -66,12 +68,23 @@ def bm25_topk(
     query_text_col: str = "query_text",
     round_dp: int = 4,
     salt_buckets: int = 32,
+    persist: bool | StorageLevel = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): the k highest-BM25 documents
     per query, rank 1-based by (score desc, doc_id asc) over scores
     rounded to ``round_dp``. Documents sharing no term with a query
     never appear (score 0 by definition). ``queries`` must have
-    unique ``query_id``s."""
+    unique ``query_id``s.
+
+    ``persist``: ``True`` (MEMORY_AND_DISK) or an explicit
+    ``StorageLevel`` caches the per-document (id, token, dl, tf)
+    counts, which otherwise recompute once per consumer (the match
+    join AND the df aggregate — two full corpus scans + tokenize
+    passes). The cache lives until Spark's LRU evicts it or the
+    caller runs ``spark.catalog.clearCache()``; for long-lived
+    many-query-batch services, materialize the counts upstream and
+    keep the handle instead. Plan-pinned: with ``persist`` both
+    consumers read InMemoryTableScan."""
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
     if salt_buckets <= 0:
@@ -88,6 +101,13 @@ def bm25_topk(
     per_doc = exploded.groupBy("id", "token", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    if persist:
+        level = (
+            persist
+            if isinstance(persist, StorageLevel)
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        per_doc = per_doc.persist(level)
 
     qterms = F.broadcast(
         queries.select(

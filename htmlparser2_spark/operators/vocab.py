@@ -24,6 +24,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.textstats import oracle_tokens
 
@@ -91,6 +92,7 @@ def doc_keywords(
     broadcast_common: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool | StorageLevel = False,
 ) -> DataFrame:
     """(id, rank, token, c): the n most frequent tokens per document
     AFTER removing corpus-common tokens — keyword extraction for
@@ -108,11 +110,13 @@ def doc_keywords(
     that set (broadcast by default, map-only on the big side), then
     one id-keyed window for the top-n. n_docs is a count() scalar on
     the driver (one pass, vector-sized state, same pattern as the
-    classifier/centroid collects). The per-doc aggregate is recomputed
-    by the two consumers unless the caller persists it; at corpus
-    scale prefer ``docs_counts = per-doc counts; docs_counts.
-    persist()`` semantics by materializing upstream — documented
-    rather than hidden.
+    classifier/centroid collects). The per-doc aggregate feeds two
+    consumers and recomputes per consumer unless materialized: pass
+    ``persist=True`` (MEMORY_AND_DISK) or an explicit ``StorageLevel``
+    to cache it so both consumers read InMemoryTableScan
+    (plan-pinned). The cache lives until LRU eviction or
+    ``spark.catalog.clearCache()``; long-lived callers should
+    materialize the counts upstream and keep the handle to unpersist.
 
     Broadcast hazard, documented: the common set shrinks toward
     "stopwords" only when ``max_df_ratio * n_docs`` is comfortably
@@ -139,6 +143,13 @@ def doc_keywords(
             f"is too small for max_df_ratio={max_df_ratio}"
         )
     per_doc = _per_doc_counts(docs, text_col, id_col)
+    if persist:
+        level = (
+            persist
+            if isinstance(persist, StorageLevel)
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        per_doc = per_doc.persist(level)
     common = (
         per_doc.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

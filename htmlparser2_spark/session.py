@@ -14,7 +14,11 @@ def get_spark(
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``conf`` entries are applied last and override the defaults —
+    creation-time only (getOrCreate ignores configs when a session
+    already exists, as ever)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app)
@@ -35,4 +39,6 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    for key, value in (conf or {}).items():
+        builder = builder.config(key, value)
     return builder.getOrCreate()

@@ -122,3 +122,26 @@ def test_bm25_plan_shape(spark):
     # Spark 4's rank-limit pushdown must keep both group-limited.
     assert p.count(") Window\n") == 2, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_bm25_persist_collapses_double_scan(spark):
+    """persist=True caches the per-document counts: both consumers
+    (match join + df aggregate) must read InMemoryTableScan, and the
+    persisted and default plans must score identically."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = spark.createDataFrame(
+        [("q1", "fast table scan")], "query_id string, query_text string"
+    )
+    plain = bm25_topk(docs, qs, k=5)
+    cached = bm25_topk(docs, qs, k=5, persist=True)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cached.explain("formatted")
+        p = buf.getvalue()
+        assert p.count("InMemoryTableScan") >= 2, p
+        got = [tuple(r) for r in cached.collect()]
+        want = [tuple(r) for r in plain.collect()]
+        assert got == want
+    finally:
+        spark.catalog.clearCache()

@@ -145,3 +145,28 @@ def test_doc_keywords_empty_corpus_is_noop(spark):
     out = doc_keywords(docs, n=2)
     assert out.columns == ["id", "rank", "token", "c"]
     assert out.count() == 0
+
+
+def test_doc_keywords_persist_collapses_double_scan(spark):
+    """persist=True caches the per-doc counts: the common-token
+    aggregate and the anti-join side both read InMemoryTableScan, and
+    results match the default plan exactly."""
+    import contextlib
+    import io
+
+    from htmlparser2_spark.operators.vocab import doc_keywords
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = doc_keywords(docs, n=3)
+    cached = doc_keywords(docs, n=3, persist=True)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cached.explain("formatted")
+        p = buf.getvalue()
+        assert p.count("InMemoryTableScan") >= 2, p
+        got = sorted(tuple(r) for r in cached.collect())
+        want = sorted(tuple(r) for r in plain.collect())
+        assert got == want
+    finally:
+        spark.catalog.clearCache()
