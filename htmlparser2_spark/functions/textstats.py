@@ -111,32 +111,59 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def _argmax_label(
+    scored: list[tuple[str, Column]], *, default: str
+) -> Column:
+    """Label of the highest score, ties won by the EARLIER entry;
+    ``default`` when the best score is not positive (or all scores are
+    NULL — struct ordering sorts NULL fields lowest, so the final
+    ``> 0`` check falls through to ``default`` exactly like the old
+    fold did). Built as ONE array<struct<score,prio,label>> + array_max
+    (struct comparison is lexicographic by field order), so the
+    expression tree is LINEAR in the entry count — the naive
+    when-chain fold embeds the previous accumulator twice per step,
+    doubling the tree each entry, and overflows whole-stage codegen's
+    64KB method limit past ~8 entries (the failure q_script_profile
+    hit when SCRIPT_RANGES grew to 11 scripts)."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    score.alias("s"),
+                    F.lit(-i).alias("p"),
+                    F.lit(label).alias("n"),
+                )
+                for i, (label, score) in enumerate(scored)
+            ]
+        )
+    )
+    return F.when(best["s"] > 0, best["n"]).otherwise(F.lit(default))
+
+
 def langid_guess(text: Column | str) -> Column:
     """Most-probable language by marker-token votes (ties -> code order)."""
     toks = tokens(text)
-    best: Column | None = None
-    best_score: Column | None = None
 
     def _marker_hits(markers):
         # Single-param lambda (a 2-param lambda would be treated as
         # (element, index) by F.filter); closure via factory.
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    for code, markers in _LANG_MARKERS.items():
-        score = _marker_hits(markers)
-        if best is None:
-            best, best_score = F.lit(code), score
-        else:
-            take = score > best_score
-            best = F.when(take, F.lit(code)).otherwise(best)
-            best_score = F.when(take, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return _argmax_label(
+        [(code, _marker_hits(m)) for code, m in _LANG_MARKERS.items()],
+        default="und",
+    )
 
 
-# Major Unicode script ranges (BMP only — astral scripts are out of
-# scope, documented): literal character ranges so the same class
-# string compiles identically under Java regex (Spark) and RE2
-# (DuckDB). Dict order IS the dominant-script tie-break precedence.
+# Major Unicode script ranges: literal character ranges so the same
+# class string compiles identically under Java regex (Spark) and RE2
+# (DuckDB) — both engines match astral (supplementary-plane) class
+# members per CODE POINT, verified cross-engine in
+# tests/test_spark_ops.py. Dict order IS the dominant-script tie-break
+# precedence, so the astral entries append at the end (BMP precedence
+# unchanged). cjk_ext is CJK Ideograph Extensions B-F — the one astral
+# block with real crawl-curation volume (rare hanzi in zh text);
+# egyptian/cuneiform mark ancient-script corpora.
 SCRIPT_RANGES = {
     "latin": "A-Za-zÀ-ɏ",
     "cjk": "一-鿿",
@@ -146,6 +173,9 @@ SCRIPT_RANGES = {
     "kana": "぀-ヿ",
     "greek": "Ͱ-Ͽ",
     "devanagari": "ऀ-ॿ",
+    "cjk_ext": "\U00020000-\U0002EBEF",
+    "egyptian": "\U00013000-\U0001342F",
+    "cuneiform": "\U00012000-\U000123FF",
 }
 
 
@@ -163,17 +193,10 @@ def dominant_script(text: Column | str) -> Column:
     'none' when no scripted character occurs. The multilingual-
     curation complement to langid_guess: script is a cheap, reliable
     signal where marker tokens need per-language lists."""
-    best: Column | None = None
-    best_score: Column | None = None
-    for name in SCRIPT_RANGES:
-        score = script_count(text, name)
-        if best is None:
-            best, best_score = F.lit(name), score
-        else:
-            take = score > best_score
-            best = F.when(take, F.lit(name)).otherwise(best)
-            best_score = F.when(take, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("none"))
+    return _argmax_label(
+        [(name, script_count(text, name)) for name in SCRIPT_RANGES],
+        default="none",
+    )
 
 
 # Dual-dialect sentence segmentation, pinned like ORACLE_TOKENS_SQL:

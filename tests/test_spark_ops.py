@@ -2507,6 +2507,25 @@ def test_cdx_index_offsets_and_digest(spark):
     with _pytest.raises(ValueError):
         cdx_index(df, n_files=0)
 
+    # sha1-b32: the classic pywb digest — uppercase unpadded base32 of
+    # SHA-1, 32 chars; offsets remain a valid per-file packing.
+    import base64
+
+    b32 = cdx_index(
+        df,
+        payload_col="payload",
+        n_files=2,
+        record_col="record",
+        digest_format="sha1-b32",
+    ).collect()
+    want0 = base64.b32encode(hashlib.sha1(b"payload-0").digest()).decode()
+    got0 = next(r for r in b32 if r["url"].endswith("/0"))
+    assert got0["digest"] == want0 and len(want0) == 32
+    assert "=" not in want0 and want0 == want0.upper()
+    assert {r["length"] for r in b32} == {r["length"] for r in out}
+    with _pytest.raises(ValueError, match="digest_format"):
+        cdx_index(df, digest_format="md5")
+
 
 def test_script_profile_functions(spark):
     from pyspark.sql import functions as F
@@ -2536,6 +2555,49 @@ def test_script_profile_functions(spark):
     ]
     assert got[1]["c"] == 6
     assert got[2]["y"] == 12  # 'Привет' 6 + 'хорошо' 6
+
+
+def test_script_profile_astral(spark):
+    """Supplementary-plane ranges (cjk_ext B-F, egyptian, cuneiform):
+    Java regex and RE2 must both count astral class members per code
+    point — the Spark counts and a DuckDB replay of the exact class
+    strings the oracle interpolates must agree. Astral chars NOT in
+    any range still fold to 'none'."""
+    import duckdb
+
+    from htmlparser2_spark.functions.textstats import (
+        SCRIPT_RANGES,
+        dominant_script,
+        script_count,
+    )
+
+    rows = [
+        ("\U00020021\U00020022\U0002A700 x",),  # 3 ext-B/C ideographs
+        ("\U00013000 \U00013001",),             # egyptian
+        ("\U00012000\U00012399",),              # cuneiform
+        ("\U0001F600 \U0001D11E",),             # emoji+music: no script
+        ("你好 \U00020021",),                    # BMP cjk 2 > ext 1
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    astral = ("cjk_ext", "egyptian", "cuneiform")
+    got = df.select(
+        dominant_script("text").alias("d"),
+        *[script_count("text", n).alias(n) for n in astral],
+    ).collect()
+    assert [r["d"] for r in got] == [
+        "cjk_ext", "egyptian", "cuneiform", "none", "cjk",
+    ]
+    assert [r["cjk_ext"] for r in got] == [3, 0, 0, 0, 1]
+    assert got[1]["egyptian"] == 2 and got[2]["cuneiform"] == 2
+    con = duckdb.connect()
+    for name in astral:
+        cls = SCRIPT_RANGES[name]
+        for (text,), row in zip(rows, got):
+            ddb = con.sql(
+                f"SELECT len(regexp_extract_all(?, '[{cls}]'))",
+                params=[text],
+            ).fetchone()[0]
+            assert ddb == row[name], (name, text)
 
 
 def test_run_curation_temperature_stage(spark):
