@@ -19,9 +19,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/r4_sweep"
-PAGES = "/tmp/htmlparser2_spark_bench/pages_x480"
-THRESH = 1.0
+OUT = os.environ.get("SWEEP_OUT", "/tmp/r4_sweep")
+PAGES = os.environ.get(
+    "SWEEP_PAGES", "/tmp/htmlparser2_spark_bench/pages_x480"
+)
+THRESH = float(os.environ.get("SWEEP_THRESH", "1.0"))
 WAIT_TIMEOUT = 40 * 60  # per phase; run anyway after this, stamped
 
 
