@@ -232,12 +232,21 @@ def fingerprint(text: Column | str) -> Column:
 
 def rolling_fingerprints(text: Column | str, *, window: int = 8) -> Column:
     """Array of rolling window fingerprints (word-window xxhash64) — the
-    content-defined-chunking building block for fuzzy matching."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", F.slice(toks, i, window))
-        ),
-    )
+    content-defined-chunking building block for fuzzy matching.
+
+    The token array is bound as a transform lambda variable: HOF
+    lambdas are interpreted with no subexpression elimination, so an
+    unbound ``tokens()`` inside the per-window slice would re-split
+    the whole document per window — O(tokens^2) per doc."""
+    toks_expr = tokens(text)
+
+    def _windows(tk):
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(tk) - (window - 1), F.lit(1))
+        )
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, window))),
+        )
+
+    return F.transform(F.array(toks_expr), _windows)[0]

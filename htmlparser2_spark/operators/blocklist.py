@@ -40,12 +40,23 @@ def domain_suffixes(host: Column) -> Column:
     FQDN (``bad.example.`` — same host to DNS and browsers) must
     produce the same suffixes as ``bad.example``, not a dot-suffixed
     chain that walks past every blocklist entry."""
-    labels = F.filter(F.split(host, r"\."), lambda l: l != F.lit(""))
-    n = F.size(labels)
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1)),
-    )
+    # Label array bound as a lambda variable — interpreted HOF lambdas
+    # re-evaluate unbound outer expressions per element (here: the
+    # host re-split per suffix; hosts are short, but the page-admission
+    # path runs this once per page at corpus scale). The inner lambda
+    # keeps to ONE outer-variable reference (a 2+-ref inner lambda
+    # breaks Python-UDF extraction if a pandas UDF ever consumes the
+    # column — see dedup._shingles_of): slice() tolerates a length past
+    # the array end, and 127 is the DNS label-count ceiling.
+    labels_expr = F.filter(F.split(host, r"\."), lambda l: l != F.lit(""))
+
+    def _suffixes(ls):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ls)),
+            lambda i: F.concat_ws(".", F.slice(ls, i, F.lit(127))),
+        )
+
+    return F.transform(F.array(labels_expr), _suffixes)[0]
 
 
 def blocklist_admission(

@@ -50,19 +50,32 @@ def repetition_stats(
         "id", dup_frac.alias("dup_line_frac"), F.length("t").alias("n_chars")
     )
 
-    toks = F.filter(F.split(F.col("t"), r"\s+"), lambda x: x != F.lit(""))
-    nt = F.size(toks)
+    # Token array bound as a real column BEFORE the bigram lambda: HOF
+    # lambdas are interpreted with no subexpression elimination, so an
+    # unbound split() referenced twice per bigram would re-tokenize the
+    # whole document per element — O(tokens^2) per doc. An attribute
+    # reference is O(1) per use (and, unlike a nested-transform lambda
+    # variable, stays safe if a Python UDF ever consumes the column —
+    # see dedup._shingles_of).
+    tk = F.col("__toks")
+    nt = F.size(tk)
     idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
         F.array().cast("array<int>")
     )
     bigram = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1)
         ),
     )
     counts = (
-        base.select("id", F.explode(bigram).alias("bg"))
+        base.select(
+            "id",
+            F.filter(
+                F.split(F.col("t"), r"\s+"), lambda x: x != F.lit("")
+            ).alias("__toks"),
+        )
+        .select("id", F.explode(bigram).alias("bg"))
         .groupBy("id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )
