@@ -103,10 +103,21 @@ def repetition_stats(
 
 _REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-def gopher_signals(text):
-    """Dict of named signal Columns over a text Column/name."""
+def gopher_signals(text, *, words=None, lines=None):
+    """Dict of named signal Columns over a text Column/name.
+
+    ``words`` / ``lines`` optionally take pre-bound token/line array
+    Columns (attributes from a prior select): the signal expressions
+    reference the word array 4+ times, and interpreted HOF lambdas
+    get no subexpression elimination, so inline splits re-tokenize
+    the document once per reference. :func:`gopher_filter` binds both
+    (one split each per row); the unbound default keeps the
+    single-signal ad-hoc use simple."""
     col = F.col(text) if isinstance(text, str) else text
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+    if words is None:
+        words = F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+    if lines is None:
+        lines = F.filter(F.split(col, "\n"), lambda l: l != F.lit(""))
     n_words = F.size(words)
     total_len = F.aggregate(
         F.transform(words, F.length), F.lit(0), lambda a, x: a + x
@@ -118,7 +129,6 @@ def gopher_signals(text):
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(0.0)
-    lines = F.filter(F.split(col, "\n"), lambda l: l != F.lit(""))
     n_lines = F.size(lines)
     bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
     ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
@@ -145,23 +155,48 @@ def gopher_filter(
     """(id, keep, reject_reason) per document — the classic web-corpus
     quality gate. ``reject_reason`` is the first failing rule in a
     fixed order (NULL when kept), so a groupBy over it yields the
-    filter-funnel histogram a pipeline reports per crawl batch."""
-    s = gopher_signals(text_col)
+    filter-funnel histogram a pipeline reports per crawl batch.
+
+    Three staged projections bind (a) the word/line arrays, then (b)
+    the seven signals, so the rule chain tests attributes: inlined,
+    the eight rule conditions plus the keep/reason duplication
+    re-evaluated the split+filter tokenization ~20x per row (HOF
+    expressions are interpreted — no codegen subexpression
+    elimination). Values are identical; only evaluation count
+    changes. CollapseProject keeps the stages separate (non-cheap,
+    multiply-referenced aliases)."""
+    col = F.col(text_col)
+    bound = df.select(
+        F.col(id_col),
+        col.alias("__t"),
+        F.filter(F.split(col, r"\s+"), lambda w: w != F.lit("")).alias(
+            "__words"
+        ),
+        F.filter(F.split(col, "\n"), lambda l: l != F.lit("")).alias(
+            "__lines"
+        ),
+    )
+    s = gopher_signals(
+        F.col("__t"), words=F.col("__words"), lines=F.col("__lines")
+    )
+    sig = bound.select(
+        F.col(id_col), *[expr.alias(f"__{k}") for k, expr in s.items()]
+    )
     rules = [
-        ("too_few_words", s["n_words"] < 50),
-        ("too_many_words", s["n_words"] > 100_000),
+        ("too_few_words", F.col("__n_words") < 50),
+        ("too_many_words", F.col("__n_words") > 100_000),
         ("word_length_out_of_range",
-         (s["mean_word_len"] < 3) | (s["mean_word_len"] > 10)),
-        ("symbol_heavy", s["symbol_ratio"] >= 0.1),
-        ("low_alpha_fraction", s["alpha_frac"] < 0.8),
-        ("bullet_heavy", s["bullet_frac"] >= 0.9),
-        ("ellipsis_heavy", s["ellipsis_frac"] >= 0.3),
-        ("too_few_stopwords", s["n_stopword_kinds"] < 2),
+         (F.col("__mean_word_len") < 3) | (F.col("__mean_word_len") > 10)),
+        ("symbol_heavy", F.col("__symbol_ratio") >= 0.1),
+        ("low_alpha_fraction", F.col("__alpha_frac") < 0.8),
+        ("bullet_heavy", F.col("__bullet_frac") >= 0.9),
+        ("ellipsis_heavy", F.col("__ellipsis_frac") >= 0.3),
+        ("too_few_stopwords", F.col("__n_stopword_kinds") < 2),
     ]
     reason = F.lit(None).cast("string")
     for name, cond in reversed(rules):
         reason = F.when(cond, F.lit(name)).otherwise(reason)
-    return df.select(
+    return sig.select(
         F.col(id_col),
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
