@@ -83,17 +83,34 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.filter(F.split(spaced, r"\s+"), lambda t: t != F.lit(""))
 
 
+def _bound(expr: Column, body) -> Column:
+    """Evaluate ``expr`` once per row and hand it to ``body`` as a
+    bound transform lambda variable. Interpreted HOF expressions get
+    no subexpression elimination, so a Column function that mentions
+    ``tokens(text)`` k times otherwise re-splits the text k times per
+    row. Keep inner lambdas inside ``body`` to at most ONE reference
+    of the bound variable if a pandas UDF may ever consume the result
+    (see operators/dedup._shingles_of for the Spark 4.1 extraction
+    trap); row-level references inside ``body`` are unrestricted."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def stopword_ratio(text: Column | str) -> Column:
-    toks = tokens(text)
-    return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / F.size(toks)
+    return _bound(
+        tokens(text),
+        lambda tk: F.size(F.filter(tk, lambda t: t.isin(*_STOPWORDS)))
+        / F.size(tk),
+    )
 
 
 def avg_token_len(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    return _bound(
+        tokens(text),
+        lambda tk: F.aggregate(
+            F.transform(tk, F.length), F.lit(0), lambda acc, x: acc + x
+        )
+        / F.size(tk),
     )
-    return total / F.size(toks)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -141,18 +158,22 @@ def _argmax_label(
 
 
 def langid_guess(text: Column | str) -> Column:
-    """Most-probable language by marker-token votes (ties -> code order)."""
-    toks = tokens(text)
+    """Most-probable language by marker-token votes (ties -> code
+    order). The token array is bound once per row (``_bound``) — the
+    five per-language vote counts otherwise each re-split the text."""
 
-    def _marker_hits(markers):
-        # Single-param lambda (a 2-param lambda would be treated as
-        # (element, index) by F.filter); closure via factory.
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    def body(tk):
+        def _marker_hits(markers):
+            # Single-param lambda (a 2-param lambda would be treated
+            # as (element, index) by F.filter); closure via factory.
+            return F.size(F.filter(tk, lambda t: t.isin(*markers)))
 
-    return _argmax_label(
-        [(code, _marker_hits(m)) for code, m in _LANG_MARKERS.items()],
-        default="und",
-    )
+        return _argmax_label(
+            [(code, _marker_hits(m)) for code, m in _LANG_MARKERS.items()],
+            default="und",
+        )
+
+    return _bound(tokens(text), body)
 
 
 # Major Unicode script ranges: literal character ranges so the same
