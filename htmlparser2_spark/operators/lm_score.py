@@ -52,18 +52,25 @@ DEFAULT_BACKOFF = 0.4
 def _bigram_array(text_col: Column) -> Column:
     """Array of 'w1 w2' bigram strings over the shared dual-dialect
     token convention (textstats.oracle_tokens / ORACLE_TOKENS_SQL),
-    so the DuckDB oracle reproduces it verbatim."""
-    toks = oracle_tokens(text_col)
-    nt = F.size(toks)
-    idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    so the DuckDB oracle reproduces it verbatim.
+
+    The token array is bound once per row as a transform lambda
+    variable, and the per-bigram lambda keeps to ONE reference of it
+    (``slice``): an unbound ``oracle_tokens`` re-tokenized the text
+    per element — O(tokens^2)/doc — and a 2+-reference inner lambda
+    would break Python-UDF extraction for any pandas-UDF consumer
+    (see dedup._shingles_of)."""
+
+    def body(tk):
+        nt = F.size(tk)
+        idx = F.when(nt >= 2, F.sequence(F.lit(1), nt - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 2))
+        )
+
+    return F.transform(F.array(oracle_tokens(text_col)), body)[0]
 
 
 def doc_bigrams(
