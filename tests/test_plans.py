@@ -288,3 +288,34 @@ def test_table_cells_shuffles_stay_document_keyed(spark):
     p = plan(df, "simple")
     keys = re.findall(r"hashpartitioning\((\w+)", p)
     assert keys and all(k == "url" for k in keys), keys
+
+
+def _optimized(df) -> str:
+    full = plan(df, "extended")
+    return full.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+
+
+def test_tokenization_bound_once_per_row(spark):
+    """Regression pin for the round-5 HOF binding fix: interpreted
+    higher-order lambdas get no subexpression elimination, so any
+    plan whose per-element lambda embeds the unbound split() pays
+    O(tokens^2) per document. The optimized plan must contain the
+    tokenizing split exactly once per bound array (the unbound forms
+    showed 2-3 copies and re-evaluated them per element)."""
+    from htmlparser2_spark.operators.dedup import minhash_signatures
+    from htmlparser2_spark.operators.lm_score import _bigram_array
+    from htmlparser2_spark.operators.quality import gopher_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for engine in ("jvm", "arrow"):
+        p = _optimized(minhash_signatures(docs, n_perm=8, engine=engine))
+        assert p.count("split(") == 1, (engine, p)
+    p = _optimized(docs.select(_bigram_array(F.col("text")).alias("bg")))
+    assert p.count("split(") == 1, p
+    # gopher binds two token arrays (whitespace words + newline lines)
+    # and keeps two row-level symbol-counting splits ('#', '...') in
+    # the signal stage — four total, none inside a per-element lambda.
+    p = _optimized(gopher_filter(docs))
+    assert p.count("split(") == 4, p
