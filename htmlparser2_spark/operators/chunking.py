@@ -50,11 +50,18 @@ def chunk_documents(
             f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap
-    toks = F.filter(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))),
-        lambda x: x != F.lit(""),
+    # Token array bound as a real column first: the window-start
+    # arithmetic references it four times, and each reference to an
+    # inline filter(split()) expression re-tokenizes the row (no
+    # subexpression elimination for interpreted HOF expressions).
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda x: x != F.lit(""),
+        ).alias("toks"),
     )
-    n = F.size(toks)
+    n = F.size(F.col("toks"))
     # Last start must satisfy start <= n - overlap - 1 (each window
     # adds >= 1 non-overlap token); greatest(0) keeps one window for
     # docs shorter than overlap+1 tokens.
@@ -66,9 +73,9 @@ def chunk_documents(
             F.lit(stride),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("toks"),
+    exploded = bound.select(
+        "id",
+        "toks",
         n.alias("n"),
         F.posexplode(starts).alias("chunk_idx", "start"),
     )
